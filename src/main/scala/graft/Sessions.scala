@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the settings this engine assumes everywhere:
+  * UTC session time, AQE on, shuffle parallelism sized to the local core
+  * count (not the 200 default, which is wrong for local mode), and the
+  * RocksDB state store for streaming state (reference delegates state to
+  * ES/Mongo/ClickHouse; we keep it in the state store —
+  * /root/reference/src/ralph/backends/data/es.py:374-404).
+  */
+object Sessions {
+  def build(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Apply the engine's standard confs to an externally built session
+    * (Verify/Bench create their own session per the driver contract). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark
+  }
+}

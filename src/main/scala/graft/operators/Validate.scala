@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TokenCodec
+import graft.model.Schemas
+
+/** Scan-time validation: model selection + per-model constraints.
+  *
+  * Reference semantics (/root/reference/src/ralph/models/selector.py:29-145,
+  * validator.py:22-77): a decision tree over `(event_source, event_type)`
+  * rules picks the candidate model (the `Server` model matches when
+  * event_type equals context.path — a value-at-other-path rule,
+  * edx/server.py:60-62); the first model that parses wins; rows with no
+  * match are UnknownEvent; invalid JSON is skipped and counted.
+  *
+  * Spark design: one chained `when()` per selector rule — Catalyst's
+  * common-subexpression elimination and short-circuit codegen reproduce the
+  * reference's most-common-rule factoring for free (SURVEY.md §4). The
+  * validate stage is a pure projection: no shuffle, fully pushdown-friendly.
+  */
+object Validate {
+
+  /** Statuses routed like the reference validator's counters/logging
+    * (validator.py:33-47): ok | invalid_json | unknown | invalid_model. */
+  val StatusOk = "ok"
+  val StatusInvalidJson = "invalid_json"
+  val StatusUnknown = "unknown"
+  val StatusInvalidModel = "invalid_model"
+
+  private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
+
+  /** Selector: model name per row, null = no match (UnknownEvent).
+    * Keys mirror each family's `__selector__`
+    * (edx/navigational/statements.py:32, video/statements.py, enrollment,
+    * server.py:60-62). */
+  def selectModel(src: Column, typ: Column, ctxPath: Column): Column = {
+    val browserLiterals = Seq(
+      "page_close", "seq_goto", "seq_next", "seq_prev",
+      "load_video", "play_video", "pause_video", "stop_video", "seek_video")
+    val browser = browserLiterals.foldLeft(when(lit(false), lit(""))) { (w, t) =>
+      w.when(typ === t, lit(t))
+    }
+    when(src === "server" && typ === ctxPath, lit("server"))
+      .when(src === "server" &&
+        typ.isin("edx.course.enrollment.activated", "edx.course.enrollment.deactivated"), typ)
+      .when(src === "browser", browser)
+      .otherwise(lit(null))
+  }
+
+  /** Full validation: input table (doc_id, tokens, n_tok, source) →
+    * columns (doc_id, source, raw, event, model, ts, status).
+    * `raw` is the decoded original text (lax passthrough — the canonical
+    * output bytes, mirroring LaxStatement's extra="allow"). */
+  def apply(input: DataFrame): DataFrame = {
+    val raw = TokenCodec.decodeTokens(col("tokens"))
+    val withRaw = input.withColumn("raw", raw)
+      .withColumn("event", from_json(col("raw"), Schemas.edxEvent))
+
+    val e = col("event")
+    val model = selectModel(e("event_source"), e("event_type"), e("context").getField("path"))
+
+    // Envelope sanity = reference's pydantic envelope parse (base.py:105-169)
+    val envelopeOk = e.isNotNull && e("username").isNotNull &&
+      e("event_source").isNotNull && e("event_type").isNotNull &&
+      e("time").isNotNull && e("context").isNotNull
+    // from_json(PERMISSIVE) yields an all-null struct on corrupt input;
+    // treat unparsable time as invalid too (lrs/fs.py:344-352 precedent).
+    val ts = e("time").cast("timestamp")
+
+    val video = from_json(e("event"), Schemas.videoPayload)
+    val seq = from_json(e("event"), Schemas.seqPayload)
+    val enr = from_json(e("event"), Schemas.enrollmentPayload)
+    val serverPayload = from_json(e("event"), Schemas.serverPayload)
+
+    val modelOk = when(col("model") === "server", e("event").isNotNull && serverPayload.isNotNull)
+      .when(col("model") === "page_close", e("event") === "{}")
+      .when(col("model") === "seq_goto",
+        seq.isNotNull && nonEmpty(seq("id")) && seq("old").isNotNull && seq("new").isNotNull)
+      .when(col("model") === "seq_next", seq.isNotNull && seq("new") === seq("old") + 1)
+      .when(col("model") === "seq_prev", seq.isNotNull && seq("new") === seq("old") - 1)
+      .when(col("model") === "load_video", video.isNotNull && nonEmpty(video("id")) && nonEmpty(video("code")))
+      .when(col("model").isin("play_video", "pause_video", "stop_video"),
+        video.isNotNull && nonEmpty(video("id")) && video("currentTime").isNotNull)
+      .when(col("model") === "seek_video",
+        video.isNotNull && nonEmpty(video("id")) &&
+          video("old_time").isNotNull && video("new_time").isNotNull)
+      .when(col("model").startsWith("edx.course.enrollment"),
+        enr.isNotNull && nonEmpty(enr("course_id")) && nonEmpty(enr("user_id")))
+      .otherwise(lit(false))
+
+    withRaw
+      .withColumn("model", model)
+      .withColumn("ts", ts)
+      .withColumn("status",
+        when(!envelopeOk || col("ts").isNull, StatusInvalidJson)
+          .when(col("model").isNull, StatusUnknown)
+          .when(!modelOk, StatusInvalidModel)
+          .otherwise(StatusOk))
+  }
+
+  /** Valid rows only (ignore_errors=true path, validator.py:33-46). */
+  def valid(input: DataFrame): DataFrame = apply(input).filter(col("status") === StatusOk)
+
+  /** Side output: rejected rows with their reason (error routing V3). */
+  def rejected(input: DataFrame): DataFrame = apply(input).filter(col("status") =!= StatusOk)
+
+  /** Attach per-(micro)batch counters, reference validator's total/invalid
+    * (validator.py:47) via `observe` — readable from QueryProgress. */
+  def observed(df: DataFrame): DataFrame =
+    df.observe("validate_metrics",
+      count(lit(1)).as("total"),
+      sum(when(col("status") =!= StatusOk, 1L).otherwise(0L)).as("invalid"))
+}
