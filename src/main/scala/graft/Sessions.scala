@@ -23,6 +23,10 @@ object Sessions {
       // whole-record null on any JSON parse error — matches the reference's
       // pydantic all-or-nothing record validation (validator.py:33-46)
       .config("spark.sql.json.enablePartialResults", "false")
+      // reference semantics: malformed values are routed to side outputs
+      // (ignore_errors, utils.py:192-246), never fail the job — so run with
+      // permissive (null-on-error) evaluation, not ANSI aborts
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
@@ -36,6 +40,7 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.json.enablePartialResults", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark
   }
 }

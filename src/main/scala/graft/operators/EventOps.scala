@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SQL-oracle-checkable twins of the LRS/streaming operators, expressed
+  * over the sandbox `events` proxy table
+  * `(event_id, ts, user_id, event_type, value, props)` — statement-shaped
+  * per FIXTURES.md §7: event_id≈statement id, user_id≈actor, event_type≈verb.
+  *
+  * Every query here is the exact batch semantics of a SURVEY.md §2 operator;
+  * the streaming pipeline reuses the same expressions incrementally.
+  */
+object EventOps {
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  def tsStr(c: org.apache.spark.sql.Column) = date_format(c, tsFmt)
+
+  /** F5+F8+F9+O1+O2: verb filter, since-exclusive/until-inclusive window,
+    * timestamp-desc sort with id tiebreak, limit clamp. */
+  def getWindow(spark: SparkSession, dir: String, ascending: Boolean = false): DataFrame = {
+    val base = events(spark, dir)
+      .filter(col("event_type") === "click" &&
+        col("ts") > lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+    val sorted =
+      if (ascending) base.orderBy(asc("ts"), asc("event_id"))
+      else base.orderBy(desc("ts"), desc("event_id"))
+    sorted.limit(Lrs.MaxHits)
+      .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"), col("event_type"))
+  }
+
+  /** F1: by statement id. */
+  def byId(spark: SparkSession, dir: String, id: Long = 4242L): DataFrame =
+    events(spark, dir).filter(col("event_id") === id)
+      .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** F2: by agent. */
+  def byAgent(spark: SparkSession, dir: String, uid: Long = 13L): DataFrame =
+    events(spark, dir).filter(col("user_id") === uid)
+      .orderBy(desc("ts"), desc("event_id")).limit(Lrs.MaxHits)
+      .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("event_type"))
+
+  /** F11+O3: keyset pagination. Page 1 = top-100; its last (ts, id) becomes
+    * the cursor (driver-side request-scoped scalar, exactly like the
+    * reference's `more` link); page 2 = the keyset predicate + limit. */
+  def keysetPage2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val page1 = ev.orderBy(desc("ts"), desc("event_id")).limit(Lrs.MaxHits)
+      .select(col("ts"), col("event_id"))
+      .collect()
+    // ts may be TIMESTAMP or TIMESTAMP_NTZ depending on the parquet writer;
+    // lit() handles both java.sql.Timestamp and java.time.LocalDateTime
+    val cts = lit(page1.last.get(0))
+    val cid = page1.last.getLong(1)
+    ev.filter(col("ts") < cts || (col("ts") === cts && col("event_id") < cid))
+      .orderBy(desc("ts"), desc("event_id")).limit(Lrs.MaxHits)
+      .select(col("event_id"), tsStr(col("ts")).as("ts_str"))
+  }
+
+  /** S15/S16: JSON field extraction (GELF `short_message` pattern). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull && col("k") < 10)
+
+  /** A4: exact distinct counts per verb. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+
+  /** A1: tumbling per-verb counts (1 hour). Uses the native `window()`
+    * expression — identical alignment to the streaming job's windows. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(tsStr(col("window.start")).as("win_start"), col("event_type"), col("n"))
+
+  /** A2: sliding per-verb counts (6 hours every 1 hour). */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(tsStr(col("window.start")).as("win_start"), col("event_type"), col("n"))
+
+  /** A3 (batch twin): sessionization per actor with a gap timeout — the
+    * exact semantics `session_window`/flatMapGroupsWithState apply
+    * incrementally in the streaming job. Gap boundary = lag-diff > gap;
+    * session id = running sum of boundaries. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 360): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    gapped.groupBy("user_id", "sid")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), tsStr(col("s")).as("session_start"),
+        tsStr(col("e")).as("session_end"), col("n_events"))
+  }
+}

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline text operators over the `documents` table
+  * `(doc_id, text, lang, source, n_chars)`: token counting, quality
+  * scoring, language-ID, fingerprinting, exact + near deduplication
+  * (n-gram Jaccard ground truth, MinHash+LSH scale path, SimHash).
+  *
+  * Scale notes: signatures (minhash/simhash/fingerprint) are computed with
+  * array higher-order functions in a single narrow projection — zero
+  * shuffles per row. Candidate generation shuffles only on band keys
+  * (LSH) — never an all-pairs cross join; the exact-Jaccard ground truth
+  * joins on shared shingles, so disjoint documents never meet.
+  */
+object TextOps {
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  val Stopwords = Seq("the", "a")
+
+  /** Token counting: whitespace words + a BPE-ish subword estimate
+    * (⌈chars/4⌉ per word — the usual ~4-chars-per-token heuristic). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      length(col("text")).cast("long").as("n_chars"),
+      aggregate(transform(words(col("text")),
+          w => ((length(w) + lit(3)) / lit(4)).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_subwords"))
+
+  /** Quality scoring: length + stopword-ratio + mean word length. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nStop = size(filter(w, x => x.isin(Stopwords: _*)))
+    val sumLen = aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x)
+    documents(spark, dir).select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nStop.cast("long").as("n_stop"),
+      (nStop.cast("double") / nWords).as("stop_ratio"),
+      (sumLen.cast("double") / nWords).as("mean_wlen"))
+  }
+
+  /** Language-ID by marker-profile hit counts (n-gram-heuristic shape:
+    * score per profile, argmax with deterministic tiebreak). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "p1" -> Seq("the", "a", "join", "scan"),
+    "p2" -> Seq("spark", "stream", "window", "batch"),
+    "p3" -> Seq("sort", "merge", "hash", "group"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val hits = LangProfiles.map { case (name, markers) =>
+      size(filter(w, x => x.isin(markers: _*))).cast("long").as(s"h_$name")
+    }
+    val pred = when(col("h_p1") >= col("h_p2") && col("h_p1") >= col("h_p3"), "p1")
+      .when(col("h_p2") >= col("h_p3"), "p2")
+      .otherwise("p3")
+    documents(spark, dir)
+      .select(col("doc_id") +: hits: _*)
+      .withColumn("lang_pred", pred)
+  }
+
+  /** Exact deduplication: group identical texts, keep the smallest id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Distinct k-word shingles of the text. */
+  def shingleArr(text: Column, k: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ground truth near-dup: exact n-gram Jaccard over all pairs sharing at
+    * least one shingle (equi-join on shingle — no cross join). */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   k: Int = 3): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
+    val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- MinHash + LSH (the 100 TB-scale near-dup path) --------------------
+
+  val NumHashes = 64
+  val Rows = 2 // rows per band → 32 bands: P(candidate | jac=0.5) ≈ 0.9999
+  val Bands: Int = NumHashes / Rows
+  private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** MinHash signature: one narrow projection, no shuffle. Universal
+    * hashing h_i(x) = (a_i·x + b_i) mod (2^31-1) over the low 31 bits of
+    * the xxhash64 shingle hash. All products stay < 2^62 — overflow-free
+    * under ANSI evaluation (a_i, b_i, x are 31-bit). */
+  def minhashSig(sh: Column): Column = {
+    val hashes = transform(sh, s => xxhash64(s).bitwiseAND(lit(P31)))
+    val sig = (0 until NumHashes).map { i =>
+      val a = (graft.sources.Synth.mix(i.toLong, 101L) & P31) | 1L // odd, 31-bit
+      val b = graft.sources.Synth.mix(i.toLong, 103L) & P31
+      array_min(transform(hashes, x => pmod(x * lit(a) + lit(b), lit(P31))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH banding + exact verification. Candidates = docs sharing a band
+    * hash; every candidate pair is verified with exact Jaccard on the
+    * shingle sets, so output precision is 1.0 (recall ~1 - (1-t^r)^b). */
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                      k: Int = 3): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(concat_ws("_", lit(b), slice(col("sig"), b * Rows + 1, Rows)))
+    }
+    val banded = docs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bkey")
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val verified = cands
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes — single projection, no shuffle. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(array_distinct(words(text)), w => xxhash64(w))
+    val bits = (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  /** SimHash near-dup candidates: band the 64-bit signature into 8 bytes;
+    * hamming ≤ 7 pairs are guaranteed to collide on ≥ 1 band (pigeonhole).
+    * Output includes the exact hamming distance for downstream thresholds. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    val sigs = simhashDocs(spark, dir)
+    val byteCols = (0 until 8).map(b => shiftright(col("simhash"), b * 8).bitwiseAND(255))
+    val banded = sigs.select(col("doc_id"), col("simhash"), posexplode(array(byteCols: _*)))
+      .toDF("doc_id", "simhash", "band", "bkey")
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cands.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Document fingerprint: polynomial rolling hash over word hashes
+    * (order-sensitive, unlike the set-based signatures). Two independent
+    * 31-bit modular folds packed into one 62-bit value — overflow-free. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    def fold(mult: Long) = aggregate(
+      transform(words(col("text")), w => xxhash64(w).bitwiseAND(lit(P31))),
+      lit(0L), (acc, x) => pmod(acc * lit(mult) + x, lit(P31)))
+    documents(spark, dir).select(col("doc_id"),
+      (shiftleft(fold(31L), 31) + fold(37L)).as("fingerprint"))
+  }
+
+  // ---- Multimodal plumbing ------------------------------------------------
+
+  /** Multimodal columns: the payload travels as an opaque binary column with
+    * typed metadata extracted by a batched per-partition decode. The decode
+    * itself is a STUB (deterministic fake — media codecs are not in this
+    * container); the Spark-side plumbing (schema, binary transport,
+    * partition-batched decode shape) is real. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decode — a real implementation hands `bytes` to an image/audio
+        // codec here; batch shape and schema are what the pipeline relies on.
+        val n = bytes.length.toLong
+        (id, n, 64 + n % 256, 64 + (n / 7) % 256, if (id % 2 == 0) "image" else "audio")
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "kind")
+  }
+}
