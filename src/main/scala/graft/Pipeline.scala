@@ -20,11 +20,15 @@ object Pipeline {
 
   val StoredIso = "2024-06-01T00:00:00.000000+00:00"
 
+  /** Rows whose model has no conversion set (e.g. the seq_* navigational
+    * family: validated but not convertible) are dropped like the reference's
+    * MissingConversionSetException + ignore_errors path
+    * (converter.py:212-224). */
   def validateConvert(input: DataFrame,
                       ns: String = Synth.UuidNamespace,
                       url: String = Synth.PlatformUrl): DataFrame =
     Convert(Validate.observed(Validate(input)).filter(col("status") === Validate.StatusOk),
-      ns, url)
+      ns, url).filter(col("xapi").isNotNull)
 
   /** Full batch run: returns the deduped lake frame ([[Store]] layout). */
   def run(input: DataFrame,

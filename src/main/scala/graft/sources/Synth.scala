@@ -119,6 +119,16 @@ object Synth {
     if (isInvalid(i)) json.substring(0, 60) else json
   }
 
+  def familyOf(i: Long): String = {
+    val idx = if (isDup(i)) i - 1 else i
+    if (isUnknown(i)) "unknown_evt" else families(pick(idx, 3L, families.size))
+  }
+
+  /** Families with a conversion set (converter.py registry — seq_* validate
+    * but do not convert). */
+  def isConvertible(i: Long): Boolean =
+    !isInvalid(i) && !isUnknown(i) && !Set("seq_goto", "seq_next", "seq_prev")(familyOf(i))
+
   def docId(i: Long): String = {
     val idx = if (isDup(i)) i - 1 else i
     Uuid5.uuid5(UuidNamespace, s"doc-$idx")

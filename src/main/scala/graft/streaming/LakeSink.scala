@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exactly-once idempotent lake sink with a commit manifest — the sandbox
+  * stand-in for an Iceberg append (no Iceberg runtime jar ships here; the
+  * protocol is the same shape: write data files, then atomically commit a
+  * manifest entry; readers only see committed batches).
+  *
+  * Idempotency model (north rule "exactly-once … resumable from
+  * checkpoint"): `foreachBatch` may replay a batch after a crash; a replayed
+  * batchId either (a) is already committed → skipped, or (b) was written but
+  * not committed → its directory is overwritten then committed. Readers list
+  * the manifest, so a torn write is invisible. This mirrors the reference's
+  * idempotent id-keyed writes (ES `_id` index, Mongo deterministic `_id` —
+  * backends/data/es.py:374-404, mongo.py:326-375) lifted to batch
+  * granularity.
+  *
+  * Every row carries per-partition lineage columns `_batch_id`/`_part_id`,
+  * and each commit records row counts — the north rule's "per-partition
+  * lineage + metrics".
+  */
+class LakeSink(val path: String) extends Serializable {
+
+  private def manifest = Paths.get(path, "_manifest.jsonl")
+
+  def committedBatches(): Set[Long] =
+    if (!Files.exists(manifest)) Set.empty
+    else Files.readAllLines(manifest).asScala
+      .filter(_.nonEmpty)
+      .map(l => ujsonField(l, "batch").toLong).toSet
+
+  // minimal JSON field extract (manifest lines are written by us)
+  private def ujsonField(line: String, field: String): String = {
+    val m = ("\"" + field + "\"\\s*:\\s*(\\d+)").r
+    m.findFirstMatchIn(line).map(_.group(1)).getOrElse("-1")
+  }
+
+  /** The foreachBatch body. Returns true if the batch was newly committed. */
+  def addBatch(batchId: Long, df: DataFrame): Boolean = {
+    if (committedBatches().contains(batchId)) return false // replay → no-op
+    val dir = s"$path/batch=$batchId"
+    val withLineage = df
+      .withColumn("_batch_id", lit(batchId))
+      .withColumn("_part_id", spark_partition_id())
+    withLineage.write.mode("overwrite").parquet(dir) // retry-safe rewrite
+    val rows = df.sparkSession.read.parquet(dir).count()
+    commit(batchId, rows)
+    true
+  }
+
+  /** Atomic manifest append: copy-on-write + rename. Single-writer (one
+    * streaming query owns a sink), so no lock is needed. */
+  private def commit(batchId: Long, rows: Long): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val prev =
+      if (Files.exists(manifest)) Files.readString(manifest) else ""
+    val line = s"""{"batch": $batchId, "rows": $rows}\n"""
+    val tmp = Paths.get(path, s"_manifest.tmp")
+    Files.write(tmp, (prev + line).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Committed data only (snapshot isolation at batch granularity). */
+  def read(spark: SparkSession): DataFrame = {
+    val batches = committedBatches()
+    if (batches.isEmpty) {
+      spark.emptyDataFrame
+    } else {
+      val dirs = batches.toSeq.sorted.map(b => s"$path/batch=$b")
+      spark.read.parquet(dirs: _*)
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.operators.{Convert, Store, Validate}
+import graft.sources.Synth
+
+/** The streaming lift of the batch [[graft.Pipeline]] (north rule): the
+  * same validate → convert → dedup stage expressions, incrementalised by
+  * Structured Streaming, with
+  *
+  *  - watermarked dedup (`dropDuplicatesWithinWatermark("id")` — D5; the
+  *    store-wide guarantee at 10^12 scale comes from the idempotent sink +
+  *    within-watermark dedup, exactly the ES/Mongo id-keyed model),
+  *  - per-actor sessionization ([[Sessionize]], RocksDB state),
+  *  - tumbling/sliding per-verb/per-source counts (A1/A2) with optional
+  *    key salting for hot actors/verbs,
+  *  - a watermark-bounded stream-stream join against actor-profile updates
+  *    (J3),
+  *  - the exactly-once [[LakeSink]] via foreachBatch, and per-microbatch
+  *    observe() metrics (validator counters V3).
+  */
+object StreamPipeline {
+
+  val WatermarkDelay = "10 minutes"
+
+  /** Decode+validate+convert+enrich a stream of input rows
+    * (doc_id, tokens, n_tok, source) into watermarked statements. */
+  def statements(input: DataFrame,
+                 ns: String = Synth.UuidNamespace,
+                 url: String = Synth.PlatformUrl): DataFrame = {
+    val validated = Validate.observed(Validate(input))
+      .filter(col("status") === Validate.StatusOk)
+    Convert(validated, ns, url)
+      .filter(col("xapi").isNotNull) // no conversion set → routed out (V3)
+      .select(col("id"), col("actor_key"), col("verb_id"), col("object_id"),
+        col("source"), col("ts"), col("xapi"))
+      .withWatermark("ts", WatermarkDelay)
+  }
+
+  /** D5 streaming dedup: state bounded by the watermark (RocksDB). */
+  def deduped(statements: DataFrame): DataFrame =
+    statements.dropDuplicatesWithinWatermark(Seq("id"))
+
+  /** A1/A2 counts. `saltBuckets > 1` shards hot (verb, source) keys into
+    * salted sub-keys; merge with [[mergeSalted]] — two-stage aggregation
+    * keeps any single state key's update rate bounded at 10^12 scale. */
+  def tumblingCounts(statements: DataFrame, width: String = "1 minute",
+                     saltBuckets: Int = 1): DataFrame = {
+    if (saltBuckets <= 1)
+      statements.groupBy(window(col("ts"), width), col("verb_id"), col("source"))
+        .agg(count(lit(1)).as("n"))
+    else
+      statements
+        .withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets)))
+        .groupBy(window(col("ts"), width), col("verb_id"), col("source"), col("salt"))
+        .agg(count(lit(1)).as("n"))
+  }
+
+  /** Second-stage merge of salted partial counts (batch job over the sink,
+    * or a downstream streaming agg). */
+  def mergeSalted(partials: DataFrame): DataFrame =
+    partials.groupBy("window", "verb_id", "source").agg(sum("n").as("n"))
+
+  def slidingCounts(statements: DataFrame, width: String = "10 minutes",
+                    slide: String = "1 minute"): DataFrame =
+    statements.groupBy(window(col("ts"), width, slide), col("verb_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Built-in session windows (plain payload) — the codegen'd sibling of
+    * [[Sessionize]]'s custom-state path. */
+  def sessionWindowCounts(statements: DataFrame, gap: String = "30 minutes"): DataFrame =
+    statements
+      .groupBy(session_window(col("ts"), gap), col("actor_key"), col("source"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("verb_id").as("n_verbs"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("actor_key"), col("source"), col("n_events"), col("n_verbs"))
+
+  /** Custom-state sessionization ([[Sessionize]]). */
+  def sessions(statements: DataFrame): Dataset[Sessionize.Session] = {
+    import statements.sparkSession.implicits._
+    Sessionize(statements
+      .select(col("actor_key"), col("source"), col("ts"), col("verb_id"))
+      .as[Sessionize.Event])
+  }
+
+  /** J3: watermark-bounded stream-stream join of statements against
+    * actor-profile updates `(actor_key, p_name, cohort, updated_at)`:
+    * each statement joins profiles updated in the preceding hour
+    * (left-outer so unprofiled actors pass through — state on both sides is
+    * bounded by the watermarks + interval condition). */
+  def withProfiles(statements: DataFrame, profiles: DataFrame): DataFrame = {
+    val p = profiles.withWatermark("updated_at", WatermarkDelay)
+      .withColumnRenamed("actor_key", "p_actor")
+    statements.join(p,
+      expr("""actor_key = p_actor AND
+              updated_at <= ts AND updated_at > ts - INTERVAL 1 HOUR"""),
+      "leftOuter")
+  }
+
+  /** Wire a statement stream into the exactly-once lake sink. */
+  def toLake(statements: DataFrame, sink: LakeSink, checkpoint: String,
+             trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    statements.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.addBatch(batchId, Store.project(batch, "xapi"))
+        ()
+      }
+
+  /** End-to-end job: input stream → validate/convert → dedup → lake.
+    * Sessions/counts/join run as sibling queries on the same source. */
+  def run(input: DataFrame, sinkPath: String, checkpoint: String): StreamingQuery = {
+    val sink = new LakeSink(sinkPath)
+    toLake(deduped(statements(input)), sink, checkpoint).start()
+  }
+}

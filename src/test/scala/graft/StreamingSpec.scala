@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.{InputRow, Synth}
+import graft.streaming.{LakeSink, Sessionize, StreamPipeline}
+
+/** Streaming semantics (SURVEY.md §2.10 / north rule): watermarked dedup,
+  * stateful sessionization, windowed counts, stream-stream join,
+  * exactly-once sink, checkpoint resume. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def inputRows(from: Long, until: Long): Seq[InputRow] =
+    (from until until).map { i =>
+      val toks = graft.functions.TokenCodec.encodeString(Synth.edxJson(i))
+      InputRow(Synth.docId(i), toks, toks.length, Synth.sourceOf(i))
+    }
+
+  test("end-to-end stream: validate → convert → dedup → exactly-once lake sink") {
+    val mem = MemoryStream[InputRow]
+    val sinkPath = tmp("lake")
+    val cp = tmp("cp")
+    mem.addData(inputRows(0, 400): _*)
+    val q = StreamPipeline.run(mem.toDF(), sinkPath, cp)
+    q.processAllAvailable(); q.stop()
+
+    val sink = new LakeSink(sinkPath)
+    val got = sink.read(spark)
+    // expected: valid rows, minus duplicate doc-ids (dups carry identical payloads)
+    // pipeline ids are uuid5(ns, raw_event) — converter D1 semantics
+    val expectedIds = (0L until 400L)
+      .filter(Synth.isConvertible)
+      .map(i => graft.functions.Uuid5.uuid5(Synth.UuidNamespace, Synth.edxJson(i)))
+      .distinct
+    assert(got.select("event_id").as[String].collect().toSet === expectedIds.toSet)
+    // lineage columns present on every row
+    assert(got.filter(col("_batch_id").isNull || col("_part_id").isNull).count() === 0)
+  }
+
+  test("checkpoint resume: kill mid-stream, restart — no loss, no duplicates") {
+    val mem = MemoryStream[InputRow]
+    val sinkPath = tmp("lake")
+    val cp = tmp("cp")
+    mem.addData(inputRows(0, 200): _*)
+    val q1 = StreamPipeline.run(mem.toDF(), sinkPath, cp)
+    q1.processAllAvailable(); q1.stop() // "crash" after batch committed
+
+    mem.addData(inputRows(200, 400): _*)
+    val q2 = StreamPipeline.run(mem.toDF(), sinkPath, cp) // same checkpoint
+    q2.processAllAvailable(); q2.stop()
+
+    val got = new LakeSink(sinkPath).read(spark).select("event_id").as[String].collect()
+    val expected = (0L until 400L)
+      .filter(Synth.isConvertible)
+      .map(i => graft.functions.Uuid5.uuid5(Synth.UuidNamespace, Synth.edxJson(i)))
+      .distinct
+    assert(got.length === got.distinct.length, "duplicated rows after resume")
+    assert(got.toSet === expected.toSet, "lost or extra rows after resume")
+  }
+
+  test("lake sink replays are idempotent (batch-level exactly-once)") {
+    val sinkPath = tmp("lake")
+    val sink = new LakeSink(sinkPath)
+    val df = Seq(("a", 1), ("b", 2)).toDF("event_id", "v")
+    assert(sink.addBatch(7, df))
+    assert(!sink.addBatch(7, df)) // replay of committed batch → skipped
+    assert(sink.read(spark).count() === 2)
+    assert(sink.committedBatches() === Set(7L))
+  }
+
+  test("sessionize: gap timeout closes sessions deterministically by event time") {
+    val mem = MemoryStream[Sessionize.Event]
+    def ev(actor: String, minute: Int, verb: String = "v1") =
+      Sessionize.Event(actor, "browser", Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), verb)
+
+    val stmts = mem.toDF().withWatermark("ts", "1 minute")
+      .as[Sessionize.Event]
+    val out = Sessionize(stmts, gapMs = 10 * 60 * 1000) // 10-minute gap
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+
+    // actor A: events at 10:00, 10:05 (one session), then 10:30 (new session)
+    mem.addData(ev("A", 0), ev("A", 5, "v2"), ev("A", 5, "v2"), ev("B", 1))
+    q.processAllAvailable()
+    mem.addData(ev("A", 30)) // closes A's first session (gap exceeded)
+    q.processAllAvailable()
+    // push the watermark far ahead so remaining sessions time out
+    mem.addData(ev("Z", 59))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event("Z2", "browser",
+      Timestamp.valueOf("2024-01-01 12:00:00"), "v1"))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_out")
+      .select("actor_key", "session_start", "session_end", "n_events", "n_verbs", "top_verb")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getInt(4), r.getString(5)))
+      .sortBy(x => (x._1, x._2))
+    val a = sessions.filter(_._1 == "A")
+    assert(a.length === 2)
+    assert(a(0) === ("A", "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 3L, 2, "v2"))
+    assert(a(1)._4 === 1L) // the 10:30 session closed by timeout
+    assert(sessions.count(_._1 == "B") === 1)
+  }
+
+  test("tumbling stream counts equal the batch aggregation on the same data") {
+    val mem = MemoryStream[InputRow]
+    val stmts = StreamPipeline.statements(mem.toDF())
+    val counts = StreamPipeline.tumblingCounts(stmts, "1 minute")
+      .select(col("window.start").as("w"), col("verb_id"), col("source"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    mem.addData(inputRows(0, 300): _*)
+    q.processAllAvailable()
+    // close all windows by pushing the watermark with one far-future row
+    mem.addData(inputRows(100000, 100001): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = Pipeline.validateConvert(Synth.inputTable(spark, 300))
+      .groupBy(window(col("ts"), "1 minute"), col("verb_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("verb_id"), col("source"), col("n"))
+    val got = spark.table("tumbling_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val want = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("salted counts merge to the unsalted result") {
+    val mem = MemoryStream[InputRow]
+    val stmts = StreamPipeline.statements(mem.toDF())
+    val salted = StreamPipeline.tumblingCounts(stmts, "1 minute", saltBuckets = 8)
+    val q = salted.writeStream.format("memory").queryName("salted_out")
+      .outputMode("append").start()
+    mem.addData(inputRows(0, 300): _*)
+    q.processAllAvailable()
+    mem.addData(inputRows(100000, 100001): _*)
+    q.processAllAvailable()
+    q.stop()
+    val merged = StreamPipeline.mergeSalted(spark.table("salted_out"))
+      .select(col("window.start"), col("verb_id"), col("source"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val want = Pipeline.validateConvert(Synth.inputTable(spark, 300))
+      .groupBy(window(col("ts"), "1 minute"), col("verb_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("verb_id"), col("source"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(merged === want)
+  }
+
+  test("stream-stream join binds the latest-hour profile (J3)") {
+    val stmtMem = MemoryStream[Sessionize.Event]
+    val profMem = MemoryStream[(String, String, String, Timestamp)]
+    val stmts = stmtMem.toDF().withWatermark("ts", "1 minute")
+    val profs = profMem.toDF()
+      .toDF("actor_key", "p_name", "cohort", "updated_at")
+    val joined = StreamPipeline.withProfiles(stmts, profs)
+      .select("actor_key", "verb_id", "cohort")
+    val q = joined.writeStream.format("memory").queryName("joined_out")
+      .outputMode("append").start()
+
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    profMem.addData(("A", "alice", "c1", Timestamp.valueOf("2024-01-01 09:30:00")),
+      ("B", "bob", "c2", Timestamp.valueOf("2024-01-01 05:00:00"))) // stale (>1h before)
+    stmtMem.addData(Sessionize.Event("A", "browser", t0, "v1"),
+      Sessionize.Event("B", "browser", t0, "v2"))
+    q.processAllAvailable()
+    // advance both watermarks so the outer join emits unmatched rows
+    stmtMem.addData(Sessionize.Event("Z", "browser",
+      Timestamp.valueOf("2024-01-01 13:00:00"), "vz"))
+    profMem.addData(("Z", "z", "cz", Timestamp.valueOf("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("joined_out").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows.contains(("A", "v1", Some("c1")))) // fresh profile joined
+    assert(rows.contains(("B", "v2", None))) // stale profile NOT joined (left outer)
+  }
+}
