@@ -1,6 +1,80 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import graft.sources.Synth
+import graft.streaming.{LakeSink, StreamPipeline}
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Part 1 — headline queries from [[SparkEntry.queries]] timed at
+  * `SPARK_GRAFT_CPUS` on `SPARK_GRAFT_SF_DIR`.
+  *
+  * Part 2 — the north-rule metric: end-to-end statements/sec through the
+  * streaming job validate → convert → dedup → sessionize(flatMapGroups,
+  * RocksDB) → exactly-once sink, run on the SAME pre-generated input at
+  * three parallelism levels (local[2] / local[8] / local[32]) with shuffle &
+  * state partitions pinned at 32 (the real-cluster shape: partition count
+  * fixed, executor count varies). Scaling efficiency N→4N =
+  * (thr_4N / thr_N) / 4; the 2→8 pair is the headline (CPU-bound regime),
+  * 8→32 is reported too (single-socket memory-bandwidth-bound on this box —
+  * on a real multi-executor cluster each executor brings its own memory
+  * channels, so 8→32 there behaves like 2→8 here; see BASELINE.md).
+  *
+  * Checkpoint/state/sink live on tmpfs: the sandbox's virtio disk has slow,
+  * high-variance fsync, which is an artifact — a cluster has local NVMe +
+  * object storage for checkpoints.
+  */
 object Bench {
+
+  private val shm = "/dev/shm/graft-bench"
+
+  /** One streaming pipeline run at a given core count → statements/sec
+    * (processing time: sum of microbatch triggerExecution). */
+  def streamingRun(cores: Int, inputPath: String, nRows: Long): Double = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    Files.createDirectories(Paths.get(shm))
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", "32") // pinned across runs
+      .config("spark.local.dir", s"$shm/local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.json.enablePartialResults", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val sinkPath = Files.createTempDirectory(Paths.get(shm), s"sink-$cores").toString
+      val cp = Files.createTempDirectory(Paths.get(shm), s"cp-$cores").toString
+      val input = spark.readStream
+        .schema(graft.model.Schemas.inputTable)
+        .option("maxFilesPerTrigger", "64") // several microbatches → state commits + watermark advance
+        .parquet(inputPath)
+      val stmts = StreamPipeline.deduped(StreamPipeline.statements(input))
+      val sessions = StreamPipeline.sessions(stmts).toDF()
+      val sink = new LakeSink(sinkPath)
+      val q = sessions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.addBatch(id, b); ()
+        }
+        .start()
+      q.awaitTermination()
+      val procSec = q.recentProgress.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
+      nRows / procSec
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,15 +85,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.tune(spark)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // pre-generate the shared streaming input ONCE (not timed)
+    val nRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1500000").toLong
+    Files.createDirectories(Paths.get(shm))
+    val inputPath = Files.createTempDirectory(Paths.get(shm), "input").toString + "/input"
+    Synth.inputTable(spark, nRows, 128).write.mode("overwrite").parquet(inputPath)
     spark.stop()
+
+    val thr2 = streamingRun(2, inputPath, nRows)
+    val thr8 = streamingRun(8, inputPath, nRows)
+    val thr32 = streamingRun(32, inputPath, nRows)
+    val eff28 = (thr8 / thr2) / 4.0
+    val eff832 = (thr32 / thr8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val stream =
+      f"""{"rows":$nRows,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"scaling_efficiency_N_to_4N":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"unit":"statements/sec"}"""
+    // contract line: value/unit = total seconds over the headline queries;
+    // the north-rule throughput + scaling evidence rides in "streaming"
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming":$stream,"sf":"$sfDir"}""")
   }
 }

@@ -29,6 +29,10 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // commit deltas, not full SST snapshots, per batch per partition —
+      // full snapshots make state commit time scale with partition count
+      // and dominate microbatch latency at high parallelism
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -20,9 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * via a static call — stays inside whole-stage codegen) rather than a UDF.
   */
 object Uuid5 {
+  // MessageDigest.getInstance does a provider lookup per call — measurable
+  // at 10^12 rows; reuse one digest per thread.
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-1")
+  }
+  // the namespace is almost always a literal column — cache the last parse
+  private val nsCache = new ThreadLocal[(String, UUID)]
+
   /** Pure implementation, byte-compatible with Python's `uuid.uuid5`. */
   def uuid5(namespace: UUID, name: Array[Byte]): UUID = {
-    val md = MessageDigest.getInstance("SHA-1")
+    val md = digest.get()
+    md.reset()
     val nsBytes = new Array[Byte](16)
     var i = 0
     val msb = namespace.getMostSignificantBits
@@ -45,8 +54,14 @@ object Uuid5 {
     uuid5(UUID.fromString(namespace), name.getBytes("UTF-8")).toString
 
   /** Static entry point used by generated code. */
-  def evalUtf8(ns: UTF8String, name: UTF8String): UTF8String =
-    UTF8String.fromString(uuid5(UUID.fromString(ns.toString), name.getBytes).toString)
+  def evalUtf8(ns: UTF8String, name: UTF8String): UTF8String = {
+    val nsStr = ns.toString
+    val cached = nsCache.get()
+    val nsUuid =
+      if (cached != null && cached._1 == nsStr) cached._2
+      else { val u = UUID.fromString(nsStr); nsCache.set((nsStr, u)); u }
+    UTF8String.fromString(uuid5(nsUuid, name.getBytes).toString)
+  }
 
   /** Column API: uuid5(namespace, name) → canonical lowercase UUID string. */
   def uuid5Col(namespace: Column, name: Column): Column =

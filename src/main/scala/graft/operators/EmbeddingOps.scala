@@ -19,24 +19,33 @@ object EmbeddingOps {
     spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
 
-  /** Cosine similarity via higher-order array functions (codegen-free but
-    * allocation-light; all arithmetic in double, left-to-right — the same
-    * deterministic order DuckDB's list_cosine_similarity uses). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity via higher-order array functions (all arithmetic in
+    * double, left-to-right — the same deterministic order DuckDB's
+    * list_cosine_similarity uses). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+
+  /** Embeddings with the L2 norm precomputed ONCE per vector — pairwise
+    * scoring then costs a dot product only (3× fewer array passes than
+    * recomputing both norms per pair; same bits, norms are a pure function
+    * of the vector). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
 
   /** Brute-force top-k: queries broadcast against the full table. */
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val all = embeddings(spark, dir)
+    val all = withNorm(embeddings(spark, dir))
     val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -47,47 +56,62 @@ object EmbeddingOps {
     * dedup). Quadratic ground truth at test scale; the LSH variant below is
     * the scale path. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val a = embeddings(spark, dir).select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = embeddings(spark, dir).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val e = withNorm(embeddings(spark, dir))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
 
   // ---- Random-hyperplane LSH (ANN scale path) -----------------------------
 
-  val NumPlanes = 12
+  /** Multi-table LSH: L independent tables of k hyperplanes. A candidate
+    * must share a full k-bit bucket in at least one table — recall
+    * ≈ 1 - (1 - p^k)^L with p = 1 - θ/π per plane. More tables buy recall
+    * linearly in index size; k controls bucket selectivity. */
+  val NumTables = 16
+  val PlanesPerTable = 6
 
   /** Deterministic hyperplanes from the splitmix stream (no RNG state). */
-  def planes(dim: Int): Array[Array[Double]] =
-    Array.tabulate(NumPlanes) { p =>
-      Array.tabulate(dim) { d =>
-        val u = graft.sources.Synth.mix(p.toLong * 1000 + d, 131L)
-        (u.toDouble / Long.MaxValue.toDouble) // uniform-ish in [-1, 1]
+  def planes(dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(NumTables) { t =>
+      Array.tabulate(PlanesPerTable) { p =>
+        Array.tabulate(dim) { d =>
+          val u = graft.sources.Synth.mix((t.toLong * 64 + p) * 1000 + d, 131L)
+          u.toDouble / Long.MaxValue.toDouble // uniform-ish in [-1, 1]
+        }
       }
     }
 
-  def bucketOf(v: Column, pl: Array[Array[Double]]): Column = {
-    val bits = pl.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(v, planeCol, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+  /** Array of (table, bucket) keys — one per table — for a vector. */
+  def bucketsOf(v: Column, pl: Array[Array[Array[Double]]]): Column = {
+    val perTable = pl.zipWithIndex.map { case (table, t) =>
+      val bits = table.zipWithIndex.map { case (plane, i) =>
+        val planeCol = array(plane.map(lit): _*)
+        val dot = aggregate(zip_with(v, planeCol, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      // encode table id in the high bits so keys never collide across tables
+      bits.reduce(_ + _) + lit(t.toLong << 32)
     }
-    bits.reduce(_ + _)
+    array(perTable: _*)
   }
 
-  /** LSH-bucketed ANN top-k: candidates share a bucket (single-probe;
-    * multi-probe = also search hamming-1 buckets — documented scale knob).
-    * Recall vs brute force is asserted in EmbeddingSpec. */
+  /** Multi-table LSH ANN top-k: candidates share a bucket in ≥1 table.
+    * Recall vs brute force is asserted in EmbeddingSpec; scale path for the
+    * quadratic bruteTopK (candidates meet via equi-join on bucket keys). */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val dim = 64
-    val pl = planes(dim)
-    val all = embeddings(spark, dir).withColumn("bucket", bucketOf(col("embedding"), pl))
+    val pl = planes(64)
+    val all = embeddings(spark, dir)
+      .withColumn("bucket", explode(bucketsOf(col("embedding"), pl)))
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
     val scored = all.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qv"), col("embedding"))
+      .distinct() // a pair may collide in several tables
       .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.EmbeddingOps
+
+/** Similarity search: brute-force is the ground truth; the LSH variant is
+  * measured for recall against it. */
+class EmbeddingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("brute-force top-k is deterministic, k rows per query, rank ordered by similarity") {
+    val rows = EmbeddingOps.bruteTopK(spark, dir, nQueries = 10, k = 5)
+      .select("qid", "nid", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.length === 50)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to 5))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+
+  test("LSH ANN achieves >= 40% top-5 recall vs brute force (single-probe)") {
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ann = EmbeddingOps.lshTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(ann).size.toDouble / truth.size
+    info(f"single-probe LSH top-5 recall: $recall%.2f")
+    assert(recall >= 0.4, f"recall $recall%.2f below floor")
+  }
+
+  test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
+    val rows = EmbeddingOps.nearDupPairs(spark, dir, 0.4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    assert(rows.forall(r => r._1 < r._2 && r._3 >= 0.4))
+  }
+}
