@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature expressions for the near-dup dedup family.
+  *
+  * The composed-builtin versions (64 × `transform`/`aggregate` higher-order
+  * passes per row) are interpreted per element; at 10^12 documents that
+  * dominates the plan. These expressions make one pass over the token array
+  * per row inside whole-stage codegen (static call), computing all hash
+  * slots simultaneously. Signature hash choice is internal — candidate
+  * pairs are always re-verified with exact Jaccard, so output semantics are
+  * unchanged (precision 1.0, recall set by the band shape).
+  */
+object Signatures {
+
+  val NumHashes = 64
+  private val P31 = 2147483647L // 2^31 - 1
+
+  // per-slot universal-hash coefficients from the deterministic stream
+  private val As: Array[Long] =
+    Array.tabulate(NumHashes)(i => (graft.sources.Synth.mix(i.toLong, 101L) & P31) | 1L)
+  private val Bs: Array[Long] =
+    Array.tabulate(NumHashes)(i => graft.sources.Synth.mix(i.toLong, 103L) & P31)
+
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, stable, allocation-free. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** One-pass MinHash signature: array<long> of NumHashes minima. */
+  def minhash(arr: ArrayData): ArrayData = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h31 = fnv64(arr.getUTF8String(i)) & P31
+      var j = 0
+      while (j < NumHashes) {
+        val v = (As(j) * h31 + Bs(j)) % P31
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** One-pass 64-bit SimHash over the (already distinct) token array. */
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(arr.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def minhashSig(shingles: Column): Column =
+    ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles)))
+
+  def simhash64(words: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(words)))
+}
+
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.minhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.minhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -106,24 +106,14 @@ object TextOps {
 
   // ---- MinHash + LSH (the 100 TB-scale near-dup path) --------------------
 
-  val NumHashes = 64
+  val NumHashes: Int = graft.functions.Signatures.NumHashes
   val Rows = 2 // rows per band → 32 bands: P(candidate | jac=0.5) ≈ 0.9999
   val Bands: Int = NumHashes / Rows
   private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
 
-  /** MinHash signature: one narrow projection, no shuffle. Universal
-    * hashing h_i(x) = (a_i·x + b_i) mod (2^31-1) over the low 31 bits of
-    * the xxhash64 shingle hash. All products stay < 2^62 — overflow-free
-    * under ANSI evaluation (a_i, b_i, x are 31-bit). */
-  def minhashSig(sh: Column): Column = {
-    val hashes = transform(sh, s => xxhash64(s).bitwiseAND(lit(P31)))
-    val sig = (0 until NumHashes).map { i =>
-      val a = (graft.sources.Synth.mix(i.toLong, 101L) & P31) | 1L // odd, 31-bit
-      val b = graft.sources.Synth.mix(i.toLong, 103L) & P31
-      array_min(transform(hashes, x => pmod(x * lit(a) + lit(b), lit(P31))))
-    }
-    array(sig: _*)
-  }
+  /** MinHash signature: one narrow projection, no shuffle — a native
+    * one-pass Catalyst expression ([[graft.functions.Signatures]]). */
+  def minhashSig(sh: Column): Column = graft.functions.Signatures.minhashSig(sh)
 
   /** LSH banding + exact verification. Candidates = docs sharing a band
     * hash; every candidate pair is verified with exact Jaccard on the
@@ -154,16 +144,10 @@ object TextOps {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes — single projection, no shuffle. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(array_distinct(words(text)), w => xxhash64(w))
-    val bits = (0 until 64).map { j =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 64-bit SimHash over distinct words — single projection, no shuffle,
+    * native one-pass expression. */
+  def simhash(text: Column): Column =
+    graft.functions.Signatures.simhash64(array_distinct(words(text)))
 
   def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))

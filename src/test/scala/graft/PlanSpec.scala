@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingOps, EventOps, Lrs, Store}
+
+/** Physical-plan assertions: the scale properties SURVEY.md §4 promises —
+  * filter/column pushdown into parquet scans, partition pruning on the lake
+  * layout, broadcast of request-sized join sides, no stray shuffles in
+  * narrow pipelines. These are the properties that decide 100 TB behavior;
+  * regressions here are silent at test scale, hence plan-level tests. */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("LRS filters push down to the parquet scan (PushedFilters)") {
+    val df = EventOps.getWindow(spark, sf("sf0.01"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("IsNotNull(event_type)") || plan.contains("EqualTo(event_type"),
+      s"event_type equality not pushed:\n$plan")
+    // column pruning: props (unused) must not be read
+    assert(!plan.contains("props"), s"unused column not pruned:\n$plan")
+  }
+
+  test("lake-store query prunes partitions by date and pushes verb equality") {
+    val path = java.nio.file.Files.createTempDirectory("prune").toString
+    Store.write(Pipeline.run(graft.sources.Synth.inputTable(spark, 500)), path, "overwrite")
+    val store = Store.read(spark, path)
+    val q = Lrs.statements(store, Lrs.Query(
+      verb = Some(graft.operators.Convert.Played),
+      since = Some("2024-01-01T00:00:00+00:00")))
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(verb_id"), plan)
+    // date/source are partition columns → appear as partition filters, not data filters
+    assert(plan.contains("PartitionFilters") || plan.contains("partition"), plan)
+  }
+
+  test("validate/convert is a single narrow stage — no shuffle before dedup") {
+    val df = Pipeline.validateConvert(graft.sources.Synth.inputTable(spark, 100))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in the map path:\n$plan")
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val plan = planOf(EmbeddingOps.bruteTopK(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("uuid5/token-codec expressions stay inside whole-stage codegen") {
+    // (the full convert projection exceeds codegen.maxFields by design —
+    // giant struct literals — and falls back to interpreted projection with
+    // subexpression elimination; the custom expressions themselves codegen)
+    val df = EventOps.events(spark, sf("sf0.001"))
+      .select(graft.functions.Uuid5.uuid5Col(
+        lit(graft.sources.Synth.UuidNamespace), col("event_type")).as("u"),
+        graft.functions.TokenCodec.encodeTokens(col("event_type")).as("t"))
+      .filter(col("u").isNotNull)
+    val plan = planOf(df)
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [uuid5") ||
+      plan.contains("*(1) Project [codepoints"), plan)
+    // and over literal input they constant-fold away entirely (foldable)
+    import spark.implicits._
+    val folded = Seq("x").toDF("s").select(
+      graft.functions.TokenCodec.encodeTokens(lit("hello")).as("t"))
+    assert(planOf(folded).contains("LocalTableScan"))
+  }
+}
