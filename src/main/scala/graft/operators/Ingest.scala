@@ -52,4 +52,17 @@ object Ingest {
     * occurrence per id (deterministic winner by ts then content). */
   def dedupExact(df: DataFrame, idCol: String = "id"): DataFrame =
     df.dropDuplicates(idCol)
+
+  /** PUT /statements?statementId=X (statements.py:460-541): exactly one
+    * statement; its id must equal the URL id (enforced by the caller);
+    * otherwise the same equivalence rules as POST — returns
+    * (shouldWrite, isConflict). */
+  def put(store: DataFrame, statementJson: String, statementId: String): (Boolean, Boolean) = {
+    val existing = store.filter(col("event_id") === statementId)
+      .select("event").collect()
+    if (existing.isEmpty) (true, false)
+    else if (XapiEquivalent.equivalent(statementJson, existing.head.getString(0)))
+      (false, false) // 204: silent no-op
+    else (false, true) // 409 Conflict
+  }
 }
