@@ -35,19 +35,11 @@ object Validate {
     * Keys mirror each family's `__selector__`
     * (edx/navigational/statements.py:32, video/statements.py, enrollment,
     * server.py:60-62). */
-  def selectModel(src: Column, typ: Column, ctxPath: Column): Column = {
-    val browserLiterals = Seq(
-      "page_close", "seq_goto", "seq_next", "seq_prev",
-      "load_video", "play_video", "pause_video", "stop_video", "seek_video")
-    val browser = browserLiterals.foldLeft(when(lit(false), lit(""))) { (w, t) =>
-      w.when(typ === t, lit(t))
-    }
+  def selectModel(src: Column, typ: Column, ctxPath: Column): Column =
     when(src === "server" && typ === ctxPath, lit("server"))
-      .when(src === "server" &&
-        typ.isin("edx.course.enrollment.activated", "edx.course.enrollment.deactivated"), typ)
-      .when(src === "browser", browser)
+      .when(src === "server" && typ.isin(ModelCatalog.serverTypes: _*), typ)
+      .when(src === "browser" && typ.isin(ModelCatalog.browserTypes: _*), typ)
       .otherwise(lit(null))
-  }
 
   /** Full validation: input table (doc_id, tokens, n_tok, source) →
     * columns (doc_id, source, raw, event, model, ts, status).
@@ -90,8 +82,12 @@ object Validate {
       .when(col("model") === "seek_video",
         video.isNotNull && nonEmpty(video("id")) &&
           video("old_time").isNotNull && video("new_time").isNotNull)
-      .when(col("model").startsWith("edx.course.enrollment"),
+      .when(col("model").isin("edx.course.enrollment.activated",
+          "edx.course.enrollment.deactivated"),
         enr.isNotNull && nonEmpty(enr("course_id")) && nonEmpty(enr("user_id")))
+      // catalog families (ModelCatalog): selected, envelope-validated;
+      // exact payload schemas are additive per family
+      .when(col("model").isNotNull, e("event").isNotNull)
       .otherwise(lit(false))
 
     withRaw
@@ -100,7 +96,9 @@ object Validate {
       .withColumn("status",
         when(!envelopeOk || col("ts").isNull, StatusInvalidJson)
           .when(col("model").isNull, StatusUnknown)
-          .when(!modelOk, StatusInvalidModel)
+          // null-safe: a null payload predicate (corrupt payload → null
+          // fields → null comparisons) must mean invalid, not fall-through
+          .when(!coalesce(modelOk, lit(false)), StatusInvalidModel)
           .otherwise(StatusOk))
   }
 
