@@ -44,6 +44,8 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_mm_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
+    "q_frame_sample" -> ((s, d) => TextOps.frameSample(s, d)
+      .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx", "byte_offset")),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
     "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
@@ -157,6 +159,12 @@ object SparkEntry {
                 64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 256 AS height,
                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
          FROM documents""",
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         f AS (SELECT doc_id,
+                      unnest(generate_series(0, CAST(greatest(1, n // 64) AS BIGINT) - 1)) AS frame_idx
+               FROM d)
+         SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset FROM f""",
     "q_cos_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -50,9 +50,32 @@ class LakeSink(val path: String) extends Serializable {
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_part_id", spark_partition_id())
     withLineage.write.mode("overwrite").parquet(dir) // retry-safe rewrite
-    val rows = df.sparkSession.read.parquet(dir).count()
+    // per-partition metrics from the just-written files (north rule:
+    // "every microbatch emits per-partition lineage and metrics")
+    val perPart = df.sparkSession.read.parquet(dir)
+      .groupBy("_part_id").count().collect()
+      .map(r => s"""{"part": ${r.get(0)}, "rows": ${r.getLong(1)}}""")
+    val rows = perPart.length match {
+      case 0 => 0L
+      case _ => df.sparkSession.read.parquet(dir).count()
+    }
+    writeMetrics(batchId, perPart)
     commit(batchId, rows)
     true
+  }
+
+  private def writeMetrics(batchId: Long, perPart: Array[String]): Unit = {
+    Files.createDirectories(Paths.get(path, "_metrics"))
+    val line = s"""{"batch": $batchId, "partitions": [${perPart.mkString(",")}]}\n"""
+    Files.write(Paths.get(path, "_metrics", s"batch-$batchId.json"),
+      line.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def metrics(): Seq[String] = {
+    val dir = Paths.get(path, "_metrics")
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.toSeq.sortBy(_.toString)
+      .map(p => Files.readString(p).trim)
   }
 
   /** Atomic manifest append: copy-on-write + rename. Single-writer (one

@@ -76,6 +76,9 @@ class StreamingSpec extends SparkSuite {
     assert(!sink.addBatch(7, df)) // replay of committed batch → skipped
     assert(sink.read(spark).count() === 2)
     assert(sink.committedBatches() === Set(7L))
+    // per-partition metrics emitted with the commit (north rule)
+    val m = sink.metrics()
+    assert(m.length === 1 && m.head.contains("\"batch\": 7") && m.head.contains("\"rows\""))
   }
 
   test("sessionize: gap timeout closes sessions deterministically by event time") {
