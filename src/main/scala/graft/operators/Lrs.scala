@@ -34,9 +34,26 @@ object Lrs {
     * lrs/mongo.py:106-116). */
   case class Cursor(ts: Timestamp, id: String)
 
-  /** LRSStatementsQuery (backends/lrs/base.py:76-121). */
+  /** The full accepted GET parameter set — unknown params are a 400
+    * (strict-params rule F14, api/routers/statements.py:128-142). */
+  val KnownParams: Set[String] = Set(
+    "statementId", "voidedStatementId", "agent", "verb", "activity",
+    "registration", "related_activities", "related_agents", "since", "until",
+    "limit", "format", "attachments", "ascending", "authority",
+    "search_after", "pit_id", "ignore_order", "mine")
+
+  /** Strict request validation (F14): unknown params rejected. */
+  def validateParams(params: Iterable[String]): Unit = {
+    val unknown = params.toSet.diff(KnownParams)
+    require(unknown.isEmpty, s"The following parameter is not allowed: ${unknown.mkString(", ")}")
+  }
+
+  /** LRSStatementsQuery (backends/lrs/base.py:76-121).
+    * `voidedStatementId` is accepted but "Not implemented" in the reference
+    * (statements.py:160-165) — only its 400 exclusivity rules apply. */
   case class Query(
       statementId: Option[String] = None,
+      voidedStatementId: Option[String] = None,
       agent: Option[Agent] = None,
       verb: Option[String] = None,
       activity: Option[String] = None,
@@ -98,9 +115,13 @@ object Lrs {
 
   /** Build the full GET filter + sort + limit plan over a [[Store]] frame. */
   def statements(store: DataFrame, q: Query): DataFrame = {
-    // by-id is exclusive of other filters (statements.py:332-366)
-    require(q.statementId.isEmpty ||
-      (q.agent.isEmpty && q.verb.isEmpty && q.activity.isEmpty),
+    // 400 rules (statements.py:332-366): statementId ⊥ voidedStatementId,
+    // and either is exclusive of every filter except attachments/format
+    require(q.statementId.isEmpty || q.voidedStatementId.isEmpty,
+      "Query parameters cannot include both statementId and voidedStatementId")
+    require((q.statementId.isEmpty && q.voidedStatementId.isEmpty) ||
+      (q.agent.isEmpty && q.verb.isEmpty && q.activity.isEmpty &&
+        q.registration.isEmpty && q.since.isEmpty && q.until.isEmpty),
       "statementId is mutually exclusive with other filters")
 
     var df = store

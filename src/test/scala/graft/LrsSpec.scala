@@ -135,6 +135,17 @@ class LrsSpec extends SparkSuite {
     assert(Lrs.statements(store, Lrs.Query(limit = 1000)).count() === 6)
   }
 
+  test("400 rules: unknown params, statementId ⊥ voidedStatementId (F14)") {
+    Lrs.validateParams(Seq("verb", "since", "limit")) // ok
+    intercept[IllegalArgumentException](Lrs.validateParams(Seq("verb", "typo_param")))
+    intercept[IllegalArgumentException] {
+      Lrs.statements(store, Lrs.Query(statementId = Some("a"), voidedStatementId = Some("b")))
+    }
+    intercept[IllegalArgumentException] {
+      Lrs.statements(store, Lrs.Query(statementId = Some("a"), since = Some("2024-01-01")))
+    }
+  }
+
   test("no-match returns empty, not error") {
     assert(Lrs.statements(store, Lrs.Query(verb = Some("v://nope"))).count() === 0)
   }
