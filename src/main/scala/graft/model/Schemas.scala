@@ -212,6 +212,34 @@ object Schemas {
     StructField("mode", StringType),
     StructField("user_id", StringType)))
 
+  /** Payload for server problem events (problem_interaction/fields/
+    * events.py:156-225): problem_check, problem_check_fail, showanswer. */
+  val problemPayload: StructType = StructType(Seq(
+    StructField("attempts", IntegerType),
+    StructField("grade", IntegerType),
+    StructField("max_grade", IntegerType),
+    StructField("problem_id", StringType),
+    StructField("success", StringType),
+    StructField("failure", StringType)))
+
+  /** Payload for textbook.pdf.* events (textbook_interaction/fields/
+    * events.py:17-130): name echoes the event_type; page int. */
+  val textbookPayload: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("page", IntegerType),
+    StructField("chapter", StringType),
+    StructField("direction", StringType),
+    StructField("amount", StringType)))
+
+  /** Payload for transcript/speed video-extras (video/fields/
+    * events.py:85-113). */
+  val videoExtraPayload: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("code", StringType),
+    StructField("current_time", DoubleType),
+    StructField("old_speed", StringType),
+    StructField("new_speed", StringType)))
+
   /** The pre-tokenized input table (BASELINE.json input_hint). */
   val inputTable: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),

@@ -83,4 +83,15 @@ object ModelCatalog {
     "server", "page_close", "seq_goto", "seq_next", "seq_prev",
     "load_video", "play_video", "pause_video", "stop_video", "seek_video",
     "edx.course.enrollment.activated", "edx.course.enrollment.deactivated")
+
+  /** Second-tier exact payloads, keyed by (event_source, family). */
+  val strictServerFamilies: Set[String] = Set(
+    "problem_check", "problem_check_fail", "showanswer") ++
+    strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
+
+  val strictBrowserFamilies: Set[String] =
+    strictFamilies -- Set("server",
+      "edx.course.enrollment.activated", "edx.course.enrollment.deactivated") ++
+      browserTypes.filter(_.startsWith("textbook.pdf.")).toSet ++
+      Set("hide_transcript", "show_transcript", "speed_change_video")
 }

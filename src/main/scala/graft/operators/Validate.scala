@@ -65,6 +65,9 @@ object Validate {
     val seq = from_json(e("event"), Schemas.seqPayload)
     val enr = from_json(e("event"), Schemas.enrollmentPayload)
     val serverPayload = from_json(e("event"), Schemas.serverPayload)
+    val problem = from_json(e("event"), Schemas.problemPayload)
+    val textbook = from_json(e("event"), Schemas.textbookPayload)
+    val videoExtra = from_json(e("event"), Schemas.videoExtraPayload)
 
     // from_json yields an all-null struct on corrupt payloads, so require the
     // model's mandatory fields (GET/POST are required on ServerEventField,
@@ -85,6 +88,30 @@ object Validate {
       .when(col("model").isin("edx.course.enrollment.activated",
           "edx.course.enrollment.deactivated"),
         enr.isNotNull && nonEmpty(enr("course_id")) && nonEmpty(enr("user_id")))
+      // second-tier exact payloads --------------------------------------
+      // server problem events (problem_interaction/fields/events.py)
+      .when(col("model") === "problem_check" && col("source") === "server",
+        nonEmpty(problem("problem_id")) && problem("attempts").isNotNull &&
+          problem("grade").isNotNull && problem("max_grade").isNotNull &&
+          problem("success").isin("correct", "incorrect"))
+      .when(col("model") === "problem_check_fail",
+        nonEmpty(problem("problem_id")) && problem("failure").isin("closed", "unreset"))
+      .when(col("model") === "showanswer", nonEmpty(problem("problem_id")))
+      // browser problem_check: event is a URL-encoded STRING, not JSON
+      // (problem_interaction/statements.py:88)
+      .when(col("model") === "problem_check", e("event").isNotNull)
+      // textbook.pdf.*: name echoes event_type; page is an int
+      // (textbook_interaction/fields/events.py:17-130)
+      .when(col("model").startsWith("textbook.pdf."),
+        textbook("name") === e("event_type") &&
+          (textbook("page").isNotNull || col("model") === "textbook.pdf.chapter.navigated"))
+      // video extras (video/fields/events.py:85-113)
+      .when(col("model").isin("hide_transcript", "show_transcript"),
+        nonEmpty(videoExtra("id")) && videoExtra("current_time").isNotNull)
+      .when(col("model") === "speed_change_video",
+        nonEmpty(videoExtra("id")) &&
+          videoExtra("old_speed").isin("0.75", "1.0", "1.25", "1.50", "2.0") &&
+          videoExtra("new_speed").isin("0.75", "1.0", "1.25", "1.50", "2.0"))
       // catalog families (ModelCatalog): selected, envelope-validated;
       // exact payload schemas are additive per family
       .when(col("model").isNotNull, e("event").isNotNull)

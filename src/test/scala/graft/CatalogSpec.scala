@@ -26,18 +26,49 @@ class CatalogSpec extends SparkSuite {
     val input = rows.toDF("raw0").select(
       lit("d").as("doc_id"), TokenCodec.encodeTokens(col("raw0")).as("tokens"),
       lit(1).as("n_tok"), get_json_object(col("raw0"), "$.event_source").as("source"))
-    val out = Validate(input).select("model", "status").collect()
+    val out = Validate(input).select("source", "model", "status").collect()
     val known = out.dropRight(2)
-    assert(known.forall(_.getString(0) != null), "catalog family not selected")
+    assert(known.forall(_.getString(1) != null), "catalog family not selected")
     assert(out.takeRight(2).forall(r =>
-      r.getString(0) == null && r.getString(1) == Validate.StatusUnknown))
+      r.getString(1) == null && r.getString(2) == Validate.StatusUnknown))
     // strict families keep their exact payload checks: {"k":1} payload fails them
-    val strictCount = known.count(r => ModelCatalog.strictFamilies(r.getString(0)))
-    assert(known.filter(r => ModelCatalog.strictFamilies(r.getString(0)))
-      .forall(_.getString(1) == Validate.StatusInvalidModel))
-    assert(strictCount > 0)
+    def isStrict(r: org.apache.spark.sql.Row): Boolean =
+      if (r.getString(0) == "server") ModelCatalog.strictServerFamilies(r.getString(1))
+      else ModelCatalog.strictBrowserFamilies(r.getString(1))
+    val (strict, lax) = known.partition(isStrict)
+    assert(strict.nonEmpty && strict.forall(_.getString(2) == Validate.StatusInvalidModel))
     // catalog-level families pass envelope validation
-    assert(known.filterNot(r => ModelCatalog.strictFamilies(r.getString(0)))
-      .forall(_.getString(1) == Validate.StatusOk))
+    assert(lax.forall(_.getString(2) == Validate.StatusOk))
+  }
+
+  test("second-tier payloads validate positively with conforming events") {
+    def env(src: String, typ: String, event: String): String =
+      envelope(src, typ).replace(""""event": {"k": 1}""", s""""event": $event""")
+    val cases = Seq(
+      env("server", "problem_check",
+        """{"problem_id": "p1", "attempts": 2, "grade": 1, "max_grade": 3, "success": "correct", "answers": {}}"""),
+      env("server", "problem_check_fail",
+        """{"problem_id": "p1", "failure": "closed"}"""),
+      env("server", "showanswer", """{"problem_id": "p1"}"""),
+      env("browser", "textbook.pdf.page.navigated",
+        """"{\"name\": \"textbook.pdf.page.navigated\", \"page\": 4, \"chapter\": \"a.pdf\"}""""),
+      env("browser", "speed_change_video",
+        """"{\"id\": \"v1\", \"code\": \"html5\", \"current_time\": 2.5, \"old_speed\": \"1.0\", \"new_speed\": \"1.50\"}""""),
+      env("browser", "show_transcript",
+        """"{\"id\": \"v1\", \"code\": \"html5\", \"current_time\": 9.1}""""))
+    val input = cases.toDF("raw0").select(
+      lit("d").as("doc_id"), TokenCodec.encodeTokens(col("raw0")).as("tokens"),
+      lit(1).as("n_tok"), get_json_object(col("raw0"), "$.event_source").as("source"))
+    val out = Validate(input).select("model", "status").collect()
+    out.foreach(r => assert(r.getString(1) === Validate.StatusOk,
+      s"${r.getString(0)} failed validation"))
+    // and a bad speed value is rejected
+    val bad = Seq(env("browser", "speed_change_video",
+      """"{\"id\": \"v1\", \"old_speed\": \"1.0\", \"new_speed\": \"9.9\"}""""))
+      .toDF("raw0").select(
+        lit("d").as("doc_id"), TokenCodec.encodeTokens(col("raw0")).as("tokens"),
+        lit(1).as("n_tok"), lit("browser").as("source"))
+    assert(Validate(bad).select("status").collect().head.getString(0)
+      === Validate.StatusInvalidModel)
   }
 }
