@@ -17,13 +17,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * 10^12-row decode stage — a Scala UDF here would add ser/de per row).
   */
 object TokenCodec {
-  /** Static decode used by generated code: array<int> code points → string. */
+  /** Static decode used by generated code: array<int> code points → string.
+    * Writes UTF-8 bytes directly (no intermediate String/char[] — this is
+    * the per-row hot path of the 10^12-row decode stage, and the two large
+    * intermediate allocations measurably cost memory bandwidth at high
+    * parallelism). */
   def decode(tokens: ArrayData): UTF8String = {
     val n = tokens.numElements()
-    val sb = new java.lang.StringBuilder(n + (n >> 3))
+    var len = 0
     var i = 0
-    while (i < n) { sb.appendCodePoint(tokens.getInt(i)); i += 1 }
-    UTF8String.fromString(sb.toString)
+    while (i < n) {
+      val cp = tokens.getInt(i)
+      len += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+      i += 1
+    }
+    val b = new Array[Byte](len)
+    var p = 0
+    i = 0
+    while (i < n) {
+      val cp = tokens.getInt(i)
+      if (cp < 0x80) { b(p) = cp.toByte; p += 1 }
+      else if (cp < 0x800) {
+        b(p) = (0xc0 | (cp >> 6)).toByte
+        b(p + 1) = (0x80 | (cp & 0x3f)).toByte
+        p += 2
+      } else if (cp < 0x10000) {
+        b(p) = (0xe0 | (cp >> 12)).toByte
+        b(p + 1) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        b(p + 2) = (0x80 | (cp & 0x3f)).toByte
+        p += 3
+      } else {
+        b(p) = (0xf0 | (cp >> 18)).toByte
+        b(p + 1) = (0x80 | ((cp >> 12) & 0x3f)).toByte
+        b(p + 2) = (0x80 | ((cp >> 6) & 0x3f)).toByte
+        b(p + 3) = (0x80 | (cp & 0x3f)).toByte
+        p += 4
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(b)
   }
 
   /** Static encode used by generated code: string → array<int> code points. */
