@@ -166,6 +166,21 @@ object Lrs {
     if (page.length == n && n > 0) Some(Cursor(page.last._1, page.last._2)) else None
   }
 
+  /** `more` relative URL for the next page (statements.py:417-448):
+    * original params + the keyset cursor; emitted only for full pages. */
+  def moreUrl(path: String, q: Query, cursor: Cursor): String = {
+    val params = Seq(
+      q.verb.map(v => s"verb=$v"),
+      q.activity.map(a => s"activity=$a"),
+      q.since.map(s => s"since=$s"),
+      q.until.map(u => s"until=$u"),
+      Some(s"limit=${if (q.limit <= 0) MaxHits else math.min(q.limit, MaxHits)}"),
+      if (q.ascending) Some("ascending=true") else None,
+      Some(s"search_after=${cursor.id}"),
+      Some(s"pit_id=${cursor.ts.getTime}")).flatten
+    s"$path?${params.mkString("&")}"
+  }
+
   /** D5's store-side probe: fetch statements by id list
     * (lrs/fs.py:102-112 etc.) — broadcast-friendly isin for request-sized
     * lists. */

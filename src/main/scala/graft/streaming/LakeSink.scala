@@ -64,6 +64,38 @@ class LakeSink(val path: String) extends Serializable {
     true
   }
 
+  /** MERGE-by-id variant: drops incoming rows whose id is already committed
+    * (the reference's store-wide dedup, `query_statements_by_ids` —
+    * statements.py:587-605). The watermarked dedup upstream bounds its state
+    * by event time; this closes the gap for duplicates arriving later than
+    * the watermark. The probe reads only the id column of committed batches
+    * (column-pruned parquet scan); at lake scale this is the id-index
+    * lookup a real table format (Iceberg bloom/partition stats) serves. */
+  def addBatchMerged(batchId: Long, df: DataFrame, idCol: String): Boolean = {
+    if (committedBatches().contains(batchId)) return false
+    val spark = df.sparkSession
+    val existing = read(spark)
+    val novel =
+      if (existing.isEmpty) df
+      else df.join(existing.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    addBatch(batchId, novel)
+  }
+
+  /** Compaction: fold all committed micro-batch dirs into a partitioned
+    * store table (small-file problem at 10^12 scale), deduping by id with a
+    * deterministic winner (lowest batch id). */
+  def compact(spark: SparkSession, targetPath: String, idCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val all = read(spark)
+    if (!all.isEmpty) {
+      val w = Window.partitionBy(idCol).orderBy(col("_batch_id"), col("_part_id"))
+      all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        .write.mode("overwrite").parquet(targetPath)
+    }
+  }
+
   private def writeMetrics(batchId: Long, perPart: Array[String]): Unit = {
     Files.createDirectories(Paths.get(path, "_metrics"))
     val line = s"""{"batch": $batchId, "partitions": [${perPart.mkString(",")}]}\n"""

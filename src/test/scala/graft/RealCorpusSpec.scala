@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Lrs, Store}
+
+/** Robustness against the reference's quick-start corpus — 22,000
+  * real-shaped xAPI video statements (`/root/reference/data/
+  * statements.json.gz`, README.md:105-118). Read-only input; the suite
+  * skips when the reference checkout is absent so the repo stays
+  * standalone. */
+class RealCorpusSpec extends SparkSuite {
+
+  private val corpus = "/root/reference/data/statements.json.gz"
+  private def available = new java.io.File(corpus).exists()
+
+  lazy val store = {
+    val raw = spark.read.text(corpus).toDF("xapi")
+      .withColumn("source", lit("corpus"))
+    Store.project(raw, "xapi").cache()
+  }
+
+  test("all 22k real statements parse into the lake layout (no nulls on key columns)") {
+    assume(available)
+    assert(store.count() === 22000)
+    assert(store.filter(col("event_id").isNull).count() === 0)
+    assert(store.filter(col("ts").isNull).count() === 0)
+    assert(store.filter(col("verb_id").isNull).count() === 0)
+    assert(store.filter(col("stmt.actor.account.name").isNull).count() === 0)
+    // lax passthrough: the original line is carried verbatim
+    assert(store.select("event").first().getString(0).startsWith("{"))
+  }
+
+  test("LRS queries run over the real corpus: verb filter, agent filter, paging") {
+    assume(available)
+    val played = "https://w3id.org/xapi/video/verbs/played"
+    val byVerb = Lrs.statements(store, Lrs.Query(verb = Some(played)))
+    assert(byVerb.count() > 0 && byVerb.count() <= Lrs.MaxHits)
+    // pick a real actor and query by its account IFI
+    val anyActor = store.select(col("stmt.actor.account.name"),
+      col("stmt.actor.account.homePage")).first()
+    val agent = Lrs.Agent(accountName = Some(anyActor.getString(0)),
+      accountHomePage = Some(anyActor.getString(1)))
+    assert(Lrs.statements(store, Lrs.Query(agent = Some(agent))).count() > 0)
+    // page walk produces a more-link cursor on a full page
+    val page = Lrs.statements(store, Lrs.Query(limit = 100))
+      .select(col("ts"), col("event_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val cursor = Lrs.nextCursor(page, 100)
+    assert(cursor.isDefined)
+    val url = Lrs.moreUrl("/xAPI/statements/", Lrs.Query(limit = 100), cursor.get)
+    assert(url.contains("search_after=") && url.contains("limit=100"))
+  }
+}

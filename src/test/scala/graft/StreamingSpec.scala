@@ -81,6 +81,23 @@ class StreamingSpec extends SparkSuite {
     assert(m.length === 1 && m.head.contains("\"batch\": 7") && m.head.contains("\"rows\""))
   }
 
+  test("sink MERGE-by-id drops late duplicates beyond the watermark; compaction dedups") {
+    val sinkPath = tmp("lake")
+    val sink = new LakeSink(sinkPath)
+    val b0 = Seq(("a", 1), ("b", 2)).toDF("event_id", "v")
+    val b1 = Seq(("b", 99), ("c", 3)).toDF("event_id", "v") // "b" is a late dup
+    assert(sink.addBatchMerged(0, b0, "event_id"))
+    assert(sink.addBatchMerged(1, b1, "event_id"))
+    val rows = sink.read(spark).select("event_id", "v").as[(String, Int)].collect().toMap
+    assert(rows === Map("a" -> 1, "b" -> 2, "c" -> 3)) // first write wins
+    // compaction folds batches into one deduped table
+    val target = tmp("compacted")
+    sink.compact(spark, s"$target/store", "event_id")
+    val compacted = spark.read.parquet(s"$target/store")
+    assert(compacted.count() === 3)
+    assert(compacted.columns.contains("_batch_id")) // lineage preserved
+  }
+
   test("sessionize: gap timeout closes sessions deterministically by event time") {
     val mem = MemoryStream[Sessionize.Event]
     def ev(actor: String, minute: Int, verb: String = "v1") =
