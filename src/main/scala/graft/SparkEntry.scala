@@ -50,6 +50,7 @@ object SparkEntry {
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
     "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
     "q_ann_lsh" -> ((s, d) => EmbeddingOps.lshTopK(s, d)),
+    "q_ann_ivf" -> ((s, d) => EmbeddingOps.ivfTopK(s, d)),
     // ---- xAPI pipeline (rows-only; exact goldens in ScalaTest) ----------
     "q_pipeline_store" -> ((s, _) => {
       Sessions.tune(s)

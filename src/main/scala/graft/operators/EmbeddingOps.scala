@@ -99,6 +99,61 @@ object EmbeddingOps {
     array(perTable: _*)
   }
 
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  /** Mini-Lloyd k-means codebook: deterministic seeds (stride over vec_id),
+    * a few assignment/update rounds. Centroids are tiny (k × dim) and live
+    * on the driver / in the plan — the data side is only ever scanned. */
+  def trainCentroids(df: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    import org.apache.spark.sql.Row
+    val seeds = df.orderBy("vec_id").limit(k * 7)
+      .collect().zipWithIndex.filter(_._2 % 7 == 0).take(k)
+      .map(_._1.getAs[Seq[Double]]("embedding").toArray)
+    var cents = seeds
+    (0 until iters).foreach { _ =>
+      val assigned = df.withColumn("cluster",
+        graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        means.get(c).map { rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }.getOrElse(cents(c)) // empty cluster keeps its seed
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: vectors indexed by nearest centroid; a query probes its
+    * `nProbe` closest cells only. The scale path pre-materialises the
+    * `cluster` column (partition/bucket the lake table by it); probing is an
+    * equi-join on cluster ids — never a full scan. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nProbe: Int = 4, nCells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val all = withNorm(embeddings(spark, dir))
+    val cents = trainCentroids(all, nCells)
+    val indexed = all.withColumn("cluster",
+      graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
+    // queries: nProbe nearest cells each (driver-side — nQueries is request-sized)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .collect().flatMap { r =>
+        val vec = r.getAs[Seq[Double]]("qv").toArray
+        graft.functions.ArgMinCentroid.ranked(vec, cents).take(nProbe)
+          .map(cell => (r.getLong(0), vec, r.getDouble(2), cell))
+      }.toSeq.toDF("qid", "qv", "qn", "cluster")
+    val scored = indexed.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates share a bucket in ≥1 table.
     * Recall vs brute force is asserted in EmbeddingSpec; scale path for the
     * quadratic bruteTopK (candidates meet via equi-join on bucket keys). */

@@ -31,6 +31,16 @@ class EmbeddingSpec extends SparkSuite {
     assert(recall >= 0.4, f"recall $recall%.2f below floor")
   }
 
+  test("IVF ANN achieves >= 60% top-5 recall vs brute force (4/16 cells probed)") {
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = EmbeddingOps.ivfTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(ivf).size.toDouble / truth.size
+    info(f"IVF top-5 recall: $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f below floor")
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val rows = EmbeddingOps.nearDupPairs(spark, dir, 0.4)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
