@@ -135,6 +135,21 @@ class LrsSpec extends SparkSuite {
     assert(Lrs.statements(store, Lrs.Query(limit = 1000)).count() === 6)
   }
 
+  test("by registration (F10) and non-UTC timestamp offsets normalize for compare") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val reg = "01234567-0000-0000-0000-00000000abcd"
+    val s1 = mkStmt("00000000-0000-0000-0000-0000000000aa", "2024-01-01T12:00:00+02:00",
+      Played, "act://r", "erin",
+      s""", "context": {"registration": "$reg"}""")
+    val st = Store.project(Seq(s1).toDF("xapi").withColumn("source", lit("t")), "xapi")
+    assert(Lrs.statements(st, Lrs.Query(registration = Some(reg))).count() === 1)
+    assert(Lrs.statements(st, Lrs.Query(registration = Some("other"))).count() === 0)
+    // +02:00 normalizes to a 10:00 UTC instant; original string survives
+    val row = st.select(col("ts").cast("string"), col("event")).first()
+    assert(row.getString(0).startsWith("2024-01-01 10:00:00"))
+    assert(row.getString(1).contains("+02:00")) // byte-exact echo
+  }
+
   test("400 rules: unknown params, statementId ⊥ voidedStatementId (F14)") {
     Lrs.validateParams(Seq("verb", "since", "limit")) // ok
     intercept[IllegalArgumentException](Lrs.validateParams(Seq("verb", "typo_param")))

@@ -81,6 +81,23 @@ class StreamingSpec extends SparkSuite {
     assert(m.length === 1 && m.head.contains("\"batch\": 7") && m.head.contains("\"rows\""))
   }
 
+  test("per-microbatch validator counters surface in observedMetrics (V3/A5)") {
+    val mem = MemoryStream[InputRow]
+    val stmts = StreamPipeline.statements(mem.toDF())
+    val q = stmts.writeStream.format("noop")
+      .option("checkpointLocation", tmp("cpobs")).start()
+    mem.addData(inputRows(0, 100): _*)
+    q.processAllAvailable()
+    val obs = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("validate_metrics")))
+    q.stop()
+    assert(obs.nonEmpty, "no observed metrics in progress")
+    val total = obs.map(_.getLong(0)).sum
+    val invalid = obs.map(_.getLong(1)).sum
+    assert(total === 100)
+    assert(invalid === (0L until 100L).count(i => Synth.isInvalid(i) || Synth.isUnknown(i)))
+  }
+
   test("sink MERGE-by-id drops late duplicates beyond the watermark; compaction dedups") {
     val sinkPath = tmp("lake")
     val sink = new LakeSink(sinkPath)
