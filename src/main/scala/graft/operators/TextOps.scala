@@ -69,9 +69,15 @@ object TextOps {
       .withColumn("lang_pred", pred)
   }
 
-  /** Exact deduplication: group identical texts, keep the smallest id. */
+  /** Exact deduplication: group identical texts, keep the smallest id.
+    * Groups on the SHA-256 of the text, not the text itself — the shuffle
+    * then moves 32-byte digests instead of full documents (the difference
+    * between shuffling 100 TB and shuffling 3 TB at corpus scale); SHA-256
+    * collisions are not a practical concern for dedup. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).groupBy("text")
+    documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
