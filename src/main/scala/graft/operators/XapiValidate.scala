@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** xAPI-side validation (`ralph validate -f xapi`): template selection on
+  * `(verb.id, object.definition.type)` — the xAPI models' `__selector__`
+  * keys (/root/reference/src/ralph/models/xapi/{navigation,lms,video,
+  * virtual_classroom}/statements.py) — plus the BaseXapiStatement
+  * constraints (base/statements.py:20-73, ifi.py:12-61, results.py:31-42).
+  */
+object XapiValidate {
+
+  /** (verb.id, object.definition.type) → template. The reference's three
+    * `interacted` video models share one selector and are disambiguated by
+    * first-parse-wins; here they carry one `video.VideoInteracted` label. */
+  val Templates: Map[(String, String), String] = {
+    val vc = "https://w3id.org/xapi/virtual-classroom/activity-types/virtual-classroom"
+    val video = "https://w3id.org/xapi/video/activity-type/video"
+    val page = "http://activitystrea.ms/schema/1.0/page"
+    val course = "http://adlnet.gov/expapi/activities/course"
+    val file = "http://activitystrea.ms/file"
+    val doc = "http://id.tincanapi.com/activitytype/document"
+    val audio = "https://w3id.org/xapi/audio/activity-type/audio"
+    val cmi = "http://adlnet.gov/expapi/activities/cmi.interaction"
+    Map(
+      ("http://adlnet.gov/expapi/verbs/registered", course) -> "lms.LMSRegisteredCourse",
+      ("http://id.tincanapi.com/verb/unregistered", course) -> "lms.LMSUnregisteredCourse",
+      ("https://w3id.org/xapi/netc/verbs/accessed",
+        "https://w3id.org/xapi/acrossx/activities/webpage") -> "lms.LMSAccessedPage",
+      ("https://w3id.org/xapi/netc/verbs/accessed", file) -> "lms.LMSAccessedFile",
+      ("https://w3id.org/xapi/netc/verbs/uploaded", file) -> "lms.LMSUploadedFile",
+      ("http://id.tincanapi.com/verb/downloaded", file) -> "lms.LMSDownloadedFile",
+      ("https://w3id.org/xapi/netc/verbs/uploaded", video) -> "lms.LMSUploadedVideo",
+      ("http://id.tincanapi.com/verb/downloaded", video) -> "lms.LMSDownloadedVideo",
+      ("https://w3id.org/xapi/netc/verbs/uploaded", doc) -> "lms.LMSUploadedDocument",
+      ("http://id.tincanapi.com/verb/downloaded", doc) -> "lms.LMSDownloadedDocument",
+      ("https://w3id.org/xapi/netc/verbs/uploaded", audio) -> "lms.LMSUploadedAudio",
+      ("http://id.tincanapi.com/verb/downloaded", audio) -> "lms.LMSDownloadedAudio",
+      ("http://id.tincanapi.com/verb/viewed", page) -> "navigation.PageViewed",
+      ("http://adlnet.gov/expapi/verbs/terminated", page) -> "navigation.PageTerminated",
+      ("http://adlnet.gov/expapi/verbs/initialized", video) -> "video.VideoInitialized",
+      ("https://w3id.org/xapi/video/verbs/played", video) -> "video.VideoPlayed",
+      ("https://w3id.org/xapi/video/verbs/paused", video) -> "video.VideoPaused",
+      ("https://w3id.org/xapi/video/verbs/seeked", video) -> "video.VideoSeeked",
+      ("http://adlnet.gov/expapi/verbs/completed", video) -> "video.VideoCompleted",
+      ("http://adlnet.gov/expapi/verbs/terminated", video) -> "video.VideoTerminated",
+      ("http://adlnet.gov/expapi/verbs/interacted", video) -> "video.VideoInteracted",
+      ("http://adlnet.gov/expapi/verbs/initialized", vc) -> "virtual_classroom.VirtualClassroomInitialized",
+      ("http://activitystrea.ms/join", vc) -> "virtual_classroom.VirtualClassroomJoined",
+      ("http://activitystrea.ms/leave", vc) -> "virtual_classroom.VirtualClassroomLeft",
+      ("http://adlnet.gov/expapi/verbs/terminated", vc) -> "virtual_classroom.VirtualClassroomTerminated",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/muted", vc) -> "virtual_classroom.VirtualClassroomMuted",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/unmuted", vc) -> "virtual_classroom.VirtualClassroomUnmuted",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/started-camera", vc) -> "virtual_classroom.VirtualClassroomStartedCamera",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/stopped-camera", vc) -> "virtual_classroom.VirtualClassroomStoppedCamera",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/shared-screen", vc) -> "virtual_classroom.VirtualClassroomSharedScreen",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/unshared-screen", vc) -> "virtual_classroom.VirtualClassroomUnsharedScreen",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/raised-hand", vc) -> "virtual_classroom.VirtualClassroomRaisedHand",
+      ("https://w3id.org/xapi/virtual-classroom/verbs/lowered-hand", vc) -> "virtual_classroom.VirtualClassroomLoweredHand",
+      ("http://adlnet.gov/expapi/verbs/asked", cmi) -> "virtual_classroom.VirtualClassroomStartedPoll",
+      ("http://adlnet.gov/expapi/verbs/answered", cmi) -> "virtual_classroom.VirtualClassroomAnsweredPoll",
+      ("https://w3id.org/xapi/acrossx/verbs/posted",
+        "https://w3id.org/xapi/acrossx/activities/message") -> "virtual_classroom.VirtualClassroomPostedPublicMessage")
+  }
+
+  private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
+
+  /** Exactly-one-IFI rule (ifi.py:12-61) + per-IFI format constraints. */
+  def agentOk(a: Column): Column = {
+    val ifis = Seq(
+      nonEmpty(a.getField("mbox")),
+      nonEmpty(a.getField("mbox_sha1sum")),
+      nonEmpty(a.getField("openid")),
+      a.getField("account").isNotNull)
+    val exactlyOne =
+      ifis.map(c => when(coalesce(c, lit(false)), 1).otherwise(0)).reduce(_ + _) === 1
+    val formats =
+      (a.getField("mbox").isNull || a.getField("mbox").rlike("^mailto:[^@ ]+@[^@ ]+$")) &&
+      (a.getField("mbox_sha1sum").isNull || a.getField("mbox_sha1sum").rlike("^[0-9a-f]{40}$")) &&
+      (a.getField("account").isNull ||
+        (nonEmpty(a.getField("account").getField("homePage")) &&
+         nonEmpty(a.getField("account").getField("name"))))
+    exactlyOne && formats
+  }
+
+  /** Score ordering min ≤ raw ≤ max, scaled ∈ [-1, 1] (results.py:31-42). */
+  def resultOk(r: Column): Column = {
+    val s = r.getField("score")
+    r.isNull || s.isNull || (
+      (s.getField("scaled").isNull ||
+        (s.getField("scaled") >= -1.0 && s.getField("scaled") <= 1.0)) &&
+      (s.getField("raw").isNull || s.getField("min").isNull || s.getField("raw") >= s.getField("min")) &&
+      (s.getField("raw").isNull || s.getField("max").isNull || s.getField("raw") <= s.getField("max")))
+  }
+
+  /** Validate statement-JSON rows: adds `stmt`, `xapi_model`, `xapi_status`. */
+  def apply(df: DataFrame, stmtCol: String = "xapi"): DataFrame = {
+    val stmt = from_json(col(stmtCol), Schemas.statement)
+    val withStmt = df.withColumn("stmt", stmt)
+    val s = col("stmt")
+    val key = concat_ws(" ",
+      s.getField("verb").getField("id"),
+      s.getField("object").getField("definition").getField("type"))
+    val lookup = Templates.toSeq.map(kv => (kv._1._1 + " " + kv._1._2, kv._2))
+    val model = lookup.foldLeft(when(lit(false), lit(""))) { case (w, (k, name)) =>
+      w.when(key === k, lit(name))
+    }
+    val baseOk =
+      nonEmpty(s.getField("verb").getField("id")) &&
+      nonEmpty(s.getField("object").getField("id")) &&
+      s.getField("actor").isNotNull && agentOk(s.getField("actor")) &&
+      resultOk(s.getField("result")) &&
+      (s.getField("version").isNull || s.getField("version").rlike("^1\\.0\\.[0-9]+$")) &&
+      (s.getField("timestamp").isNull ||
+        s.getField("timestamp").cast("timestamp").isNotNull) &&
+      // platform/revision only for Activity objects (base/statements.py:62-73)
+      ((s.getField("context").getField("platform").isNull &&
+        s.getField("context").getField("revision").isNull) ||
+        s.getField("object").getField("objectType").isNull ||
+        s.getField("object").getField("objectType") === "Activity")
+    withStmt
+      .withColumn("xapi_model", model)
+      .withColumn("xapi_status",
+        when(s.isNull || s.getField("actor").isNull, Validate.StatusInvalidJson)
+          .when(col("xapi_model").isNull, Validate.StatusUnknown)
+          .when(!coalesce(baseOk, lit(false)), Validate.StatusInvalidModel)
+          .otherwise(Validate.StatusOk))
+  }
+}
