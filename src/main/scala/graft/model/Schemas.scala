@@ -240,6 +240,28 @@ object Schemas {
     StructField("old_speed", StringType),
     StructField("new_speed", StringType)))
 
+  /** Superset payload for the third-tier families (bookmark, poll, survey,
+    * drag_and_drop, cohort, teams, certificate, peer_instruction —
+    * src/ralph/models/edx/{bookmark,poll,survey,drag_and_drop,cohort,
+    * teams_related,certificate,peer_instruction}/fields/events.py). */
+  val miscPayload: StructType = StructType(Seq(
+    StructField("bookmark_id", StringType),
+    StructField("component_usage_id", StringType),
+    StructField("bookmarks_count", IntegerType),
+    StructField("list_type", StringType),
+    StructField("url_name", StringType),
+    StructField("choice", StringType),
+    StructField("content", StringType),
+    StructField("manually", BooleanType),
+    StructField("item_id", IntegerType),
+    StructField("is_correct", BooleanType),
+    StructField("cohort_id", IntegerType),
+    StructField("name", StringType),
+    StructField("user_id", StringType),
+    StructField("team_id", StringType),
+    StructField("enrollment_mode", StringType),
+    StructField("answer", IntegerType)))
+
   /** The pre-tokenized input table (BASELINE.json input_hint). */
   val inputTable: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),

@@ -86,12 +86,23 @@ object ModelCatalog {
 
   /** Second-tier exact payloads, keyed by (event_source, family). */
   val strictServerFamilies: Set[String] = Set(
-    "problem_check", "problem_check_fail", "showanswer") ++
+    "problem_check", "problem_check_fail", "showanswer",
+    "edx.bookmark.added", "edx.bookmark.removed", "edx.bookmark.listed",
+    "xblock.poll.submitted", "xblock.survey.submitted",
+    "edx.drag_and_drop_v2.feedback.opened", "edx.drag_and_drop_v2.feedback.closed",
+    "edx.drag_and_drop_v2.item.dropped",
+    "edx.cohort.created", "edx.cohort.user_added", "edx.cohort.user_removed",
+    "edx.certificate.created", "edx.certificate.revoked",
+    "edx.certificate.shared", "edx.certificate.evidence_visited",
+    "ubc.peer_instruction.accessed", "ubc.peer_instruction.original_submitted",
+    "ubc.peer_instruction.revised_submitted") ++
+    serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 
   val strictBrowserFamilies: Set[String] =
     strictFamilies -- Set("server",
       "edx.course.enrollment.activated", "edx.course.enrollment.deactivated") ++
       browserTypes.filter(_.startsWith("textbook.pdf.")).toSet ++
-      Set("hide_transcript", "show_transcript", "speed_change_video")
+      Set("hide_transcript", "show_transcript", "speed_change_video",
+        "edx.bookmark.accessed")
 }

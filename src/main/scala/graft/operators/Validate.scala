@@ -68,6 +68,7 @@ object Validate {
     val problem = from_json(e("event"), Schemas.problemPayload)
     val textbook = from_json(e("event"), Schemas.textbookPayload)
     val videoExtra = from_json(e("event"), Schemas.videoExtraPayload)
+    val misc = from_json(e("event"), Schemas.miscPayload)
 
     // from_json yields an all-null struct on corrupt payloads, so require the
     // model's mandatory fields (GET/POST are required on ServerEventField,
@@ -112,6 +113,33 @@ object Validate {
         nonEmpty(videoExtra("id")) &&
           videoExtra("old_speed").isin("0.75", "1.0", "1.25", "1.50", "2.0") &&
           videoExtra("new_speed").isin("0.75", "1.0", "1.25", "1.50", "2.0"))
+      // third-tier exact payloads (misc families) ------------------------
+      .when(col("model").isin("edx.bookmark.added", "edx.bookmark.removed",
+          "edx.bookmark.accessed"),
+        nonEmpty(misc("bookmark_id")) && nonEmpty(misc("component_usage_id")))
+      .when(col("model") === "edx.bookmark.listed",
+        misc("bookmarks_count").isNotNull &&
+          misc("list_type").isin("per_course", "all_courses"))
+      .when(col("model") === "xblock.poll.submitted",
+        nonEmpty(misc("url_name")) && nonEmpty(misc("choice")))
+      .when(col("model") === "xblock.survey.submitted", nonEmpty(misc("url_name")))
+      .when(col("model").isin("edx.drag_and_drop_v2.feedback.opened",
+          "edx.drag_and_drop_v2.feedback.closed"),
+        misc("content").isNotNull && misc("manually").isNotNull)
+      .when(col("model") === "edx.drag_and_drop_v2.item.dropped",
+        misc("item_id").isNotNull && misc("is_correct").isNotNull)
+      .when(col("model").isin("edx.cohort.user_added", "edx.cohort.user_removed"),
+        misc("cohort_id").isNotNull && nonEmpty(misc("name")) && misc("user_id").isNotNull)
+      .when(col("model") === "edx.cohort.created",
+        misc("cohort_id").isNotNull && nonEmpty(misc("name")))
+      // edx.team.searched has no team_id (teams_related/fields/events.py:109)
+      .when(col("model").startsWith("edx.team.") && col("model") =!= "edx.team.searched",
+        nonEmpty(misc("team_id")))
+      .when(col("model").isin("edx.certificate.created", "edx.certificate.revoked",
+          "edx.certificate.shared", "edx.certificate.evidence_visited"),
+        misc("enrollment_mode").isin("audit", "honor", "professional", "verified") &&
+          misc("user_id").isNotNull)
+      .when(col("model").startsWith("ubc.peer_instruction."), misc("answer").isNotNull)
       // catalog families (ModelCatalog): selected, envelope-validated;
       // exact payload schemas are additive per family
       .when(col("model").isNotNull, e("event").isNotNull)
