@@ -75,9 +75,11 @@ class LakeSink(val path: String) extends Serializable {
     if (committedBatches().contains(batchId)) return false
     val spark = df.sparkSession
     val existing = read(spark)
+    val batchUnique = df.dropDuplicates(idCol) // intra-batch dedup (D4)
     val novel =
-      if (existing.isEmpty) df
-      else df.join(existing.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
+      if (existing.isEmpty) batchUnique
+      else batchUnique.join(
+        existing.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
         Seq(idCol), "left_anti")
     addBatch(batchId, novel)
   }

@@ -40,7 +40,15 @@ object StreamPipeline {
       .withWatermark("ts", WatermarkDelay)
   }
 
-  /** D5 streaming dedup: state bounded by the watermark (RocksDB). */
+  /** D5 streaming dedup: state bounded by the watermark (RocksDB).
+    *
+    * Late-data contract (SURVEY.md §2.10): rows arriving after the watermark
+    * are NOT silently dropped — dropDuplicatesWithinWatermark passes them
+    * through (it merely cannot guarantee dedup for them), so they still land
+    * in the lake; the windowed aggregations do drop them from closed
+    * windows. The sink-side [[LakeSink.addBatchMerged]] closes the residual
+    * duplicate risk for beyond-watermark stragglers, and per-batch observe
+    * counters make the late volume visible. */
   def deduped(statements: DataFrame): DataFrame =
     statements.dropDuplicatesWithinWatermark(Seq("id"))
 
@@ -101,22 +109,39 @@ object StreamPipeline {
       "leftOuter")
   }
 
-  /** Wire a statement stream into the exactly-once lake sink. */
+  /** Wire a statement stream into the exactly-once lake sink. With
+    * `mergeById` the sink drops ids already committed — the reference's own
+    * dedup model (id-keyed idempotent writes, es.py:374-404 /
+    * mongo.py:326-375) — which, unlike the stateful dedup operator, also
+    * covers LATE rows: stateful operators discard input older than the
+    * watermark, the merge sink does not. */
   def toLake(statements: DataFrame, sink: LakeSink, checkpoint: String,
-             trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+             trigger: Trigger = Trigger.AvailableNow(),
+             mergeById: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] =
     statements.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink.addBatch(batchId, Store.project(batch, "xapi"))
+        if (mergeById) sink.addBatchMerged(batchId, Store.project(batch, "xapi"), "event_id")
+        else sink.addBatch(batchId, Store.project(batch, "xapi"))
         ()
       }
 
-  /** End-to-end job: input stream → validate/convert → dedup → lake.
-    * Sessions/counts/join run as sibling queries on the same source. */
+  /** End-to-end job: input stream → validate/convert → within-watermark
+    * dedup → merge-by-id lake. The stateful dedup bounds the duplicate rate
+    * cheaply in-stream; the sink merge guarantees store-wide uniqueness and
+    * keeps late rows (routed, never silently dropped). Sessions/counts/join
+    * run as sibling queries on the same source. */
   def run(input: DataFrame, sinkPath: String, checkpoint: String): StreamingQuery = {
     val sink = new LakeSink(sinkPath)
     toLake(deduped(statements(input)), sink, checkpoint).start()
+  }
+
+  /** Late-tolerant landing: no stateful operator in the path, dedup wholly
+    * at the merge sink — use when late arrivals must be preserved. */
+  def runLateTolerant(input: DataFrame, sinkPath: String, checkpoint: String): StreamingQuery = {
+    val sink = new LakeSink(sinkPath)
+    toLake(statements(input), sink, checkpoint).start()
   }
 }

@@ -81,6 +81,28 @@ class StreamingSpec extends SparkSuite {
     assert(m.length === 1 && m.head.contains("\"batch\": 7") && m.head.contains("\"rows\""))
   }
 
+  test("late rows beyond the watermark still land in the lake (no silent drop)") {
+    val mem = MemoryStream[InputRow]
+    val sinkPath = tmp("lake")
+    val sink = new LakeSink(sinkPath)
+    val q = StreamPipeline.toLake(StreamPipeline.statements(mem.toDF()), sink,
+      tmp("cplate"), trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    // rows 100000+ carry far-future event times → advance the watermark way
+    // past the event times of rows 0..49
+    mem.addData(inputRows(100000, 100050): _*)
+    q.processAllAvailable()
+    // now deliver "late" rows (event time far before the watermark),
+    // including a duplicate pair (isDup index 13)
+    mem.addData(inputRows(0, 50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = sink.read(spark).select("event_id").as[String].collect()
+    val expectedLate = (0L until 50L).filter(Synth.isConvertible)
+      .map(i => graft.functions.Uuid5.uuid5(Synth.UuidNamespace, Synth.edxJson(i))).distinct
+    assert(expectedLate.forall(got.contains), "late rows were silently dropped")
+    assert(got.length === got.distinct.length, "late duplicates leaked past the merge sink")
+  }
+
   test("per-microbatch validator counters surface in observedMetrics (V3/A5)") {
     val mem = MemoryStream[InputRow]
     val stmts = StreamPipeline.statements(mem.toDF())
