@@ -62,6 +62,29 @@ class CatalogSpec extends SparkSuite {
     val out = Validate(input).select("model", "status").collect()
     out.foreach(r => assert(r.getString(1) === Validate.StatusOk,
       s"${r.getString(0)} failed validation"))
+    val tier3 = Seq(
+      env("server", "edx.bookmark.added",
+        """{"bookmark_id": "b1", "component_type": "chapter", "component_usage_id": "u1", "course_id": "course-v1:a+b+c"}"""),
+      env("server", "edx.bookmark.listed",
+        """{"bookmarks_count": 3, "list_type": "per_course", "page_number": 1, "page_size": 10}"""),
+      env("server", "xblock.poll.submitted", """{"url_name": "p", "choice": "yes"}"""),
+      env("server", "edx.cohort.user_added", """{"cohort_id": 1, "name": "c", "user_id": 5}"""),
+      env("server", "edx.team.created", """{"team_id": "t1"}"""),
+      env("server", "edx.certificate.created",
+        """{"enrollment_mode": "verified", "user_id": 9, "generation_mode": "batch"}"""),
+      env("server", "ubc.peer_instruction.accessed", """{"answer": 2, "truncated": false}"""))
+    val in3 = tier3.toDF("raw0").select(
+      lit("d").as("doc_id"), TokenCodec.encodeTokens(col("raw0")).as("tokens"),
+      lit(1).as("n_tok"), lit("server").as("source"))
+    Validate(in3).select("model", "status").collect().foreach(r =>
+      assert(r.getString(1) === Validate.StatusOk, s"${r.getString(0)} failed"))
+    // and missing mandatory fields are rejected
+    val in3bad = Seq(env("server", "edx.certificate.created", """{"user_id": 9}"""))
+      .toDF("raw0").select(lit("d").as("doc_id"),
+        TokenCodec.encodeTokens(col("raw0")).as("tokens"),
+        lit(1).as("n_tok"), lit("server").as("source"))
+    assert(Validate(in3bad).select("status").collect().head.getString(0)
+      === Validate.StatusInvalidModel)
     // and a bad speed value is rejected
     val bad = Seq(env("browser", "speed_change_video",
       """"{\"id\": \"v1\", \"old_speed\": \"1.0\", \"new_speed\": \"9.9\"}""""))
