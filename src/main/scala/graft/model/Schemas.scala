@@ -260,7 +260,21 @@ object Schemas {
     StructField("user_id", StringType),
     StructField("team_id", StringType),
     StructField("enrollment_mode", StringType),
-    StructField("answer", IntegerType)))
+    StructField("answer", IntegerType),
+    // notes (notes/fields/events.py:17-74)
+    StructField("note_id", StringType),
+    StructField("number_of_results", IntegerType),
+    StructField("view", StringType),
+    // open response assessment (open_response_assessment/fields/events.py)
+    StructField("submission_uuid", StringType),
+    StructField("attempt_number", IntegerType),
+    StructField("score_type", StringType),
+    StructField("scorer_id", StringType),
+    // problem rescore (problem_interaction/fields/events.py:225-242)
+    StructField("new_score", IntegerType),
+    StructField("new_total", IntegerType),
+    StructField("problem_id", StringType),
+    StructField("success", StringType)))
 
   /** The pre-tokenized input table (BASELINE.json input_hint). */
   val inputTable: StructType = StructType(Seq(

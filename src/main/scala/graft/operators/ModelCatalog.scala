@@ -95,7 +95,10 @@ object ModelCatalog {
     "edx.certificate.created", "edx.certificate.revoked",
     "edx.certificate.shared", "edx.certificate.evidence_visited",
     "ubc.peer_instruction.accessed", "ubc.peer_instruction.original_submitted",
-    "ubc.peer_instruction.revised_submitted") ++
+    "ubc.peer_instruction.revised_submitted",
+    "openassessmentblock.peer_assess", "openassessmentblock.self_assess",
+    "openassessmentblock.staff_assess", "openassessmentblock.create_submission",
+    "problem_rescore", "problem_rescore_fail") ++
     serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 
@@ -104,5 +107,10 @@ object ModelCatalog {
       "edx.course.enrollment.activated", "edx.course.enrollment.deactivated") ++
       browserTypes.filter(_.startsWith("textbook.pdf.")).toSet ++
       Set("hide_transcript", "show_transcript", "speed_change_video",
-        "edx.bookmark.accessed")
+        "edx.bookmark.accessed",
+        "edx.course.student_notes.added", "edx.course.student_notes.deleted",
+        "edx.course.student_notes.edited", "edx.course.student_notes.viewed",
+        "edx.course.student_notes.used_unit_link",
+        "edx.course.student_notes.searched",
+        "edx.course.student_notes.notes_page_viewed")
 }

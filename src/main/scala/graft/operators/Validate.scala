@@ -140,6 +140,32 @@ object Validate {
         misc("enrollment_mode").isin("audit", "honor", "professional", "verified") &&
           misc("user_id").isNotNull)
       .when(col("model").startsWith("ubc.peer_instruction."), misc("answer").isNotNull)
+      // fourth-tier exact payloads -------------------------------------
+      // student notes (notes/fields/events.py): note body events
+      .when(col("model").isin("edx.course.student_notes.added",
+          "edx.course.student_notes.deleted", "edx.course.student_notes.edited",
+          "edx.course.student_notes.viewed", "edx.course.student_notes.used_unit_link"),
+        nonEmpty(misc("note_id")) && nonEmpty(misc("component_usage_id")))
+      .when(col("model") === "edx.course.student_notes.searched",
+        misc("number_of_results").isNotNull)
+      .when(col("model") === "edx.course.student_notes.notes_page_viewed",
+        misc("view").isin("Recent Activity", "Search Results"))
+      // open response assessment (open_response_assessment/fields/events.py)
+      .when(col("model").isin("openassessmentblock.peer_assess",
+          "openassessmentblock.self_assess", "openassessmentblock.staff_assess"),
+        nonEmpty(misc("submission_uuid")) &&
+          misc("score_type").isin("PE", "SE", "ST") && nonEmpty(misc("scorer_id")))
+      .when(col("model") === "openassessmentblock.create_submission",
+        nonEmpty(misc("submission_uuid")) && misc("attempt_number").isNotNull)
+      .when(col("model").isin("openassessmentblock.get_peer_submission",
+          "openassessmentblock.get_submission_for_staff_grading",
+          "openassessmentblock.save_submission",
+          "openassessmentblock.submit_feedback_on_assessments"),
+        e("event").isNotNull && e("event").startsWith("{"))
+      // problem rescore (problem_interaction/fields/events.py:225-260)
+      .when(col("model").isin("problem_rescore", "problem_rescore_fail"),
+        nonEmpty(misc("problem_id")) && misc("new_score").isNotNull ||
+          (col("model") === "problem_rescore_fail" && nonEmpty(misc("problem_id"))))
       // catalog families (ModelCatalog): selected, envelope-validated;
       // exact payload schemas are additive per family
       .when(col("model").isNotNull, e("event").isNotNull)
