@@ -98,7 +98,8 @@ object ModelCatalog {
     "ubc.peer_instruction.revised_submitted",
     "openassessmentblock.peer_assess", "openassessmentblock.self_assess",
     "openassessmentblock.staff_assess", "openassessmentblock.create_submission",
-    "problem_rescore", "problem_rescore_fail") ++
+    "problem_rescore", "problem_rescore_fail",
+    "edx.course.enrollment.mode_changed", "edx.course.enrollment.upgrade.succeeded") ++
     serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 

@@ -87,7 +87,8 @@ object Validate {
         video.isNotNull && nonEmpty(video("id")) &&
           video("old_time").isNotNull && video("new_time").isNotNull)
       .when(col("model").isin("edx.course.enrollment.activated",
-          "edx.course.enrollment.deactivated"),
+          "edx.course.enrollment.deactivated", "edx.course.enrollment.mode_changed",
+          "edx.course.enrollment.upgrade.succeeded"),
         enr.isNotNull && nonEmpty(enr("course_id")) && nonEmpty(enr("user_id")))
       // second-tier exact payloads --------------------------------------
       // server problem events (problem_interaction/fields/events.py)
