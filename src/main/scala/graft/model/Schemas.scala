@@ -274,7 +274,19 @@ object Schemas {
     StructField("new_score", IntegerType),
     StructField("new_total", IntegerType),
     StructField("problem_id", StringType),
-    StructField("success", StringType)))
+    StructField("success", StringType),
+    // hints (problem_interaction/fields/events.py:98-153)
+    StructField("hint_index", IntegerType),
+    StructField("hint_len", IntegerType),
+    StructField("module_id", StringType),
+    StructField("trigger_type", StringType),
+    // failure literal for reset/save problem fails
+    StructField("failure", StringType),
+    // certificate generation + done.toggled + book
+    StructField("course_id", StringType),
+    StructField("done", BooleanType),
+    StructField("chapter", StringType),
+    StructField("type", StringType)))
 
   /** The pre-tokenized input table (BASELINE.json input_hint). */
   val inputTable: StructType = StructType(Seq(

@@ -99,7 +99,11 @@ object ModelCatalog {
     "openassessmentblock.peer_assess", "openassessmentblock.self_assess",
     "openassessmentblock.staff_assess", "openassessmentblock.create_submission",
     "problem_rescore", "problem_rescore_fail",
-    "edx.course.enrollment.mode_changed", "edx.course.enrollment.upgrade.succeeded") ++
+    "edx.course.enrollment.mode_changed", "edx.course.enrollment.upgrade.succeeded",
+    "edx.problem.hint.demandhint_displayed", "edx.problem.hint.feedback_displayed",
+    "reset_problem", "reset_problem_fail", "save_problem_fail",
+    "save_problem_success", "edx.certificate.generation.enabled",
+    "edx.certificate.generation.disabled", "edx.done.toggled") ++
     serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 
@@ -113,5 +117,6 @@ object ModelCatalog {
         "edx.course.student_notes.edited", "edx.course.student_notes.viewed",
         "edx.course.student_notes.used_unit_link",
         "edx.course.student_notes.searched",
-        "edx.course.student_notes.notes_page_viewed")
+        "edx.course.student_notes.notes_page_viewed",
+        "book", "edx.done.toggled")
 }

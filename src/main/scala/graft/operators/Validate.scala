@@ -167,6 +167,30 @@ object Validate {
       .when(col("model").isin("problem_rescore", "problem_rescore_fail"),
         nonEmpty(misc("problem_id")) && misc("new_score").isNotNull ||
           (col("model") === "problem_rescore_fail" && nonEmpty(misc("problem_id"))))
+      // fifth-tier exact payloads -------------------------------------
+      // hints (problem_interaction/fields/events.py:98-153)
+      .when(col("model") === "edx.problem.hint.demandhint_displayed",
+        misc("hint_index").isNotNull && misc("hint_len").isNotNull &&
+          nonEmpty(misc("module_id")))
+      .when(col("model") === "edx.problem.hint.feedback_displayed",
+        nonEmpty(misc("module_id")) && misc("trigger_type").isin("single", "compound"))
+      // reset/save problem variants (problem_interaction/fields/events.py:298-400)
+      .when(col("model").isin("reset_problem", "save_problem_success"),
+        nonEmpty(misc("problem_id")))
+      .when(col("model") === "reset_problem_fail",
+        nonEmpty(misc("problem_id")) && misc("failure").isin("closed", "not_done"))
+      .when(col("model") === "save_problem_fail",
+        nonEmpty(misc("problem_id")) && misc("failure").isin("closed", "done"))
+      // certificate generation toggles (certificate/fields/events.py:87-103)
+      .when(col("model").isin("edx.certificate.generation.enabled",
+          "edx.certificate.generation.disabled"),
+        misc("course_id").isNotNull)
+      // done toggled (browser+server share the payload: {done: bool})
+      .when(col("model") === "edx.done.toggled", misc("done").isNotNull)
+      // book pdf reader (textbook_interaction/fields/events.py:240-270)
+      .when(col("model") === "book",
+        nonEmpty(misc("chapter")) &&
+          misc("type").isin("gotopage", "prevpage", "nextpage"))
       // catalog families (ModelCatalog): selected, envelope-validated;
       // exact payload schemas are additive per family
       .when(col("model").isNotNull, e("event").isNotNull)
