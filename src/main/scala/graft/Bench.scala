@@ -91,7 +91,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // pre-generate the shared streaming input ONCE (not timed)
-    val nRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+    val nRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1500000").toLong
     Files.createDirectories(Paths.get(shm))
     val inputPath = Files.createTempDirectory(Paths.get(shm), "input").toString + "/input"
     Synth.inputTable(spark, nRows, 128).write.mode("overwrite").parquet(inputPath)
