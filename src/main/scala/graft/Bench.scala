@@ -108,6 +108,13 @@ object Bench {
     val eff28 = (thr8 / thr2) / 4.0
     val eff832 = (thr32 / thr8) / 4.0
 
+    // tmpfs hygiene: the input + sinks live in RAM — clean up before exit
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(shm))
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
