@@ -229,7 +229,8 @@ object Schemas {
     StructField("page", IntegerType),
     StructField("chapter", StringType),
     StructField("direction", StringType),
-    StructField("amount", StringType)))
+    StructField("amount", StringType),
+    StructField("query", StringType)))
 
   /** Payload for transcript/speed video-extras (video/fields/
     * events.py:85-113). */
@@ -286,7 +287,11 @@ object Schemas {
     StructField("course_id", StringType),
     StructField("done", BooleanType),
     StructField("chapter", StringType),
-    StructField("type", StringType)))
+    StructField("type", StringType),
+    // ORA upload (open_response_assessment/fields/events.py:260-268)
+    StructField("fileName", StringType),
+    StructField("fileSize", LongType),
+    StructField("fileType", StringType)))
 
   /** The pre-tokenized input table (BASELINE.json input_hint). */
   val inputTable: StructType = StructType(Seq(

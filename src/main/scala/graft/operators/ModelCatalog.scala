@@ -103,7 +103,8 @@ object ModelCatalog {
     "edx.problem.hint.demandhint_displayed", "edx.problem.hint.feedback_displayed",
     "reset_problem", "reset_problem_fail", "save_problem_fail",
     "save_problem_success", "edx.certificate.generation.enabled",
-    "edx.certificate.generation.disabled", "edx.done.toggled") ++
+    "edx.certificate.generation.disabled", "edx.done.toggled",
+    "edx.team.searched", "edx.drag_and_drop_v2.item.picked_up") ++
     serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 
@@ -118,5 +119,5 @@ object ModelCatalog {
         "edx.course.student_notes.used_unit_link",
         "edx.course.student_notes.searched",
         "edx.course.student_notes.notes_page_viewed",
-        "book", "edx.done.toggled")
+        "book", "edx.done.toggled", "openassessment.upload_file")
 }

@@ -102,6 +102,20 @@ object Validate {
       // browser problem_check: event is a URL-encoded STRING, not JSON
       // (problem_interaction/statements.py:88)
       .when(col("model") === "problem_check", e("event").isNotNull)
+      // textbook.pdf.* refinements (textbook_interaction/fields/events.py)
+      .when(col("model").isin("textbook.pdf.search.executed",
+          "textbook.pdf.search.navigatednext"),
+        textbook("name") === e("event_type") && textbook("page").isNotNull &&
+          textbook("query").isNotNull)
+      .when(col("model") === "textbook.pdf.zoom.buttons.changed",
+        textbook("name") === e("event_type") && textbook("page").isNotNull &&
+          textbook("direction").isin("in", "out"))
+      .when(col("model") === "textbook.pdf.page.scrolled",
+        textbook("name") === e("event_type") && textbook("page").isNotNull &&
+          textbook("direction").isin("up", "down"))
+      .when(col("model") === "textbook.pdf.zoom.menu.changed",
+        textbook("name") === e("event_type") && textbook("page").isNotNull &&
+          textbook("amount").isNotNull)
       // textbook.pdf.*: name echoes event_type; page is an int
       // (textbook_interaction/fields/events.py:17-130)
       .when(col("model").startsWith("textbook.pdf."),
@@ -191,6 +205,13 @@ object Validate {
       .when(col("model") === "book",
         nonEmpty(misc("chapter")) &&
           misc("type").isin("gotopage", "prevpage", "nextpage"))
+      // sixth-tier exact payloads --------------------------------------
+      .when(col("model") === "edx.drag_and_drop_v2.item.picked_up",
+        misc("item_id").isNotNull)
+      .when(col("model") === "openassessment.upload_file",
+        nonEmpty(misc("fileName")) && misc("fileSize").isNotNull)
+      .when(col("model") === "edx.team.searched",
+        misc("number_of_results").isNotNull)
       // catalog families (ModelCatalog): selected, envelope-validated;
       // exact payload schemas are additive per family
       .when(col("model").isNotNull, e("event").isNotNull)
