@@ -70,8 +70,14 @@ object Bench {
         }
         .start()
       q.awaitTermination()
-      val procSec = q.recentProgress.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
-      nRows / procSec
+      // steady-state throughput: drop the first data batch (whole-stage
+      // codegen + RocksDB instance warmup happens there), measure
+      // rows/processing-time over the remaining batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      val steady = if (batches.length > 1) batches.drop(1) else batches
+      val rows = steady.map(_.numInputRows).sum
+      val procSec = steady.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
+      rows / procSec
     } finally spark.stop()
   }
 
@@ -91,20 +97,26 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // pre-generate the shared streaming input ONCE (not timed)
-    val nRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1500000").toLong
+    val nRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
     Files.createDirectories(Paths.get(shm))
     val inputPath = Files.createTempDirectory(Paths.get(shm), "input").toString + "/input"
     Synth.inputTable(spark, nRows, 128).write.mode("overwrite").parquet(inputPath)
     spark.stop()
 
-    // JIT warmup pass (discarded), then best-of-2 per level — single-JVM
-    // sequential sessions have GC/JIT carry-over that a cluster would not
+    // JIT warmup pass (discarded), then INTERLEAVED rounds over the three
+    // levels, best per level: the sandbox host drifts on multi-minute
+    // scales, and interleaving exposes every level to the same drift —
+    // sequential per-level repeats would bias the ratio
     streamingRun(32, inputPath, nRows / 4)
-    def best(cores: Int): Double =
-      math.max(streamingRun(cores, inputPath, nRows), streamingRun(cores, inputPath, nRows))
-    val thr2 = best(2)
-    val thr8 = best(8)
-    val thr32 = best(32)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val levels = Seq(2, 8, 32)
+    val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
+    (1 to rounds).foreach { _ =>
+      levels.foreach { c =>
+        best(c) = math.max(best(c), streamingRun(c, inputPath, nRows))
+      }
+    }
+    val (thr2, thr8, thr32) = (best(2), best(8), best(32))
     val eff28 = (thr8 / thr2) / 4.0
     val eff832 = (thr32 / thr8) / 4.0
 

@@ -51,14 +51,13 @@ class LakeSink(val path: String) extends Serializable {
       .withColumn("_part_id", spark_partition_id())
     withLineage.write.mode("overwrite").parquet(dir) // retry-safe rewrite
     // per-partition metrics from the just-written files (north rule:
-    // "every microbatch emits per-partition lineage and metrics")
-    val perPart = df.sparkSession.read.parquet(dir)
+    // "every microbatch emits per-partition lineage and metrics") —
+    // one column-pruned read serves both the counts and the commit total
+    val perPartRows = df.sparkSession.read.parquet(dir)
       .groupBy("_part_id").count().collect()
-      .map(r => s"""{"part": ${r.get(0)}, "rows": ${r.getLong(1)}}""")
-    val rows = perPart.length match {
-      case 0 => 0L
-      case _ => df.sparkSession.read.parquet(dir).count()
-    }
+      .map(r => (r.get(0), r.getLong(1)))
+    val perPart = perPartRows.map { case (p, n) => s"""{"part": $p, "rows": $n}""" }
+    val rows = perPartRows.map(_._2).sum
     writeMetrics(batchId, perPart)
     commit(batchId, rows)
     true
