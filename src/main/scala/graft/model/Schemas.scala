@@ -291,7 +291,12 @@ object Schemas {
     // ORA upload (open_response_assessment/fields/events.py:260-268)
     StructField("fileName", StringType),
     StructField("fileSize", LongType),
-    StructField("fileType", StringType)))
+    StructField("fileType", StringType),
+    // library content (content_library_interaction/fields/events.py)
+    StructField("added", ArrayType(StructType(Seq(
+      StructField("usage_key", StringType))))),
+    StructField("removed", ArrayType(StructType(Seq(
+      StructField("usage_key", StringType)))))))
 
   /** The pre-tokenized input table (BASELINE.json input_hint). */
   val inputTable: StructType = StructType(Seq(

@@ -104,7 +104,9 @@ object ModelCatalog {
     "reset_problem", "reset_problem_fail", "save_problem_fail",
     "save_problem_success", "edx.certificate.generation.enabled",
     "edx.certificate.generation.disabled", "edx.done.toggled",
-    "edx.team.searched", "edx.drag_and_drop_v2.item.picked_up") ++
+    "edx.team.searched", "edx.drag_and_drop_v2.item.picked_up",
+    "edx.librarycontentblock.content.assigned",
+    "edx.librarycontentblock.content.removed") ++
     serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 
@@ -119,5 +121,6 @@ object ModelCatalog {
         "edx.course.student_notes.used_unit_link",
         "edx.course.student_notes.searched",
         "edx.course.student_notes.notes_page_viewed",
-        "book", "edx.done.toggled", "openassessment.upload_file")
+        "book", "edx.done.toggled", "openassessment.upload_file",
+        "video_hide_cc_menu", "video_show_cc_menu")
 }

@@ -212,6 +212,14 @@ object Validate {
         nonEmpty(misc("fileName")) && misc("fileSize").isNotNull)
       .when(col("model") === "edx.team.searched",
         misc("number_of_results").isNotNull)
+      // cc menus carry the video base payload (video/statements.py:206-250)
+      .when(col("model").isin("video_hide_cc_menu", "video_show_cc_menu"),
+        nonEmpty(video("id")) && nonEmpty(video("code")))
+      // library content (content_library_interaction/fields/events.py:56-84)
+      .when(col("model") === "edx.librarycontentblock.content.assigned",
+        misc("added").isNotNull)
+      .when(col("model") === "edx.librarycontentblock.content.removed",
+        misc("removed").isNotNull)
       // catalog families (ModelCatalog): selected, envelope-validated;
       // exact payload schemas are additive per family
       .when(col("model").isNotNull, e("event").isNotNull)
