@@ -138,6 +138,33 @@ object StreamPipeline {
     toLake(deduped(statements(input)), sink, checkpoint).start()
   }
 
+  /** Statement forwarding (statements.py:581-585, api/forwarding.py:35-57):
+    * after the primary landing, fan statements out to a downstream store.
+    * Reference semantics preserved: forwarding runs AFTER the primary write
+    * succeeds and a forwarding failure never fails the ingest (background
+    * task + retries there; best-effort tee with its own idempotent batch
+    * protocol here — a failed forward batch is retried on the next replay
+    * because its batchId was never committed to the forward manifest). */
+  def toLakeWithForward(statements: DataFrame, primary: LakeSink, forward: LakeSink,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    statements.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val projected = Store.project(batch, "xapi").cache()
+        try {
+          primary.addBatchMerged(batchId, projected, "event_id")
+          try forward.addBatchMerged(batchId, projected, "event_id")
+          catch { case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger("graft.forwarding")
+              .warn(s"forwarding batch $batchId failed (will retry on replay): $e")
+          }
+        } finally projected.unpersist()
+        ()
+      }
+
   /** Late-tolerant landing: no stateful operator in the path, dedup wholly
     * at the merge sink — use when late arrivals must be preserved. */
   def runLateTolerant(input: DataFrame, sinkPath: String, checkpoint: String): StreamingQuery = {

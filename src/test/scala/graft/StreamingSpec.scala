@@ -103,6 +103,21 @@ class StreamingSpec extends SparkSuite {
     assert(got.length === got.distinct.length, "late duplicates leaked past the merge sink")
   }
 
+  test("forwarding tees statements to a downstream store after the primary write") {
+    val mem = MemoryStream[InputRow]
+    val primary = new LakeSink(tmp("primary"))
+    val forward = new LakeSink(tmp("forward"))
+    val q = StreamPipeline.toLakeWithForward(
+      StreamPipeline.statements(mem.toDF()), primary, forward, tmp("cpfwd"),
+      trigger = Trigger.ProcessingTime(0)).start()
+    mem.addData(inputRows(0, 100): _*)
+    q.processAllAvailable()
+    q.stop()
+    val p = primary.read(spark).select("event_id").as[String].collect().toSet
+    val f = forward.read(spark).select("event_id").as[String].collect().toSet
+    assert(p.nonEmpty && f === p, "forwarded store must mirror the primary")
+  }
+
   test("per-microbatch validator counters surface in observedMetrics (V3/A5)") {
     val mem = MemoryStream[InputRow]
     val stmts = StreamPipeline.statements(mem.toDF())
