@@ -292,6 +292,7 @@ object Schemas {
     StructField("fileName", StringType),
     StructField("fileSize", LongType),
     StructField("fileType", StringType),
+    StructField("tool_name", StringType),
     // library content (content_library_interaction/fields/events.py)
     StructField("added", ArrayType(StructType(Seq(
       StructField("usage_key", StringType))))),

@@ -106,7 +106,8 @@ object ModelCatalog {
     "edx.certificate.generation.disabled", "edx.done.toggled",
     "edx.team.searched", "edx.drag_and_drop_v2.item.picked_up",
     "edx.librarycontentblock.content.assigned",
-    "edx.librarycontentblock.content.removed") ++
+    "edx.librarycontentblock.content.removed",
+    "openassessment.student_training_assess_example") ++
     serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
     strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
 
@@ -122,5 +123,5 @@ object ModelCatalog {
         "edx.course.student_notes.searched",
         "edx.course.student_notes.notes_page_viewed",
         "book", "edx.done.toggled", "openassessment.upload_file",
-        "video_hide_cc_menu", "video_show_cc_menu")
+        "video_hide_cc_menu", "video_show_cc_menu", "edx.course.tool.accessed")
 }

@@ -215,6 +215,12 @@ object Validate {
       // cc menus carry the video base payload (video/statements.py:206-250)
       .when(col("model").isin("video_hide_cc_menu", "video_show_cc_menu"),
         nonEmpty(video("id")) && nonEmpty(video("code")))
+      // ORA student training (open_response_assessment/fields/events.py:242-256)
+      .when(col("model") === "openassessment.student_training_assess_example",
+        nonEmpty(misc("submission_uuid")))
+      // course tool accessed (bookmark/fields/events.py:95-103)
+      .when(col("model") === "edx.course.tool.accessed",
+        misc("tool_name").isin("edx.bookmarks", "edx.reviews", "edx.updates"))
       // library content (content_library_interaction/fields/events.py:56-84)
       .when(col("model") === "edx.librarycontentblock.content.assigned",
         misc("added").isNotNull)
