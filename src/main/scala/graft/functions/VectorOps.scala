@@ -17,19 +17,22 @@ case class ArgMinCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "argmin_centroid"
 
   override protected def nullSafeEval(v: Any): Any =
-    ArgMinCentroid.eval(v.asInstanceOf[ArrayData], centroids)
+    ArgMinCentroid.assign(v.asInstanceOf[ArrayData], centroids)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ArgMinCentroid.eval($c, $ref)")
+      c => s"graft.functions.ArgMinCentroid.assign($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object ArgMinCentroid {
-  /** Squared-L2 argmin (static entry point for generated code). */
-  def eval(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+  /** Squared-L2 argmin. Named `assign` (not `eval`): the companion CLASS
+    * inherits `eval(InternalRow)`, which suppresses the static forwarder a
+    * same-named object method would need — generated code then fails to
+    * compile (the silent r1 codegen fallback in the bench log). */
+  def assign(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val n = vec.numElements()
     var best = 0
     var bestD = Double.MaxValue

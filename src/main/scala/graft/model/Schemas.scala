@@ -160,6 +160,8 @@ object Schemas {
     StructField("org_id", StringType),
     StructField("path", StringType),
     StructField("user_id", StringType), // int | "" | null in the wild → string
+    // enrollment-upgrade context literal (enrollment/fields/contexts.py:13-37)
+    StructField("mode", StringType),
     StructField("module", StructType(Seq(
       StructField("display_name", StringType),
       StructField("usage_key", StringType))))))

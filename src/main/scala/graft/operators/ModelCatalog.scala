@@ -78,50 +78,14 @@ object ModelCatalog {
     "textbook.pdf.thumbnails.toggled", "textbook.pdf.zoom.buttons.changed",
     "textbook.pdf.zoom.menu.changed", "video_hide_cc_menu", "video_show_cc_menu")
 
-  /** Families with exact per-model payload validation in [[Validate]]. */
-  val strictFamilies: Set[String] = Set(
-    "server", "page_close", "seq_goto", "seq_next", "seq_prev",
-    "load_video", "play_video", "pause_video", "stop_video", "seek_video",
-    "edx.course.enrollment.activated", "edx.course.enrollment.deactivated")
-
-  /** Second-tier exact payloads, keyed by (event_source, family). */
-  val strictServerFamilies: Set[String] = Set(
-    "problem_check", "problem_check_fail", "showanswer",
-    "edx.bookmark.added", "edx.bookmark.removed", "edx.bookmark.listed",
-    "xblock.poll.submitted", "xblock.survey.submitted",
-    "edx.drag_and_drop_v2.feedback.opened", "edx.drag_and_drop_v2.feedback.closed",
-    "edx.drag_and_drop_v2.item.dropped",
-    "edx.cohort.created", "edx.cohort.user_added", "edx.cohort.user_removed",
-    "edx.certificate.created", "edx.certificate.revoked",
-    "edx.certificate.shared", "edx.certificate.evidence_visited",
-    "ubc.peer_instruction.accessed", "ubc.peer_instruction.original_submitted",
-    "ubc.peer_instruction.revised_submitted",
-    "openassessmentblock.peer_assess", "openassessmentblock.self_assess",
-    "openassessmentblock.staff_assess", "openassessmentblock.create_submission",
-    "problem_rescore", "problem_rescore_fail",
-    "edx.course.enrollment.mode_changed", "edx.course.enrollment.upgrade.succeeded",
-    "edx.problem.hint.demandhint_displayed", "edx.problem.hint.feedback_displayed",
-    "reset_problem", "reset_problem_fail", "save_problem_fail",
-    "save_problem_success", "edx.certificate.generation.enabled",
-    "edx.certificate.generation.disabled", "edx.done.toggled",
-    "edx.team.searched", "edx.drag_and_drop_v2.item.picked_up",
-    "edx.librarycontentblock.content.assigned",
-    "edx.librarycontentblock.content.removed",
-    "openassessment.student_training_assess_example") ++
-    serverTypes.filter(t => t.startsWith("edx.team.") && t != "edx.team.searched").toSet ++
-    strictFamilies.filter(f => f == "server" || f.startsWith("edx.course.enrollment"))
-
-  val strictBrowserFamilies: Set[String] =
-    strictFamilies -- Set("server",
-      "edx.course.enrollment.activated", "edx.course.enrollment.deactivated") ++
-      browserTypes.filter(_.startsWith("textbook.pdf.")).toSet ++
-      Set("hide_transcript", "show_transcript", "speed_change_video",
-        "edx.bookmark.accessed",
-        "edx.course.student_notes.added", "edx.course.student_notes.deleted",
-        "edx.course.student_notes.edited", "edx.course.student_notes.viewed",
-        "edx.course.student_notes.used_unit_link",
-        "edx.course.student_notes.searched",
-        "edx.course.student_notes.notes_page_viewed",
-        "book", "edx.done.toggled", "openassessment.upload_file",
-        "video_hide_cc_menu", "video_show_cc_menu", "edx.course.tool.accessed")
+  /** Every catalog family carries an exact per-model payload rule (since
+    * r2): the executable registry is [[graft.functions.EdxModels]] — one
+    * rule per reference pydantic model, keyed `(event_source, event_type)`.
+    * `EdxModels.laxPayload` lists the families whose *reference model
+    * itself* places no payload constraint (no `event` field, or
+    * `event: str`) — those are envelope/name/page-validated only, which is
+    * the reference's own behavior, not a coverage gap. */
+  val all: Set[(String, String)] =
+    serverTypes.map(("server", _)).toSet ++
+      browserTypes.map(("browser", _)).toSet + (("server", "server"))
 }

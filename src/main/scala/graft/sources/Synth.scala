@@ -80,6 +80,10 @@ object Synth {
     val course = courseId(idx)
     val session = sessionHex(idx)
     val videoId = s"vid-${pick(idx, 17L, 97)}"
+    // sequential usage key matching NavigationalEventField's pattern
+    // (edx/navigational/fields/events.py:24-32)
+    val seqId = s"block-v1:org+C${pick(idx, 13L, 23)}+run+type@sequential+block@" +
+      Uuid5.uuid5(UuidNamespace, s"seq-$course").replace("-", "")
     val ct = Math.floorMod(mix(idx, 19L), 36000L) / 100.0
     val pos = pick(idx, 23L, 40)
     val path = fam match {
@@ -91,11 +95,11 @@ object Synth {
         ("server", "\"{\\\"GET\\\": {}, \\\"POST\\\": {}}\"", path)
       case "page_close" => ("browser", "\"{}\"", fam)
       case "seq_goto" =>
-        ("browser", s"""\"{\\\"id\\\": \\\"block-$course\\\", \\\"old\\\": $pos, \\\"new\\\": ${pick(idx, 31L, 40)}}\"""", fam)
+        ("browser", s"""\"{\\\"id\\\": \\\"$seqId\\\", \\\"old\\\": $pos, \\\"new\\\": ${pick(idx, 31L, 40)}}\"""", fam)
       case "seq_next" =>
-        ("browser", s"""\"{\\\"id\\\": \\\"block-$course\\\", \\\"old\\\": $pos, \\\"new\\\": ${pos + 1}}\"""", fam)
+        ("browser", s"""\"{\\\"id\\\": \\\"$seqId\\\", \\\"old\\\": $pos, \\\"new\\\": ${pos + 1}}\"""", fam)
       case "seq_prev" =>
-        ("browser", s"""\"{\\\"id\\\": \\\"block-$course\\\", \\\"old\\\": $pos, \\\"new\\\": ${pos - 1}}\"""", fam)
+        ("browser", s"""\"{\\\"id\\\": \\\"$seqId\\\", \\\"old\\\": $pos, \\\"new\\\": ${pos - 1}}\"""", fam)
       case "load_video" =>
         ("browser", s"""\"{\\\"id\\\": \\\"$videoId\\\", \\\"code\\\": \\\"html5\\\"}\"""", fam)
       case "play_video" | "pause_video" =>
@@ -166,7 +170,7 @@ object Synth {
       u <- 0 until nUsers
     } yield {
       val us = baseEpochMicros + e.toLong * 600_000_000L + Math.floorMod(mix(u.toLong, e + 41L), 1_000_000L)
-      (s"user$u", s"name-$u", s"cohort-${Math.floorMod(mix(u.toLong, e + 43L), 5L)}",
+      (u.toString, s"name-$u", s"cohort-${Math.floorMod(mix(u.toLong, e + 43L), 5L)}",
         new java.sql.Timestamp(us / 1000L))
     }
     rows.toDF("actor_key", "p_name", "cohort", "updated_at")

@@ -49,10 +49,25 @@ class PlanSpec extends SparkSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("validate→convert hot path compiles under whole-stage codegen — no fallback") {
+    // r1's giant when()-chain blew Janino's limits and silently fell back to
+    // interpreted eval on the hottest projection (VERDICT r1 §wrong-1).
+    // With fallback disabled, any codegen compile failure throws — this is
+    // the hard no-regression gate for the per-row map path.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Pipeline.validateConvert(graft.sources.Synth.inputTable(spark, 500))
+      assert(df.count() > 0)
+      assert(planOf(df).contains("*(1)"),
+        s"no WholeStageCodegen stage in:\n${planOf(df)}")
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("uuid5/token-codec expressions stay inside whole-stage codegen") {
-    // (the full convert projection exceeds codegen.maxFields by design —
-    // giant struct literals — and falls back to interpreted projection with
-    // subexpression elimination; the custom expressions themselves codegen)
     val df = EventOps.events(spark, sf("sf0.001"))
       .select(graft.functions.Uuid5.uuid5Col(
         lit(graft.sources.Synth.UuidNamespace), col("event_type")).as("u"),
