@@ -33,7 +33,7 @@ object Bench {
 
   /** One streaming pipeline run at a given core count → statements/sec
     * (processing time: sum of microbatch triggerExecution). */
-  def streamingRun(cores: Int, inputPath: String, nRows: Long): Double = {
+  def streamingRun(cores: Int, inputPath: String): Double = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     Files.createDirectories(Paths.get(shm))
     val spark = SparkSession.builder()
@@ -91,9 +91,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.tune(spark)
+    // untimed warmup: the first query otherwise absorbs ~5 s of one-time
+    // session cost (Janino/whole-stage infra, parquet reader init, JIT) and
+    // the alphabetically-first query would look 5× its real cost
+    try SparkEntry.queries("q_lrs_by_id")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    // a throwing query must be visible as a failure, not a fast success
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"bench query $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // pre-generate the shared streaming input ONCE (not timed)
@@ -107,13 +117,13 @@ object Bench {
     // levels, best per level: the sandbox host drifts on multi-minute
     // scales, and interleaving exposes every level to the same drift —
     // sequential per-level repeats would bias the ratio
-    streamingRun(32, inputPath, nRows / 4)
+    streamingRun(32, inputPath)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val levels = Seq(2, 8, 32)
     val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
     (1 to rounds).foreach { _ =>
       levels.foreach { c =>
-        best(c) = math.max(best(c), streamingRun(c, inputPath, nRows))
+        best(c) = math.max(best(c), streamingRun(c, inputPath))
       }
     }
     val (thr2, thr8, thr32) = (best(2), best(8), best(32))
@@ -130,11 +140,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stream =
       f"""{"rows":$nRows,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"scaling_efficiency_N_to_4N":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"unit":"statements/sec"}"""
     // contract line: value/unit = total seconds over the headline queries;
     // the north-rule throughput + scaling evidence rides in "streaming"
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streaming":$stream,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"streaming":$stream,"sf":"$sfDir"}"""
+    // belt and braces for the driver's parser: the line is both the LAST
+    // stdout line (raw — run/outputStrategy strips sbt's [info] prefix) and
+    // a file next to the build
+    Files.write(Paths.get("BENCH_CONTRACT.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
   }
 }

@@ -16,6 +16,46 @@ import graft.sources.Synth
   * UNIX pipes become narrow projections; the only shuffle in the whole plan
   * is the final dedup exchange on `stmt_id`.
   */
+/** Sequential ground-truth derivation of the 2000-row pipeline digest,
+  * computed directly from the generator's index classification (no Spark,
+  * no shared stage expressions) — the differential oracle for
+  * `q_pipeline_store`: the distributed validate→convert→dedup plan must
+  * reproduce exactly what this single-threaded walk over the generator
+  * rules says. */
+object PipelineGolden {
+
+  val N = 2000L
+
+  private val verbOf = Map(
+    "server" -> operators.Convert.Viewed,
+    "page_close" -> operators.Convert.Terminated,
+    "edx.course.enrollment.activated" -> operators.Convert.Registered,
+    "edx.course.enrollment.deactivated" -> operators.Convert.Unregistered,
+    "load_video" -> operators.Convert.Initialized,
+    "play_video" -> operators.Convert.Played,
+    "pause_video" -> operators.Convert.Paused,
+    "stop_video" -> operators.Convert.Terminated,
+    "seek_video" -> operators.Convert.Seeked)
+
+  /** (verb_id, source, n, n_ids): distinct statement ids per (verb, source)
+    * among convertible rows — dedup keeps one row per uuid5(ns, raw), so
+    * n == n_ids by construction on both sides. */
+  lazy val rows: Seq[(String, String, Long, Long)] = {
+    val ids = scala.collection.mutable.Map.empty[(String, String),
+      scala.collection.mutable.Set[String]]
+    (0L until N).foreach { i =>
+      if (Synth.isConvertible(i)) {
+        val key = (verbOf(Synth.familyOf(i)), Synth.sourceOf(i))
+        val id = graft.functions.Uuid5.uuid5(Synth.UuidNamespace, Synth.edxJson(i))
+        ids.getOrElseUpdate(key, scala.collection.mutable.Set.empty) += id
+      }
+    }
+    ids.toSeq.map { case ((v, s), set) =>
+      (v, s, set.size.toLong, set.size.toLong)
+    }.sortBy(r => (r._1, r._2))
+  }
+}
+
 object Pipeline {
 
   val StoredIso = "2024-06-01T00:00:00.000000+00:00"

@@ -76,8 +76,79 @@ object Signatures {
     out
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 63-bit SimHash over md5-derived feature hashes, one pass.
+    *
+    * The feature hash is the first 8 bytes of md5(feature), big-endian —
+    * a function DuckDB evaluates identically (`('0x' || substr(md5(s),1,16))
+    * ::UBIGINT`), so the whole signature is independently recomputable by
+    * the SQL oracle; bits 0..62 keep the signature inside a signed int64 on
+    * both engines. Use [[simhash]] (FNV) when oracle recomputability is not
+    * needed — it is ~3× cheaper per feature. */
+  def simhashMd5(arr: ArrayData): Long = {
+    val md = md5Digest.get()
+    val counts = new Array[Int](63)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 63) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 63) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Distinct k-word shingles in one pass (first-occurrence order) —
+    * replaces the interpreted transform/sequence/slice/concat_ws pipeline
+    * (5 lambda evaluations per shingle per row). Split semantics mirror
+    * `split(text, " ")` with limit -1 (empty tokens kept). */
+  def shingles(s: UTF8String, k: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(shingles: Column): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles)))
+
+  def simhashMd5Sig(features: Column): Column =
+    ExpressionUtils.column(SimHashMd5Expr(ExpressionUtils.expression(features)))
+
+  def shinglesCol(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), k))
 
   def simhash64(words: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(words)))
@@ -91,6 +162,28 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
     Signatures.minhash(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.minhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.shingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.shingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.simhashMd5(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.simhashMd5($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

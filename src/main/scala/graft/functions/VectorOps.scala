@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Nearest-centroid assignment for IVF indexing: one native pass over the
   * vector per row against a small constant codebook (k × dim doubles carried
@@ -25,6 +25,94 @@ case class ArgMinCentroid(child: Expression, centroids: Array[Array[Double]])
       c => s"graft.functions.ArgMinCentroid.assign($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native cosine similarity: one fused pass over both arrays (dot + both
+  * norms simultaneously) inside whole-stage codegen. The composed-builtin
+  * version (zip_with + aggregate + transform) walks the arrays through
+  * interpreted higher-order lambdas — ~50× slower per pair, which dominated
+  * the r1 bench on every pairwise query. Accumulation is left-to-right in
+  * double, matching DuckDB's list_cosine_similarity bit-for-bit (the oracle
+  * comparison relies on this). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.sim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.sim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  /** dot(a,b) / (||a||·||b||), fused single pass (static codegen entry). */
+  def sim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Random-hyperplane LSH bucket keys: nTables × planesPer plane dots in ONE
+  * pass over the vector (the composed zip_with/aggregate version evaluated
+  * 192 interpreted lambda dots per row at the oracle configuration). Key
+  * layout matches EmbeddingOps.bucketsOf: sign bits little-endian within a
+  * table, table id in the high 32 bits. */
+case class LshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_buckets"
+  override protected def nullSafeEval(v: Any): Any =
+    LshBuckets.buckets(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBuckets.buckets($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshBuckets {
+  def buckets(vec: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = vec.getDouble(i); i += 1 }
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var key = t.toLong << 32
+      var p = 0
+      while (p < table.length) {
+        val plane = table(p)
+        var d = 0.0
+        var j = 0
+        val m = math.min(n, plane.length)
+        while (j < m) { d += v(j) * plane(j); j += 1 }
+        if (d >= 0) key += (1L << p)
+        p += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def lshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(vec), planes))
 }
 
 object ArgMinCentroid {

@@ -8,12 +8,16 @@ import graft.functions.XapiEquivalent
 /** POST/PUT ingest semantics (SURVEY.md §2.4, reference
   * /root/reference/src/ralph/api/routers/statements.py:543-655):
   *
-  *  D4 — duplicate ids within one batch → the whole batch is rejected (400)
-  *       unless the duplicates are byte-equal (then collapsed to one).
+  *  D4 — ANY duplicate statement id within one POST batch → the whole batch
+  *       is rejected with 400, even when the duplicates are byte-equal
+  *       (statements.py:568-574: `len(set(ids)) != len(ids)` guards before
+  *       anything is written). `Result.rejected` carries that verdict and
+  *       `toWrite` is empty for a rejected batch, so a caller that ignores
+  *       the flag still cannot write a dup-id batch.
   *  D5 — ids already stored with EQUIVALENT content → silently dropped.
   *  D6 — ids already stored with DIFFERENT content → 409 Conflict rows.
   *
-  * Spark shape: D4 is a window count per id; D5/D6 are one broadcast-friendly
+  * Spark shape: D4 is a group count per id; D5/D6 are one broadcast-friendly
   * left join against the store on `event_id` followed by the equivalence
   * expression — the store side is pre-filtered by the incoming id set, so at
   * 100 TB the probe stays a partition-pruned index lookup, never a full-table
@@ -22,14 +26,22 @@ import graft.functions.XapiEquivalent
 object Ingest {
 
   case class Result(toWrite: DataFrame, conflicts: DataFrame, duplicates: DataFrame,
-                    intraBatchDups: Long)
+                    intraBatchDups: Long) {
+    /** D4 verdict: the reference 400s the whole POST on any duplicate id. */
+    def rejected: Boolean = intraBatchDups > 0
+  }
 
   /** @param store    existing lake frame ([[Store]] layout)
     * @param incoming enriched batch with `stmt_id` + statement JSON `stmtCol` */
   def post(store: DataFrame, incoming: DataFrame, stmtCol: String = "xapi"): Result = {
-    // D4: collapse byte-equal duplicates; count distinct-content dup ids
-    val batch = incoming.dropDuplicates("stmt_id", stmtCol)
-    val intraDup = batch.groupBy("stmt_id").count().filter(col("count") > 1).count()
+    // D4: any repeated stmt_id (byte-equal or not) rejects the whole batch
+    val intraDup = incoming.groupBy("stmt_id").count().filter(col("count") > 1).count()
+    if (intraDup > 0) {
+      val empty = incoming.limit(0)
+      return Result(toWrite = empty, conflicts = empty, duplicates = empty,
+        intraBatchDups = intraDup)
+    }
+    val batch = incoming
 
     // D5/D6: probe only the incoming id range — join, not full scan
     val existing = store

@@ -109,6 +109,9 @@ object XapiValidate {
       w.when(key === k, lit(name))
     }
     val baseOk =
+      // strict raw-JSON rules: recursive empty-value rejection + interaction
+      // component id uniqueness (statements.py:49-73, unnested_objects.py:79-84)
+      graft.functions.XapiStrict.xapiStrict(col(stmtCol)) &&
       nonEmpty(s.getField("verb").getField("id")) &&
       nonEmpty(s.getField("object").getField("id")) &&
       s.getField("actor").isNotNull && agentOk(s.getField("actor")) &&

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LDP archive source (S11) — the reference's OVH Logs Data Platform
+  * backend (/root/reference/src/ralph/backends/data/ldp.py:108-255):
+  * read-only gzip'd line-delimited archives, listed per stream, with the
+  * history ledger marking which archives were already consumed
+  * (ldp.py:204-212 records `read` entries; `list(new=True)` filters them).
+  *
+  * Spark shape: the codec layer is free — Spark's text source decodes
+  * `.gz` natively. One gzip archive = one partition (gzip is not
+  * splittable), so at scale parallelism = number of archives listed, which
+  * matches LDP's many-small-archives layout; no custom reader needed.
+  * The HTTP download step of the reference is replaced by the filesystem/
+  * object-store path the archives land on (S9/S10 conf in ObjectStore).
+  */
+object Ldp {
+
+  /** List archive files under `dir` (the reference's `list_()` over stream
+    * archives, ldp.py:149-167). */
+  def listArchives(spark: SparkSession, dir: String): DataFrame = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".gz"))
+      .map(_.getAbsolutePath).toSeq
+    import spark.implicits._
+    files.toDF("container")
+  }
+
+  /** Read one or more archives as raw JSONL lines (ldp.py:169-202: the
+    * archive is streamed and gzip-decoded; invalid lines are the consumer's
+    * concern — same lax contract as FsJsonl.read). */
+  def read(spark: SparkSession, paths: Seq[String],
+           maxStatements: Option[Int] = None): DataFrame = {
+    if (paths.isEmpty)
+      return spark.emptyDataFrame.select(lit("").as("raw")).limit(0)
+    val df = spark.read.text(paths: _*).toDF("raw")
+      .filter(length(trim(col("raw"))) > 0)
+    maxStatements.map(df.limit).getOrElse(df)
+  }
+
+  /** Read only archives not yet in the history ledger, then record them —
+    * the `new=True` consumption loop (mixins.py:11-71 + ldp.py:204-212). */
+  def readNew(spark: SparkSession, dir: String, historyPath: String,
+              maxStatements: Option[Int] = None): DataFrame = {
+    val fresh = History.onlyNew(listArchives(spark, dir),
+      History.read(spark, historyPath))
+      .collect().map(_.getString(0)).toSeq // archive list: driver-sized metadata
+    val out = read(spark, fresh, maxStatements)
+    if (fresh.nonEmpty) History.record(spark, historyPath, fresh)
+    out
+  }
+}

@@ -141,13 +141,20 @@ object StreamPipeline {
   /** Statement forwarding (statements.py:581-585, api/forwarding.py:35-57):
     * after the primary landing, fan statements out to a downstream store.
     * Reference semantics preserved: forwarding runs AFTER the primary write
-    * succeeds and a forwarding failure never fails the ingest (background
-    * task + retries there; best-effort tee with its own idempotent batch
-    * protocol here — a failed forward batch is retried on the next replay
-    * because its batchId was never committed to the forward manifest). */
+    * succeeds and a forwarding failure never fails the ingest (the reference
+    * uses a background task with retries, api/forwarding.py:46-57).
+    *
+    * Durability: a forward failure cannot rely on streaming replay — once
+    * foreachBatch returns, the checkpoint commits and the batch is never
+    * re-delivered. So failures are retried in-batch (`forwardRetries`), and
+    * any batch that still fails is healed by [[reconcileForward]], which
+    * diffs the two manifests and re-forwards missing batches from the
+    * primary's committed files (call it at startup and/or periodically —
+    * the manifest diff is the durable record of the backlog). */
   def toLakeWithForward(statements: DataFrame, primary: LakeSink, forward: LakeSink,
                         checkpoint: String,
-                        trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        forwardRetries: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
     statements.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -156,14 +163,35 @@ object StreamPipeline {
         val projected = Store.project(batch, "xapi").cache()
         try {
           primary.addBatchMerged(batchId, projected, "event_id")
-          try forward.addBatchMerged(batchId, projected, "event_id")
-          catch { case e: Exception =>
-            org.slf4j.LoggerFactory.getLogger("graft.forwarding")
-              .warn(s"forwarding batch $batchId failed (will retry on replay): $e")
+          var attempt = 0
+          var done = false
+          while (!done && attempt <= forwardRetries) {
+            try { forward.addBatchMerged(batchId, projected, "event_id"); done = true }
+            catch { case e: Exception =>
+              attempt += 1
+              if (attempt > forwardRetries)
+                org.slf4j.LoggerFactory.getLogger("graft.forwarding")
+                  .warn(s"forwarding batch $batchId failed after $forwardRetries retries " +
+                    s"(reconcileForward will heal it): $e")
+            }
           }
         } finally projected.unpersist()
         ()
       }
+
+  /** Heal the forward store: every batch committed to the primary but
+    * absent from the forward manifest is re-forwarded from the primary's
+    * committed files (idempotent — addBatchMerged skips already-committed
+    * ids). Returns the batch ids re-forwarded. */
+  def reconcileForward(spark: SparkSession, primary: LakeSink, forward: LakeSink): Seq[Long] = {
+    val missing = (primary.committedBatches() -- forward.committedBatches()).toSeq.sorted
+    missing.foreach { b =>
+      val batch = spark.read.parquet(s"${primary.path}/batch=$b")
+        .drop("_batch_id", "_part_id")
+      forward.addBatchMerged(b, batch, "event_id")
+    }
+    missing
+  }
 
   /** Late-tolerant landing: no stateful operator in the path, dedup wholly
     * at the merge sink — use when late arrivals must be preserved. */

@@ -41,6 +41,22 @@ class EmbeddingSpec extends SparkSuite {
     assert(recall >= 0.6, f"recall $recall%.2f below floor")
   }
 
+  test("LSH at 48 tables x 4 planes equals brute force exactly (oracle config)") {
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ann = EmbeddingOps.lshTopK(spark, dir, 10, 5, nTables = 48, planesPer = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ann === truth)
+  }
+
+  test("IVF probing every cell equals brute force exactly (oracle config)") {
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ivf = EmbeddingOps.ivfTopK(spark, dir, 10, 5, nProbe = 16, nCells = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivf === truth)
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val rows = EmbeddingOps.nearDupPairs(spark, dir, 0.4)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()

@@ -37,24 +37,29 @@ class IngestSpec extends SparkSuite {
 
   test("POST: new ids written, equivalent duplicates dropped, conflicts flagged (D5/D6)") {
     val store = Store.project(enriched(Seq(s1)), "xapi")
-    val res = Ingest.post(store, enriched(Seq(s1Equivalent, s1Conflict, s2)))
-    // s1Equivalent and s1Conflict share an id → dropDuplicates keeps both
-    // (different content) and the store probe classifies them
-    assert(res.duplicates.select("stmt_id").as[String].collect().toSet
+    val resA = Ingest.post(store, enriched(Seq(s1Equivalent, s2)))
+    assert(!resA.rejected)
+    assert(resA.duplicates.select("stmt_id").as[String].collect().toSet
       === Set("11111111-0000-0000-0000-000000000001"))
-    assert(res.conflicts.count() === 1)
-    assert(res.toWrite.select("stmt_id").as[String].collect().toSeq
+    assert(resA.toWrite.select("stmt_id").as[String].collect().toSeq
       === Seq("11111111-0000-0000-0000-000000000002"))
+    val resB = Ingest.post(store, enriched(Seq(s1Conflict)))
+    assert(resB.conflicts.count() === 1 && resB.toWrite.count() === 0)
   }
 
-  test("intra-batch duplicate ids with different content → 400 signal (D4)") {
+  test("intra-batch duplicate ids → whole batch rejected, even byte-equal (D4)") {
+    // statements.py:568-574: the dup-id guard runs on the raw id list before
+    // any write, so byte-equal duplicates 400 too
     val store = Store.project(enriched(Seq(s2)), "xapi").limit(0)
     val res = Ingest.post(store, enriched(Seq(s1, s1Conflict)))
-    assert(res.intraBatchDups === 1)
-    // byte-equal duplicates collapse silently
+    assert(res.rejected && res.intraBatchDups === 1)
+    assert(res.toWrite.count() === 0)
     val res2 = Ingest.post(store, enriched(Seq(s1, s1)))
-    assert(res2.intraBatchDups === 0)
-    assert(res2.toWrite.count() === 1)
+    assert(res2.rejected)
+    assert(res2.toWrite.count() === 0)
+    // distinct ids pass untouched
+    val res3 = Ingest.post(store, enriched(Seq(s1, s2)))
+    assert(!res3.rejected && res3.toWrite.count() === 2)
   }
 
   test("enrichment (D1-D3): id/stored/timestamp/authority merged, unknown fields survive") {

@@ -62,6 +62,17 @@ class PipelineSpec extends SparkSuite {
     assert(seen.distinct.length === seen.length, "pages must not overlap")
   }
 
+  test("pipeline digest equals the sequential generator-derived golden") {
+    // anchors the q_pipeline_store VALUES oracle: the distributed
+    // validate→convert→dedup plan must reproduce the single-threaded walk
+    // over the generator's index rules (PipelineGolden)
+    import spark.implicits._
+    val got = SparkEntry.queries("q_pipeline_store")(spark, "")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === PipelineGolden.rows.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("enriched statements carry stored/authority and echo the original timestamp") {
     val store = Store.read(spark, storePath)
     val row = store.select(get_json_object(col("event"), "$.stored").as("stored"),

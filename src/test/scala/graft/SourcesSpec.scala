@@ -58,6 +58,38 @@ class SourcesSpec extends SparkSuite {
     assert(History.onlyNew(listing, History.read(spark, path)).count() === 0)
   }
 
+  test("LDP archive source (S11): gz archives read natively, history-gated") {
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("ldp").toString
+    def gz(name: String, lines: Seq[String]): Unit = {
+      val out = new GZIPOutputStream(new java.io.FileOutputStream(s"$dir/$name"))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    gz("archive-1.gz", Seq("""{"id": 1}""", """{"id": 2}"""))
+    gz("archive-2.gz", Seq("""{"id": 3}"""))
+    val hist = Files.createTempDirectory("ldph").toString + "/history"
+    // first consumption: both archives decoded end-to-end
+    val first = graft.sources.Ldp.readNew(spark, dir, hist)
+    assert(first.as[String].collect().toSet ===
+      Set("""{"id": 1}""", """{"id": 2}""", """{"id": 3}"""))
+    // second consumption: nothing new (ldp read-once semantics via S17)
+    assert(graft.sources.Ldp.readNew(spark, dir, hist).count() === 0)
+    // a new archive arrives → only it is read
+    gz("archive-3.gz", Seq("""{"id": 4}"""))
+    assert(graft.sources.Ldp.readNew(spark, dir, hist).as[String].collect().toSeq
+      === Seq("""{"id": 4}"""))
+  }
+
+  test("object-store conf path (S9/S10): s3a/swift settings land in hadoopConfiguration") {
+    graft.sources.ObjectStore.configureS3a(spark, "https://s3.example.com", "AK", "SK")
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(c.get("fs.s3a.endpoint") === "https://s3.example.com")
+    assert(c.get("fs.s3a.path.style.access") === "true")
+    graft.sources.ObjectStore.configureSwift(spark, "svc",
+      "https://auth.example.com", "u", "p", "t")
+    assert(c.get("fs.swift.service.svc.auth.url") === "https://auth.example.com")
+  }
+
   test("PUT: new id writes, equivalent no-ops, different content conflicts") {
     val s = """{"id": "22222222-0000-0000-0000-000000000001", "actor": {"mbox": "mailto:a@x.io"}, "verb": {"id": "v://1"}, "object": {"id": "act://1"}}"""
     val store = Store.project(

@@ -21,17 +21,41 @@ class TextOpsSpec extends SparkSuite {
     assert(lsh === exact) // verification step makes precision exact; bands give ~1.0 recall
   }
 
-  test("simhash: near-dup pairs have small hamming distance; candidates cover planted pairs") {
-    val planted = TextOps.jaccardPairs(spark, dir, threshold = 0.5)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val sim = TextOps.simhashPairs(spark, dir, maxHamming = 16)
-      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
-    val simPairs = sim.map(t => (t._1, t._2)).toSet
-    val covered = planted.intersect(simPairs)
-    // simhash is a weaker signal than minhash on word-permuted docs — expect
-    // high but not necessarily perfect coverage of the planted pairs
-    assert(covered.size >= (planted.size * 0.8).toInt,
-      s"simhash covered ${covered.size}/${planted.size} planted pairs")
+  test("simhash banded+verified pairs equal the brute-force hamming<=3 set") {
+    // completeness: 4×16-bit bands + pigeonhole — the banded path must
+    // reproduce the quadratic scan exactly at hamming ≤ 3
+    val sigs = TextOps.simhashDocs(spark, dir)
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("hamming",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"a.doc_id", $"b.doc_id", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = TextOps.simhashPairs(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "fixture should contain ultra-similar pairs")
+  }
+
+  test("simhash candidate volume stays near-linear on a 10x corpus (banding selectivity)") {
+    // r1's 8-bit bands (256 keys) degenerated toward all-pairs/256; 16-bit
+    // bands must keep candidate growth close to the planted-pair growth
+    def corpus(n: Int) = {
+      val rows = (0 until n).map { i =>
+        val base = i / 2 // planted near-dup partner for every odd i
+        val ws = (0 until 15).map(w => s"w${graft.sources.Synth.mix(base * 31 + w, 977L) % 100000}")
+        val text = if (i % 2 == 1) (ws.dropRight(1) :+ "tail").mkString(" ") else ws.mkString(" ")
+        (i.toLong, text)
+      }
+      rows.toDF("doc_id", "text")
+    }
+    def candidates(n: Int): Long = TextOps.simhashCandidates(
+      corpus(n).select(col("doc_id"), TextOps.simhash(col("text")).as("simhash"))).count()
+    val small = candidates(200)
+    val big = candidates(2000)
+    assert(big.toDouble / small < 25.0,
+      s"candidate growth $small -> $big is super-linear (quadratic would be ~100x)")
   }
 
   test("fingerprint is deterministic and order-sensitive") {

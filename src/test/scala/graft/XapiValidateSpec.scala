@@ -59,6 +59,35 @@ class XapiValidateSpec extends SparkSuite {
       Validate.StatusInvalidModel))
   }
 
+  test("strict: recursive empty values rejected except inside extensions (statements.py:49-73)") {
+    val page = ("http://id.tincanapi.com/verb/viewed", "http://activitystrea.ms/schema/1.0/page")
+    val emptyTop = stmt(page._1, page._2, extra = """, "timestamp": """"")
+    val emptyNested = stmt(page._1, page._2,
+      extra = """, "context": {"registration": "de867099-77ce-453b-a4b9-5ee6f7de5a4f", "team": {}}""")
+    val nullNested = stmt(page._1, page._2,
+      extra = """, "result": {"success": true, "response": null}""")
+    val emptyInExtensions = stmt(page._1, page._2,
+      extra = """, "context": {"extensions": {"http://ext/a": "", "http://ext/b": {}}}""")
+    val out = validate(Seq(emptyTop, emptyNested, nullNested, emptyInExtensions))
+      .map(_.getString(1))
+    assert(out.toSeq === Seq(Validate.StatusInvalidModel, Validate.StatusInvalidModel,
+      Validate.StatusInvalidModel, Validate.StatusOk))
+  }
+
+  test("strict: duplicate interaction-component ids rejected (unnested_objects.py:79-84)") {
+    def interaction(choices: String) =
+      s"""{"actor": {"objectType": "Agent", "mbox": "mailto:a@x.io"}, """ +
+      s""""verb": {"id": "http://adlnet.gov/expapi/verbs/answered"}, """ +
+      s""""object": {"id": "act://q1", "objectType": "Activity", "definition": {""" +
+      s""""type": "http://adlnet.gov/expapi/activities/cmi.interaction", """ +
+      s""""interactionType": "choice", "choices": $choices}}}"""
+    val dup = interaction("""[{"id": "a"}, {"id": "b"}, {"id": "a"}]""")
+    val uniq = interaction("""[{"id": "a"}, {"id": "b"}]""")
+    val out = validate(Seq(dup, uniq)).map(_.getString(1))
+    // both select the AnsweredPoll template; only the unique one is valid
+    assert(out.toSeq === Seq(Validate.StatusInvalidModel, Validate.StatusOk))
+  }
+
   test("the 22k reference corpus validates as video statements") {
     val corpus = "/root/reference/data/statements.json.gz"
     assume(new java.io.File(corpus).exists())
