@@ -118,7 +118,7 @@ object Bench {
     // scales, and interleaving exposes every level to the same drift —
     // sequential per-level repeats would bias the ratio
     streamingRun(32, inputPath)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val levels = Seq(2, 8, 32)
     val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
     (1 to rounds).foreach { _ =>

@@ -56,7 +56,8 @@ case class Graft(spark: SparkSession,
 
   /** `ralph convert -f edx -t xapi` (C1–C7): validated edX → xAPI JSON. */
   def convert(validated: DataFrame): DataFrame =
-    Convert(validated, uuidNamespace, platformUrl).filter(col("xapi").isNotNull)
+    Convert(validated, uuidNamespace, platformUrl)
+      .filter(Convert.convertible(col("model")))
 
   /** `ralph write -b fs` (S2): statement JSON → JSONL file. */
   def write(df: DataFrame, path: String, op: FsJsonl.WriteOp = FsJsonl.Create,

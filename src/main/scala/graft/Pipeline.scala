@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Convert, Enrich, Store, Validate}
+import graft.operators.{Convert, Store, Validate}
 import graft.sources.Synth
 
 /** The end-to-end batch pipeline: pre-tokenized input → validate → convert →
@@ -66,18 +66,25 @@ object Pipeline {
     * (converter.py:212-224). */
   def validateConvert(input: DataFrame,
                       ns: String = Synth.UuidNamespace,
-                      url: String = Synth.PlatformUrl): DataFrame =
+                      url: String = Synth.PlatformUrl,
+                      storedIso: Option[String] = None): DataFrame =
     Convert(Validate.observed(Validate(input)).filter(col("status") === Validate.StatusOk),
-      ns, url).filter(col("xapi").isNotNull)
+      ns, url, storedIso).filter(Convert.convertible(col("model")))
 
-  /** Full batch run: returns the deduped lake frame ([[Store]] layout). */
+  /** Full batch run: returns the deduped lake frame ([[Store]] layout).
+    * Ingest enrichment (D2/D3) is emitted inside the convert projection —
+    * converted statements always carry id/timestamp already (D1 = the
+    * converter's own uuid5), so the POST-path JsonMerge re-parse
+    * ([[operators.Enrich]]) would be pure per-row overhead here. */
   def run(input: DataFrame,
           ns: String = Synth.UuidNamespace,
           url: String = Synth.PlatformUrl,
           storedIso: String = StoredIso): DataFrame = {
-    val converted = validateConvert(input, ns, url)
-    val enriched = Enrich(converted, "xapi", storedIso, uuidNamespace = ns)
-    val deduped = enriched.dropDuplicates("stmt_id")
+    val converted = validateConvert(input, ns, url, Some(storedIso))
+    // prune BEFORE the dedup exchange: only the store projection's inputs
+    // cross the wire (~4× less shuffle than dragging raw/tokens/event along)
+    val deduped = converted.select(col("id").as("stmt_id"), col("xapi"), col("source"))
+      .dropDuplicates("stmt_id")
     Store.project(deduped, "xapi")
   }
 }

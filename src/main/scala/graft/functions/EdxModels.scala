@@ -559,16 +559,115 @@ object EdxModels {
     }
   }
 
-  /** Static entry point for generated code (UTF8String-typed, nullable). */
-  def validJ(model: org.apache.spark.unsafe.types.UTF8String,
-             source: org.apache.spark.unsafe.types.UTF8String,
-             event: org.apache.spark.unsafe.types.UTF8String,
-             name: org.apache.spark.unsafe.types.UTF8String,
-             page: org.apache.spark.unsafe.types.UTF8String,
-             session: org.apache.spark.unsafe.types.UTF8String,
-             mode: org.apache.spark.unsafe.types.UTF8String): Boolean = {
-    def s(u: org.apache.spark.unsafe.types.UTF8String): String =
-      if (u == null) null else u.toString
-    valid(s(model), s(source), Ctx(s(event), s(name), s(page), s(session), s(mode)))
+  // ---------- whole-row verdict (single-parse fast path) -------------------
+
+  // status protocol (mirrored by graft.operators.Validate's constants)
+  final val StatusOk = "ok"
+  final val StatusInvalidJson = "invalid_json"
+  final val StatusUnknown = "unknown"
+  final val StatusInvalidModel = "invalid_model"
+
+  final val NoTs = Long.MinValue
+
+  /** Spark-cast-compatible-enough timestamp parse for the envelope `time`
+    * field → epoch micros, or [[NoTs]]. Accepts ISO-8601 with offset
+    * (the tracking-log wire format), ISO local (UTC), and the
+    * space-separated SQL form. */
+  def parseTsMicros(s: String): Long = {
+    if (s == null || s.isEmpty) return NoTs
+    try {
+      val odt = java.time.OffsetDateTime.parse(s)
+      odt.toEpochSecond * 1000000L + odt.getNano / 1000L
+    } catch { case _: Exception =>
+      try {
+        val ldt = java.time.LocalDateTime.parse(s)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      } catch { case _: Exception =>
+        try {
+          val t = java.sql.Timestamp.valueOf(s)
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        } catch { case _: Exception => NoTs }
+      }
+    }
   }
+
+  private def asString(v: JsonNode): String =
+    if (v == null || v.isNull) null
+    else if (v.isTextual) v.asText
+    else v.toString // objects/arrays/numbers normalized like Spark's parser
+
+  private val usernameOk: String => Boolean =
+    u => u != null && (u.isEmpty || (u.length >= 2 && u.length <= 30))
+  private val Ipv4Re = Pattern.compile("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
+  private val CourseRe = Pattern.compile(CourseIdRe)
+  private val IntRe = Pattern.compile("^-?[0-9]+$")
+
+  /** One-parse row verdict: (status, model, tsMicros). The entire validate
+    * stage — envelope presence + formats, selector, per-model payload and
+    * envelope rules, event-time parse — from ONE Jackson parse of the raw
+    * line. This exists because Catalyst's predicate pushdown substitutes a
+    * projected status column into the filter condition, re-evaluating every
+    * referenced subexpression: with the verdict as a single expression the
+    * substitution duplicates one parse, not ten (measured 27× row cost on
+    * the r1-shaped plan). */
+  def verdict(raw: String): (String, String, Long) = {
+    val root = parse(raw)
+    if (root == null || !root.isObject)
+      return (StatusInvalidJson, null, NoTs)
+    val username = asString(g(root, "username"))
+    val src = asString(g(root, "event_source"))
+    val typ = asString(g(root, "event_type"))
+    val time = asString(g(root, "time"))
+    val ctxNode = g(root, "context")
+    if (username == null || src == null || typ == null || time == null ||
+        ctxNode == null || !ctxNode.isObject)
+      return (StatusInvalidJson, null, NoTs)
+    val ts = parseTsMicros(time)
+    if (ts == NoTs) return (StatusInvalidJson, null, NoTs)
+
+    val path = asString(g(ctxNode, "path"))
+    val model =
+      if (src == "server" && typ == path) "server"
+      else if (rules.contains((src, typ))) typ
+      else null
+    if (model == null) return (StatusUnknown, null, ts)
+
+    // envelope FORMAT constraints (base.py:160-169, BaseContextField:89-94)
+    val ip = asString(g(root, "ip"))
+    val referer = asString(g(root, "referer"))
+    val courseId = asString(g(ctxNode, "course_id"))
+    val userId = g(ctxNode, "user_id")
+    val formatOk = usernameOk(username) &&
+      (ip == null || ip.isEmpty || Ipv4Re.matcher(ip).matches()) &&
+      (referer == null || referer.isEmpty || referer.startsWith("http://") ||
+        referer.startsWith("https://")) &&
+      (courseId == null || CourseRe.matcher(courseId).matches()) &&
+      (userId == null || userId.isNull || userId.isIntegralNumber ||
+        (userId.isTextual && (userId.asText.isEmpty ||
+          IntRe.matcher(userId.asText).matches())))
+    val ctx = Ctx(
+      event = asString(g(root, "event")),
+      name = asString(g(root, "name")),
+      page = asString(g(root, "page")),
+      session = asString(g(root, "session")),
+      mode = asString(g(ctxNode, "mode")))
+    if (!formatOk || !valid(model, src, ctx))
+      (StatusInvalidModel, model, ts)
+    else (StatusOk, model, ts)
+  }
+
+  /** Static entry point for generated code: verdict as an InternalRow
+    * (status, model, ts). */
+  def verdictRow(raw: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val (status, model, ts) =
+      if (raw == null) (StatusInvalidJson, null, NoTs)
+      else verdict(raw.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(status),
+      if (model == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(model),
+      if (ts == NoTs) null else java.lang.Long.valueOf(ts)))
+  }
+
 }

@@ -34,6 +34,10 @@ object XapiStrict {
     root != null && root.isObject && walk(root)
   }
 
+  /** Entry point over an already-parsed tree (used by the one-parse
+    * whole-row xAPI verdict). */
+  def okNode(root: JsonNode): Boolean = root != null && root.isObject && walk(root)
+
   private def walk(node: JsonNode): Boolean = {
     val fields = node.fields()
     while (fields.hasNext) {

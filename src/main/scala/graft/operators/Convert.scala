@@ -45,6 +45,20 @@ object Convert {
 
   import graft.model.Schemas
 
+  val VideoFams: Seq[String] = Seq("load_video", "play_video", "pause_video",
+    "stop_video", "seek_video")
+  val EnrollFams: Seq[String] = Seq("edx.course.enrollment.activated",
+    "edx.course.enrollment.deactivated")
+  /** Models with a conversion set (converter.py registry — 9 sets). */
+  val ConvertibleModels: Seq[String] = Seq("server", "page_close") ++ EnrollFams ++ VideoFams
+
+  /** Cheap "has a conversion set" predicate. Use THIS to drop unconvertible
+    * rows, never `xapi.isNotNull`: predicate pushdown substitutes the filter
+    * column's defining expression into the condition, so filtering on the
+    * xapi JSON re-evaluates the whole envelope-parse + to_json chain per row
+    * (the same 10×-row-cost trap the single-expression verdict avoids). */
+  def convertible(model: Column): Column = model.isin(ConvertibleModels: _*)
+
   private def jsonOpts = Map("ignoreNullFields" -> "true")
 
   /** Convert validated rows (Validate output with status=ok) to xAPI.
@@ -53,8 +67,16 @@ object Convert {
     *
     * @param uuidNamespace converter UUID namespace (base.py:26-29)
     * @param platformUrl   platform URL (base.py:41-47)
+    * @param storedIso     when set, emit ingest enrichment (D2 `stored`,
+    *                      D3 `authority`) directly in the converted JSON —
+    *                      one to_json instead of a convert-then-JsonMerge
+    *                      re-parse per row. The converter's own output
+    *                      (goldens) carries no stored/authority: pass None.
+    * @param authorityJson authority agent JSON (with storedIso)
     */
-  def apply(validated: DataFrame, uuidNamespace: String, platformUrl: String): DataFrame = {
+  def apply(validated: DataFrame, uuidNamespace: String, platformUrl: String,
+            storedIso: Option[String] = None,
+            authorityJson: String = Enrich.DefaultAuthority): DataFrame = {
     val e = col("event")
     val ns = lit(uuidNamespace)
     val urlClean = platformUrl.reverse.dropWhile(_ == '/').reverse
@@ -90,11 +112,9 @@ object Convert {
     // dispatch (9 full-statement structs × 9 to_json) blew Janino's method
     // limit and dropped the hottest stage to interpreted eval (VERDICT r1).
     val m = col("model")
-    val videoFams = Seq("load_video", "play_video", "pause_video",
-      "stop_video", "seek_video")
-    val enrollFams = Seq("edx.course.enrollment.activated",
-      "edx.course.enrollment.deactivated")
-    val convertible = Seq("server", "page_close") ++ enrollFams ++ videoFams
+    val videoFams = Convert.VideoFams
+    val enrollFams = Convert.EnrollFams
+    val convertible = Convert.ConvertibleModels
 
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
@@ -147,11 +167,15 @@ object Convert {
       .when(m === "stop_video", Terminated)
       .when(m === "seek_video", Seeked)
 
-    val xapi = when(m.isin(convertible: _*), to_json(struct(
+    val enrichFields = storedIso.toSeq.flatMap { iso =>
+      Seq(lit(iso).as("stored"),
+        from_json(lit(authorityJson), Schemas.actorType).as("authority"))
+    }
+    val xapi = when(m.isin(convertible: _*), to_json(struct(Seq(
       id.as("id"), actor.as("actor"), timestamp.as("timestamp"),
       lit("1.0.0").as("version"), context.as("context"),
       objectCol.as("object"), result.as("result"),
-      struct(verbId.as("id")).as("verb")), jsonOpts))
+      struct(verbId.as("id")).as("verb")) ++ enrichFields: _*), jsonOpts))
 
     validated
       .withColumn("id", id)

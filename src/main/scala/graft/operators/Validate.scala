@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{EdxModelValid, TokenCodec}
+import graft.functions.TokenCodec
 import graft.model.Schemas
 
 /** Scan-time validation: model selection + per-model constraints.
@@ -46,55 +46,27 @@ object Validate {
   /** Full validation: input table (doc_id, tokens, n_tok, source) →
     * columns (doc_id, source, raw, event, model, ts, status).
     * `raw` is the decoded original text (lax passthrough — the canonical
-    * output bytes, mirroring LaxStatement's extra="allow"). */
+    * output bytes, mirroring LaxStatement's extra="allow").
+    *
+    * The whole verdict — envelope presence (pydantic envelope parse,
+    * base.py:105-169) + format constraints (base.py:160-169), the selector,
+    * every per-model payload/envelope rule, event-time parse — is ONE
+    * single-child native expression over the raw line
+    * ([[graft.functions.EdxRowValidate]]): one Jackson parse per row, and
+    * predicate pushdown substituting `status` into a downstream filter can
+    * only duplicate that single call (a verdict assembled from many
+    * subexpressions re-evaluates all of them per filter — measured 27× the
+    * single-evaluation row cost on the r1-shaped plan). The `event` struct
+    * column remains for downstream stages (Convert), evaluated only where
+    * referenced — after the status filter. */
   def apply(input: DataFrame): DataFrame = {
     val raw = TokenCodec.decodeTokens(col("tokens"))
-    val withRaw = input.withColumn("raw", raw)
+    val v = graft.functions.EdxRowValidate(col("raw"))
+    input.withColumn("raw", raw)
       .withColumn("event", from_json(col("raw"), Schemas.edxEvent))
-
-    val e = col("event")
-    val model = selectModel(e("event_source"), e("event_type"), e("context").getField("path"))
-
-    // Envelope presence = the reference's pydantic envelope parse
-    // (base.py:105-169); from_json(PERMISSIVE) yields an all-null struct on
-    // corrupt input, so missing mandatory fields ⇔ undecodable line.
-    // Unparsable time is treated as invalid too (lrs/fs.py:344-352 precedent).
-    val envelopeOk = e.isNotNull && e("username").isNotNull &&
-      e("event_source").isNotNull && e("event_type").isNotNull &&
-      e("time").isNotNull && e("context").isNotNull
-    val ts = e("time").cast("timestamp")
-
-    // Envelope FORMAT constraints (base.py:160-169, BaseContextField:89-94):
-    // username 2-30 chars or ""; ip IPv4 or ""; referer http(s) URL or "";
-    // course_id `^$|^course-v1:.+\+.+\+.+$`; user_id int | "" | null.
-    // Format failures are model-validation failures (pydantic), not JSON
-    // decode errors — they route to invalid_model.
-    val ctxc = e("context")
-    val envelopeFormatOk =
-      (e("username") === "" || length(e("username")).between(2, 30)) &&
-      (e("ip").isNull || e("ip") === "" ||
-        e("ip").rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")) &&
-      (e("referer").isNull || e("referer") === "" ||
-        e("referer").rlike("^https?://")) &&
-      (ctxc.getField("course_id").isNull ||
-        ctxc.getField("course_id").rlike("^$|^course-v1:.+\\+.+\\+.+$")) &&
-      (ctxc.getField("user_id").isNull || ctxc.getField("user_id") === "" ||
-        ctxc.getField("user_id").rlike("^-?[0-9]+$"))
-
-    // The entire 105-family payload + per-model envelope dispatch: one
-    // native expression, one JSON parse per row, one generated static call.
-    val modelOk = EdxModelValid(
-      col("model"), e("event_source"), e("event"), e("name"), e("page"),
-      e("session"), ctxc.getField("mode"))
-
-    withRaw
-      .withColumn("model", model)
-      .withColumn("ts", ts)
-      .withColumn("status",
-        when(!envelopeOk || col("ts").isNull, StatusInvalidJson)
-          .when(col("model").isNull, StatusUnknown)
-          .when(!coalesce(envelopeFormatOk, lit(false)) || !modelOk, StatusInvalidModel)
-          .otherwise(StatusOk))
+      .withColumn("model", v.getField("model"))
+      .withColumn("ts", v.getField("ts"))
+      .withColumn("status", v.getField("status"))
   }
 
   /** Valid rows only (ignore_errors=true path, validator.py:33-46). */

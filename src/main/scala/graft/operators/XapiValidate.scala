@@ -66,70 +66,19 @@ object XapiValidate {
         "https://w3id.org/xapi/acrossx/activities/message") -> "virtual_classroom.VirtualClassroomPostedPublicMessage")
   }
 
-  private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
-
-  /** Exactly-one-IFI rule (ifi.py:12-61) + per-IFI format constraints. */
-  def agentOk(a: Column): Column = {
-    val ifis = Seq(
-      nonEmpty(a.getField("mbox")),
-      nonEmpty(a.getField("mbox_sha1sum")),
-      nonEmpty(a.getField("openid")),
-      a.getField("account").isNotNull)
-    val exactlyOne =
-      ifis.map(c => when(coalesce(c, lit(false)), 1).otherwise(0)).reduce(_ + _) === 1
-    val formats =
-      (a.getField("mbox").isNull || a.getField("mbox").rlike("^mailto:[^@ ]+@[^@ ]+$")) &&
-      (a.getField("mbox_sha1sum").isNull || a.getField("mbox_sha1sum").rlike("^[0-9a-f]{40}$")) &&
-      (a.getField("account").isNull ||
-        (nonEmpty(a.getField("account").getField("homePage")) &&
-         nonEmpty(a.getField("account").getField("name"))))
-    exactlyOne && formats
-  }
-
-  /** Score ordering min ≤ raw ≤ max, scaled ∈ [-1, 1] (results.py:31-42). */
-  def resultOk(r: Column): Column = {
-    val s = r.getField("score")
-    r.isNull || s.isNull || (
-      (s.getField("scaled").isNull ||
-        (s.getField("scaled") >= -1.0 && s.getField("scaled") <= 1.0)) &&
-      (s.getField("raw").isNull || s.getField("min").isNull || s.getField("raw") >= s.getField("min")) &&
-      (s.getField("raw").isNull || s.getField("max").isNull || s.getField("raw") <= s.getField("max")))
-  }
-
-  /** Validate statement-JSON rows: adds `stmt`, `xapi_model`, `xapi_status`. */
+  /** Validate statement-JSON rows: adds `stmt`, `xapi_model`, `xapi_status`.
+    *
+    * The verdict — template selection, IFI/score/version/timestamp/platform
+    * constraints, strict raw-JSON rules — is ONE single-child native
+    * expression ([[graft.functions.XapiRowValidate]]): one Jackson parse per
+    * row, and a downstream status filter's predicate-pushdown substitution
+    * can only duplicate that single call (see EdxRowValidate for the
+    * measured many-subexpression trap). The parsed `stmt` struct column
+    * remains for downstream consumers, evaluated only where referenced. */
   def apply(df: DataFrame, stmtCol: String = "xapi"): DataFrame = {
-    val stmt = from_json(col(stmtCol), Schemas.statement)
-    val withStmt = df.withColumn("stmt", stmt)
-    val s = col("stmt")
-    val key = concat_ws(" ",
-      s.getField("verb").getField("id"),
-      s.getField("object").getField("definition").getField("type"))
-    val lookup = Templates.toSeq.map(kv => (kv._1._1 + " " + kv._1._2, kv._2))
-    val model = lookup.foldLeft(when(lit(false), lit(""))) { case (w, (k, name)) =>
-      w.when(key === k, lit(name))
-    }
-    val baseOk =
-      // strict raw-JSON rules: recursive empty-value rejection + interaction
-      // component id uniqueness (statements.py:49-73, unnested_objects.py:79-84)
-      graft.functions.XapiStrict.xapiStrict(col(stmtCol)) &&
-      nonEmpty(s.getField("verb").getField("id")) &&
-      nonEmpty(s.getField("object").getField("id")) &&
-      s.getField("actor").isNotNull && agentOk(s.getField("actor")) &&
-      resultOk(s.getField("result")) &&
-      (s.getField("version").isNull || s.getField("version").rlike("^1\\.0\\.[0-9]+$")) &&
-      (s.getField("timestamp").isNull ||
-        s.getField("timestamp").cast("timestamp").isNotNull) &&
-      // platform/revision only for Activity objects (base/statements.py:62-73)
-      ((s.getField("context").getField("platform").isNull &&
-        s.getField("context").getField("revision").isNull) ||
-        s.getField("object").getField("objectType").isNull ||
-        s.getField("object").getField("objectType") === "Activity")
-    withStmt
-      .withColumn("xapi_model", model)
-      .withColumn("xapi_status",
-        when(s.isNull || s.getField("actor").isNull, Validate.StatusInvalidJson)
-          .when(col("xapi_model").isNull, Validate.StatusUnknown)
-          .when(!coalesce(baseOk, lit(false)), Validate.StatusInvalidModel)
-          .otherwise(Validate.StatusOk))
+    val v = graft.functions.XapiRowValidate(col(stmtCol))
+    df.withColumn("stmt", from_json(col(stmtCol), Schemas.statement))
+      .withColumn("xapi_model", v.getField("model"))
+      .withColumn("xapi_status", v.getField("status"))
   }
 }

@@ -34,7 +34,7 @@ object StreamPipeline {
     val validated = Validate.observed(Validate(input))
       .filter(col("status") === Validate.StatusOk)
     Convert(validated, ns, url)
-      .filter(col("xapi").isNotNull) // no conversion set → routed out (V3)
+      .filter(Convert.convertible(col("model"))) // no conversion set → routed out (V3)
       .select(col("id"), col("actor_key"), col("verb_id"), col("object_id"),
         col("source"), col("ts"), col("xapi"))
       .withWatermark("ts", WatermarkDelay)
