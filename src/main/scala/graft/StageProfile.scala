@@ -81,3 +81,77 @@ object StageProfile2 {
     spark.stop()
   }
 }
+
+/** Streaming-stage split at one parallelism level: where do the
+  * statements/sec go — map path, dedup state, session state, or sink? */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.getOrElse("32")
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+    import graft.streaming.{LakeSink, StreamPipeline}
+    val shm = "/dev/shm/graft-prof"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shm))
+    def session() = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = SparkSession.builder().master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.local.dir", s"$shm/local")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    val gen = session()
+    val inputPath = s"$shm/input"
+    graft.sources.Synth.inputTable(gen, n, 128).write.mode("overwrite").parquet(inputPath)
+    gen.stop()
+
+    def run(name: String)(build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+      val spark = session()
+      try {
+        val cp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(shm), "cp").toString
+        val q = build(spark, cp).start()
+        q.awaitTermination()
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        val steady = if (batches.length > 1) batches.drop(1) else batches
+        val rows = steady.map(_.numInputRows).sum
+        val sec = steady.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
+        println(f"$name%-28s ${rows / sec / 1000}%8.1f krows/s")
+      } finally spark.stop()
+    }
+    val fpt = sys.env.getOrElse("SPARK_GRAFT_FPT", "64")
+    def input(spark: SparkSession) = {
+      val r = spark.readStream.schema(graft.model.Schemas.inputTable)
+      (if (fpt == "all") r else r.option("maxFilesPerTrigger", fpt)).parquet(inputPath)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame, cp: String) =
+      df.writeStream.format("noop").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
+    run("A map path only")((s, cp) => noop(StreamPipeline.statements(input(s)), cp))
+    run("B +dedup state")((s, cp) =>
+      noop(StreamPipeline.deduped(StreamPipeline.statements(input(s))), cp))
+    run("C +sessions state")((s, cp) =>
+      noop(StreamPipeline.sessions(
+        StreamPipeline.deduped(StreamPipeline.statements(input(s)))).toDF(), cp))
+    run("D full with LakeSink")((s, cp) => {
+      val sink = new LakeSink(java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(shm), "sink").toString)
+      StreamPipeline.sessions(
+        StreamPipeline.deduped(StreamPipeline.statements(input(s)))).toDF()
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.addBatch(id, b); () }
+    })
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(shm))
+  }
+}

@@ -94,13 +94,23 @@ object EmbeddingOps {
     * both full vectors through the distinct). Recall follows the table
     * formula; nTables/planesPer tune recall vs bucket selectivity. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              nTables: Int = NumTables, planesPer: Int = PlanesPerTable): DataFrame = {
+              nTables: Int = NumTables, planesPer: Int = PlanesPerTable,
+              multiProbe: Boolean = false): DataFrame = {
     val pl = planes(64, nTables, planesPer)
     val emb = embeddings(spark, dir)
     val bucketed = emb
       .select(col("vec_id"), explode(bucketsOf(col("embedding"), pl)).as("bucket"))
-    val qBuckets = bucketed.filter(col("vec_id") < nQueries)
+    // multi-probe: the QUERY side also visits every 1-bit-flipped bucket of
+    // its key per table (the sign bits most likely to be wrong for a true
+    // neighbor) — recall rises without growing the index, only the
+    // request-sized broadcast fans out ×(planesPer+1)
+    val qBase = bucketed.filter(col("vec_id") < nQueries)
       .withColumnRenamed("vec_id", "qid")
+    val qBuckets =
+      if (!multiProbe) qBase
+      else qBase.select(col("qid"), explode(array(
+        (col("bucket") +: (0 until planesPer).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
     val cands = bucketed.join(broadcast(qBuckets), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")

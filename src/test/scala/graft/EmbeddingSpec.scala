@@ -41,6 +41,19 @@ class EmbeddingSpec extends SparkSuite {
     assert(recall >= 0.6, f"recall $recall%.2f below floor")
   }
 
+  test("multi-probe LSH recall dominates single-probe at the same index size") {
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(ann: Set[(Long, Long)]) = truth.intersect(ann).size.toDouble / truth.size
+    val single = recall(EmbeddingOps.lshTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet)
+    val multi = recall(EmbeddingOps.lshTopK(spark, dir, 10, 5, multiProbe = true)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet)
+    info(f"single-probe $single%.2f vs multi-probe $multi%.2f")
+    assert(multi >= single)
+    assert(multi >= 0.7, f"multi-probe recall $multi%.2f below floor")
+  }
+
   test("LSH at 48 tables x 4 planes equals brute force exactly (oracle config)") {
     val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
       .as[(Long, Long, Double, Int)].collect().toSet

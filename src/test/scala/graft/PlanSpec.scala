@@ -67,6 +67,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("near-dup candidate generation never plans a cartesian product") {
+    // the banded/shingled paths must meet candidates via equi-joins — a
+    // CartesianProduct/BroadcastNestedLoop here is the difference between
+    // O(near-dups) and O(corpus²) at 100 TB (brute-force ground-truth ops
+    // excepted by design)
+    val plans = Seq(
+      planOf(graft.operators.TextOps.jaccardPairs(spark, sf("sf0.001"))),
+      planOf(graft.operators.TextOps.minhashLshPairs(spark, sf("sf0.001"))),
+      planOf(graft.operators.TextOps.simhashPairs(spark, sf("sf0.001"))),
+      planOf(EmbeddingOps.lshTopK(spark, sf("sf0.001"))))
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"no hash/merge join path in:\n$p")
+    }
+  }
+
   test("uuid5/token-codec expressions stay inside whole-stage codegen") {
     val df = EventOps.events(spark, sf("sf0.001"))
       .select(graft.functions.Uuid5.uuid5Col(
