@@ -46,10 +46,20 @@ case class EdxRowValidate(child: Expression) extends UnaryExpression {
 }
 
 object EdxRowValidate {
+  /** Verdict + every envelope field the convert stage consumes — the
+    * verdict parse doubles as the envelope parse for the production path. */
   val schema: StructType = StructType(Seq(
     StructField("status", StringType, nullable = false),
     StructField("model", StringType, nullable = true),
-    StructField("ts", TimestampType, nullable = true)))
+    StructField("ts", TimestampType, nullable = true),
+    StructField("time", StringType, nullable = true),
+    StructField("event", StringType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("session", StringType, nullable = true),
+    StructField("agent", StringType, nullable = true),
+    StructField("page", StringType, nullable = true),
+    StructField("user_id", StringType, nullable = true),
+    StructField("course_id", StringType, nullable = true)))
 
   def apply(raw: Column): Column =
     ExpressionUtils.column(EdxRowValidate(ExpressionUtils.expression(raw)))

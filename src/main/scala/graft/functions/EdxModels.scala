@@ -602,18 +602,27 @@ object EdxModels {
   private val CourseRe = Pattern.compile(CourseIdRe)
   private val IntRe = Pattern.compile("^-?[0-9]+$")
 
-  /** One-parse row verdict: (status, model, tsMicros). The entire validate
-    * stage — envelope presence + formats, selector, per-model payload and
-    * envelope rules, event-time parse — from ONE Jackson parse of the raw
-    * line. This exists because Catalyst's predicate pushdown substitutes a
-    * projected status column into the filter condition, re-evaluating every
-    * referenced subexpression: with the verdict as a single expression the
+  /** The one-parse row verdict, carrying every envelope field the convert
+    * stage consumes — the verdict parse IS the envelope parse, so the
+    * production pipeline never runs a second one. */
+  final case class Verdict(status: String, model: String, tsMicros: Long,
+                           time: String = null, event: String = null,
+                           eventType: String = null, session: String = null,
+                           agent: String = null, page: String = null,
+                           userId: String = null, courseId: String = null)
+
+  /** One-parse row verdict. The entire validate stage — envelope presence +
+    * formats, selector, per-model payload and envelope rules, event-time
+    * parse — from ONE Jackson parse of the raw line. This exists because
+    * Catalyst's predicate pushdown substitutes a projected status column
+    * into the filter condition, re-evaluating every referenced
+    * subexpression: with the verdict as a single expression the
     * substitution duplicates one parse, not ten (measured 27× row cost on
     * the r1-shaped plan). */
-  def verdict(raw: String): (String, String, Long) = {
+  def verdict(raw: String): Verdict = {
     val root = parse(raw)
     if (root == null || !root.isObject)
-      return (StatusInvalidJson, null, NoTs)
+      return Verdict(StatusInvalidJson, null, NoTs)
     val username = asString(g(root, "username"))
     val src = asString(g(root, "event_source"))
     val typ = asString(g(root, "event_type"))
@@ -621,16 +630,21 @@ object EdxModels {
     val ctxNode = g(root, "context")
     if (username == null || src == null || typ == null || time == null ||
         ctxNode == null || !ctxNode.isObject)
-      return (StatusInvalidJson, null, NoTs)
+      return Verdict(StatusInvalidJson, null, NoTs)
     val ts = parseTsMicros(time)
-    if (ts == NoTs) return (StatusInvalidJson, null, NoTs)
+    if (ts == NoTs) return Verdict(StatusInvalidJson, null, NoTs)
 
     val path = asString(g(ctxNode, "path"))
     val model =
       if (src == "server" && typ == path) "server"
       else if (rules.contains((src, typ))) typ
       else null
-    if (model == null) return (StatusUnknown, null, ts)
+    def fields(status: String, model: String) = Verdict(status, model, ts,
+      time = time, event = asString(g(root, "event")), eventType = typ,
+      session = asString(g(root, "session")), agent = asString(g(root, "agent")),
+      page = asString(g(root, "page")), userId = asString(g(ctxNode, "user_id")),
+      courseId = asString(g(ctxNode, "course_id")))
+    if (model == null) return fields(StatusUnknown, null)
 
     // envelope FORMAT constraints (base.py:160-169, BaseContextField:89-94)
     val ip = asString(g(root, "ip"))
@@ -651,23 +665,23 @@ object EdxModels {
       page = asString(g(root, "page")),
       session = asString(g(root, "session")),
       mode = asString(g(ctxNode, "mode")))
-    if (!formatOk || !valid(model, src, ctx))
-      (StatusInvalidModel, model, ts)
-    else (StatusOk, model, ts)
+    if (!formatOk || !valid(model, src, ctx)) fields(StatusInvalidModel, model)
+    else fields(StatusOk, model)
   }
 
   /** Static entry point for generated code: verdict as an InternalRow
-    * (status, model, ts). */
+    * matching [[EdxRowValidate.schema]]. */
   def verdictRow(raw: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
-    val (status, model, ts) =
-      if (raw == null) (StatusInvalidJson, null, NoTs)
-      else verdict(raw.toString)
+    val v = if (raw == null) Verdict(StatusInvalidJson, null, NoTs)
+            else verdict(raw.toString)
+    def u(s: String) =
+      if (s == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(s)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      org.apache.spark.unsafe.types.UTF8String.fromString(status),
-      if (model == null) null
-      else org.apache.spark.unsafe.types.UTF8String.fromString(model),
-      if (ts == NoTs) null else java.lang.Long.valueOf(ts)))
+      u(v.status), u(v.model),
+      if (v.tsMicros == NoTs) null else java.lang.Long.valueOf(v.tsMicros),
+      u(v.time), u(v.event), u(v.eventType), u(v.session), u(v.agent),
+      u(v.page), u(v.userId), u(v.courseId)))
   }
 
 }

@@ -77,7 +77,10 @@ object Convert {
   def apply(validated: DataFrame, uuidNamespace: String, platformUrl: String,
             storedIso: Option[String] = None,
             authorityJson: String = Enrich.DefaultAuthority): DataFrame = {
-    val e = col("event")
+    // envelope fields come from the verdict struct (`env`) — the validate
+    // expression's single Jackson parse; the separate `event` from_json
+    // column stays out of this plan entirely
+    val e = col("env")
     val ns = lit(uuidNamespace)
     val urlClean = platformUrl.reverse.dropWhile(_ == '/').reverse
 
@@ -85,9 +88,9 @@ object Convert {
     val id = Uuid5.uuid5Col(ns, col("raw"))
     // `str(user_id) if user_id else "anonymous"` — user_id is int|""|None in
     // the reference (edx/base.py), so 0/""/null are all falsy (base.py:43-47)
-    val actorName = when(e("context").getField("user_id").isNotNull &&
-      !e("context").getField("user_id").isin("", "0"),
-      e("context").getField("user_id").cast("string")).otherwise(lit("anonymous"))
+    val actorName = when(e("user_id").isNotNull &&
+      !e("user_id").isin("", "0"),
+      e("user_id")).otherwise(lit("anonymous"))
     val actor = struct(
       struct(lit(platformUrl).as("homePage"), actorName.as("name")).as("account"),
       lit("Agent").as("objectType"))
@@ -102,7 +105,7 @@ object Convert {
     val courseObjId = concat(lit(urlClean), lit("/courses/"),
       regexp_replace(enr("course_id"), "^/+|/+$", ""), lit("/info"))
     val videoObjId = concat(lit(urlClean), lit("/xblock/block-v1:"),
-      e("context").getField("course_id"), lit("-course-v1:+type@video+block@"), video("id"))
+      e("course_id"), lit("-course-v1:+type@video+block@"), video("id"))
 
     // One SUPERSET statement struct + ONE to_json(ignoreNullFields) instead
     // of nine per-family struct literals behind a when() chain: per-field

@@ -63,10 +63,14 @@ object Validate {
     val raw = TokenCodec.decodeTokens(col("tokens"))
     val v = graft.functions.EdxRowValidate(col("raw"))
     input.withColumn("raw", raw)
+      // full envelope struct for ad-hoc consumers (lax passthrough view);
+      // the production convert path reads the verdict's own fields instead,
+      // so this from_json is pruned out of pipeline plans
       .withColumn("event", from_json(col("raw"), Schemas.edxEvent))
-      .withColumn("model", v.getField("model"))
-      .withColumn("ts", v.getField("ts"))
-      .withColumn("status", v.getField("status"))
+      .withColumn("env", v)
+      .withColumn("model", col("env").getField("model"))
+      .withColumn("ts", col("env").getField("ts"))
+      .withColumn("status", col("env").getField("status"))
   }
 
   /** Valid rows only (ignore_errors=true path, validator.py:33-46). */
