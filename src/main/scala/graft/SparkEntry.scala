@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EmbeddingOps, EventOps, TextOps}
+import graft.operators.{CorpusOps, EmbeddingOps, EventOps, TextOps}
 import graft.sources.Synth
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -49,6 +49,13 @@ object SparkEntry {
     "q_mm_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "q_frame_sample" -> ((s, d) => TextOps.frameSample(s, d)
       .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx", "byte_offset")),
+    // ---- corpus-preparation ops (CorpusOps) ------------------------------
+    "q_rep_signals" -> ((s, d) => CorpusOps.repetitionSignals(s, d)),
+    "q_seq_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
+    "q_pseudonymize" -> ((s, d) => CorpusOps.pseudonymize(s, d)),
+    "q_decontam" -> ((s, d) => CorpusOps.contamination(s, d)),
+    "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
+    "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
     "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
@@ -214,6 +221,56 @@ object SparkEntry {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
     "q_pipeline_store" -> pipelineStoreGolden,
+    "q_rep_signals" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (SELECT doc_id,
+                       count(DISTINCT array_to_string(ws[k:k+1], ' ')) AS n_bg
+                FROM w, unnest(generate_series(1, len(ws) - 1)) t(k) GROUP BY 1),
+         wc AS (SELECT doc_id, word, count(*) AS n
+                FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(n) AS top_n FROM wc GROUP BY 1)
+         SELECT w.doc_id, len(ws) AS n_words,
+                round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+                  AS dup_word_ratio,
+                round(1.0 - bg.n_bg::DOUBLE / (len(ws) - 1), 6)
+                  AS dup_bigram_ratio,
+                round(top.top_n::DOUBLE / len(ws), 6) AS top_word_frac
+         FROM w JOIN bg USING (doc_id) JOIN top USING (doc_id)""",
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
+                           len(string_split(text, ' ')) AS n_tok FROM documents),
+         c AS (SELECT doc_id, bucket, n_tok,
+                      sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+         SELECT doc_id, bucket, n_tok,
+                CAST(cum - n_tok AS BIGINT) AS start_off,
+                CAST((cum - n_tok) // 256 AS BIGINT) AS start_chunk,
+                CAST((cum - 1) // 256 AS BIGINT) AS end_chunk
+         FROM c""",
+    "q_pseudonymize" ->
+      """SELECT event_id,
+                substr(md5('pepper1:' || user_id::VARCHAR), 1, 16) AS user_pseudo,
+                event_type
+         FROM events WHERE event_id < 2000""",
+    "q_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[k:k+3], ' ') AS s
+                FROM w, unnest(generate_series(1, len(ws) - 3)) t(k)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
+         FROM sh JOIN bench USING (s) WHERE sh.doc_id % 50 <> 0 GROUP BY 1""",
+    "q_source_sample" ->
+      """SELECT source, count(*) AS n_total,
+                CAST(sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINTEGER % 20
+                               < 5 + (substr(source, 4)::INT % 10)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents GROUP BY 1""",
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY 1 ORDER BY n DESC, word LIMIT 20""",
     "q_cos_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for a training-data pipeline, beyond the
+  * near-dup family in [[TextOps]]: repetition-quality signals, sequence
+  * packing, identifier pseudonymization + PII redaction, benchmark
+  * decontamination, stratified source sampling, vocabulary building.
+  *
+  * Scale notes, per operator:
+  *  - repetition signals: per-row array math (narrow, codegen) + one
+  *    aggregation keyed on (doc_id, word) — word counts combine map-side,
+  *    the shuffle carries (id, word, count) triples, never documents.
+  *  - packing: windowed cumulative sums *within hash buckets* — the global
+  *    sort a naive concat-and-chunk would need does not exist; each bucket
+  *    packs independently, so the plan scales out with bucket count.
+  *  - decontamination: the benchmark shingle set is orders of magnitude
+  *    smaller than the corpus → broadcast semi-join; training docs never
+  *    shuffle.
+  *  - sampling: pure per-row hash math against a rate derived from the
+  *    source key — no shuffle at all until the audit aggregation.
+  *  - vocabulary: classic combine-heavy word count; the top-k is a single
+  *    reduction over (word, count) pairs, not documents.
+  */
+object CorpusOps {
+
+  import TextOps.documents
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // ---- Repetition / quality signals (Gopher-style, public heuristics) ----
+
+  /** Per-document repetition signals: duplicate-word fraction, duplicate-
+    * bigram fraction (1 - distinct/total — high values mean boilerplate or
+    * degenerate repetition) and the fraction of the document taken by its
+    * single most frequent word. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val w = words(col("text"))
+    val nWords = size(w).cast("long")
+    val base = docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(lit(1.0) - size(array_distinct(w)).cast("double") / nWords, 6)
+        .as("dup_word_ratio"),
+      round(lit(1.0) -
+        size(TextOps.shingleArr(col("text"), 2)).cast("double") / (nWords - 1), 6)
+        .as("dup_bigram_ratio"))
+    val topCount = docs
+      .select(col("doc_id"), explode(w).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").as("top_n"))
+    base.join(topCount, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
+        col("dup_bigram_ratio"),
+        round(col("top_n").cast("double") / col("n_words"), 6).as("top_word_frac"))
+  }
+
+  // ---- Sequence packing (GPT-style concat-and-chunk layout) --------------
+
+  /** Assigns each document a slot in a packed fixed-capacity training-chunk
+    * layout: documents are concatenated in doc_id order *within hash
+    * buckets* and cut every `capacity` tokens. Emits, per document, its
+    * bucket, token offset and the first/last chunk it lands in.
+    *
+    * Bucketing is the scale design: a single global concat order would need
+    * a one-partition window; `nBuckets` independent windows shuffle by
+    * bucket and pack in parallel (at cluster scale set nBuckets ≈ 10× cores
+    * and each bucket's cumsum stays a narrow streaming window). */
+  def packSequences(spark: SparkSession, dir: String,
+                    capacity: Int = 256, nBuckets: Int = 32): DataFrame = {
+    val nTok = size(words(col("text"))).cast("long")
+    val win = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nBuckets)).as("bucket"),
+        nTok.as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(win))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("start_off"),
+        floor((col("cum") - col("n_tok")) / lit(capacity)).as("start_chunk"),
+        floor((col("cum") - 1) / lit(capacity)).as("end_chunk"))
+  }
+
+  // ---- Pseudonymization + PII redaction ----------------------------------
+
+  /** Stable keyed pseudonymization of user identifiers: a salted hash
+    * replaces the raw id, so the same user maps to the same opaque token
+    * across the corpus (joins and per-user aggregations keep working) while
+    * the raw id never leaves the scan. Pure per-row projection. */
+  def pseudonymize(spark: SparkSession, dir: String,
+                   pepper: String = "pepper1"): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        substring(md5(concat(lit(pepper + ":"), col("user_id").cast("string"))),
+          1, 16).as("user_pseudo"),
+        col("event_type"))
+
+  /** Regex PII redaction over a free-text column: emails, IPv4 addresses
+    * and long digit runs (phone-ish) are replaced with typed placeholders,
+    * and the redaction count per row is reported. Codegen-friendly chained
+    * `regexp_replace` — no UDF. */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val LongNumRx = "\\b\\d{7,}\\b"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailRx, "<EMAIL>"),
+          Ipv4Rx, "<IP>"),
+        LongNumRx, "<NUM>")
+    df.withColumn("redacted", redacted)
+      .withColumn("n_redactions",
+        (size(split(col("redacted"), "<EMAIL>|<IP>|<NUM>")) - 1).cast("long"))
+  }
+
+  // ---- Benchmark decontamination -----------------------------------------
+
+  /** Flags training documents sharing any k-word shingle with a benchmark
+    * (eval) document set, with the count of distinct overlapping shingles —
+    * the standard n-gram decontamination pass before training. The
+    * benchmark side (tiny: eval sets are thousands of docs against a
+    * trillion-token corpus) collapses to a distinct shingle set and
+    * broadcasts; training documents are filtered by a broadcast hash
+    * semi-join without shuffling. Here the "benchmark" is the deterministic
+    * doc_id % 50 == 0 slice so the oracle can recompute it. */
+  def contamination(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), k)).as("s"))
+    val bench = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_hits"))
+  }
+
+  // ---- Stratified source sampling ----------------------------------------
+
+  /** Deterministic stratified downsampling by source: each source keeps a
+    * fixed fraction (steps/20, derived here from the source key so the
+    * oracle can recompute it; in production a broadcast rates table) chosen
+    * by an md5-derived hash of doc_id — reproducible across runs and
+    * engines, no RNG state. Integer bucket comparison, not float rates, so
+    * engines can never disagree at the boundary. Emits the per-source
+    * audit: total vs kept. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val steps = lit(5) + (substring(col("source"), 4, 10).cast("int") % 10)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 20
+    documents(spark, dir)
+      .select(col("source"), (bucket < steps).cast("long").as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
+  }
+
+  /** The row-level sampling filter itself (what a pipeline composes before
+    * writing the training mix). */
+  def sampleRows(df: DataFrame): DataFrame = {
+    val steps = lit(5) + (substring(col("source"), 4, 10).cast("int") % 10)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 20
+    df.filter(bucket < steps)
+  }
+
+  // ---- Vocabulary building -----------------------------------------------
+
+  /** Corpus-level top-k vocabulary with document frequencies — the seed of
+    * a BPE-style tokenizer build. Map-side combining does the heavy
+    * lifting; the shuffle carries (word, count) pairs only. Deterministic
+    * tiebreak on the word itself. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+}

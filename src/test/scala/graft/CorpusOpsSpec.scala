@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Corpus-preparation operators: repetition signals, packing, PII
+  * redaction/pseudonymization, decontamination, sampling, vocabulary.
+  * The DuckDB oracle covers value-exactness of the six driver queries;
+  * these tests cover the invariants and plan shapes the oracle can't see. */
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("packing is gap-free and capacity-consistent within every bucket") {
+    val rows = CorpusOps.packSequences(spark, dir, capacity = 256)
+      .select("bucket", "doc_id", "n_tok", "start_off", "start_chunk", "end_chunk")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // concatenation is gap-free: each doc starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._3)
+        case _ =>
+      }
+      sorted.foreach { case (_, _, nTok, off, sc, ec) =>
+        assert(sc === off / 256)
+        assert(ec === (off + nTok - 1) / 256)
+        assert(sc <= ec)
+      }
+    }
+  }
+
+  test("pii redaction replaces emails, ipv4 and long digit runs, and counts them") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.org or 10.1.2.3 now"),
+      (2L, "call 5551234567 twice: 5551234567"),
+      (3L, "clean text, nothing to redact"),
+      (4L, "a@b.io b@c.io 1.2.3.4 12345678")
+    ).toDF("id", "body")
+    val out = CorpusOps.redactPii(df, "body")
+      .select("id", "redacted", "n_redactions")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 === "contact <EMAIL> or <IP> now" && out(0)._3 === 2)
+    assert(out(1)._2 === "call <NUM> twice: <NUM>" && out(1)._3 === 2)
+    assert(out(2)._2 === "clean text, nothing to redact" && out(2)._3 === 0)
+    assert(out(3)._2 === "<EMAIL> <EMAIL> <IP> <NUM>" && out(3)._3 === 4)
+  }
+
+  test("pseudonymization is stable per user and never exposes the raw id") {
+    val out = CorpusOps.pseudonymize(spark, dir)
+    val withRaw = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") < 2000).select("event_id", "user_id")
+      .join(out, "event_id")
+    val perUser = withRaw.groupBy("user_id")
+      .agg(countDistinct("user_pseudo").as("n")).as[(Long, Long)].collect()
+    assert(perUser.nonEmpty && perUser.forall(_._2 === 1L)) // stable mapping
+    val collide = withRaw.groupBy("user_pseudo")
+      .agg(countDistinct("user_id").as("n"))
+      .filter(col("n") > 1).count()
+    assert(collide === 0L) // injective on the corpus
+    assert(!out.columns.contains("user_id"))
+  }
+
+  test("sampleRows matches the stratified audit counts exactly") {
+    val audit = CorpusOps.stratifiedSample(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val kept = CorpusOps.sampleRows(graft.operators.TextOps.documents(spark, dir))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept === audit.filter(_._2 > 0))
+    // per-source rates differ (that is the point of stratification)
+    assert(audit.values.toSet.size > 1)
+  }
+
+  test("decontamination flags every exact duplicate of a benchmark doc") {
+    // an exact copy of a bench doc shares all its shingles — must be flagged
+    val docs = graft.operators.TextOps.documents(spark, dir)
+    val benchTexts = docs.filter(col("doc_id") % 50 === 0)
+      .select("text").as[String].collect().toSet
+    val dupIds = docs.filter(col("doc_id") % 50 =!= 0)
+      .filter(col("text").isin(benchTexts.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = CorpusOps.contamination(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dupIds.subsetOf(flagged))
+  }
+
+  test("decontamination broadcasts the benchmark side (no corpus shuffle join)") {
+    val p = CorpusOps.contamination(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("sampling filter evaluates scan-side — no shuffle before the filter") {
+    val plan = CorpusOps.sampleRows(graft.operators.TextOps.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"row sampling must be a narrow op:\n$plan")
+  }
+
+  test("vocab topk ranks by corpus frequency with deterministic tiebreak") {
+    val out = CorpusOps.vocabTopK(spark, dir, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(out.length === 10)
+    // non-increasing counts; ties broken by word order
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 === b._2 && a._1 < b._1))
+      case _ =>
+    }
+    assert(out.forall(r => r._3 <= r._2)) // doc freq <= term freq
+  }
+
+  test("repetition signals: planted degenerate doc scores high, diverse doc low") {
+    val df = Seq(
+      (1L, Array.fill(50)("spam").mkString(" ")),
+      (2L, (0 until 50).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("corpus_rep_test")
+    // same expressions as the operator, against the planted frame
+    val w = split(col("text"), " ")
+    val out = df.select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+          .as("dupw"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.98)
+    assert(out(2L) === 0.0)
+  }
+}
