@@ -168,6 +168,59 @@ object CorpusOps {
     df.filter(bucket < steps)
   }
 
+  // ---- Token-table variants (north-rule input shape) ---------------------
+  // The streaming engine's input is the pre-tokenized sequence table
+  // (doc_id:string, tokens:array<int>, n_tok:int, source:string). The ops
+  // below run the same corpus-prep semantics directly on that shape, so a
+  // training pipeline never has to de-tokenize to prepare its data.
+
+  /** Exact dedup over token sequences: hash the whole array (xxhash64 spans
+    * the elements), shuffle 8-byte digests, keep the smallest doc_id per
+    * identical sequence. */
+  def dedupExactTokens(seqs: DataFrame): DataFrame =
+    seqs.select(col("doc_id"), xxhash64(col("tokens")).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Bucketed concat-and-chunk packing over the token table — identical
+    * layout contract to [[packSequences]], keyed by the string doc_id and
+    * using the table's own n_tok. */
+  def packTokenSequences(seqs: DataFrame, capacity: Int = 2048,
+                         nBuckets: Int = 32): DataFrame = {
+    val win = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seqs.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(nBuckets)).as("bucket"),
+        col("n_tok").cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(win))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("start_off"),
+        floor((col("cum") - col("n_tok")) / lit(capacity)).as("start_chunk"),
+        floor((col("cum") - 1) / lit(capacity)).as("end_chunk"))
+  }
+
+  /** Corpus token-frequency top-k (the unigram statistics a tokenizer/mix
+    * audit needs): explode + combine-heavy count, shuffle carries
+    * (token, count) pairs. */
+  def tokenHistogram(seqs: DataFrame, k: Int = 50): DataFrame =
+    seqs.select(explode(col("tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Near-dup pairs over token sequences: the token stream is rendered as a
+    * space-joined word stream and fed through the SAME MinHash+LSH+verify
+    * path as text ([[TextOps.minhashLshPairs]] machinery) — payload-agnostic
+    * dedup, no de-tokenization. */
+  def tokenNearDupPairs(seqs: DataFrame, threshold: Double = 0.5,
+                        k: Int = 3): DataFrame =
+    TextOps.minhashLshPairsOn(
+      seqs.select(col("doc_id"),
+        TextOps.shingleArr(array_join(col("tokens"), " "), k).as("sh")),
+      threshold)
+
   // ---- Vocabulary building -----------------------------------------------
 
   /** Corpus-level top-k vocabulary with document frequencies — the seed of

@@ -137,10 +137,16 @@ object TextOps {
     * hash; every candidate pair is verified with exact Jaccard on the
     * shingle sets, so output precision is 1.0 (recall ~1 - (1-t^r)^b). */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                      k: Int = 3): DataFrame = {
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
+                      k: Int = 3): DataFrame =
+    minhashLshPairsOn(
+      documents(spark, dir).select(col("doc_id"), shingleArr(col("text"), k).as("sh")),
+      threshold)
+
+  /** LSH band + verify over any `(doc_id, sh: array<string>)` frame — shared
+    * by the text path above and the token-table path
+    * ([[CorpusOps.tokenNearDupPairs]]). */
+  def minhashLshPairsOn(docsWithShingles: DataFrame, threshold: Double): DataFrame = {
+    val docs = docsWithShingles.withColumn("sig", minhashSig(col("sh")))
     val bandCols = (0 until Bands).map { b =>
       xxhash64(concat_ws("_", lit(b), slice(col("sig"), b * Rows + 1, Rows)))
     }

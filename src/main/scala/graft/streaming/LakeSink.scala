@@ -137,10 +137,14 @@ class LakeSink(val path: String) extends Serializable {
       val novel =
         if (cands.isEmpty) batchUnique
         else {
-          val bloom = mergedBloom(cands.map(_.batch))
+          val bloom = blooms(cands.map(_.batch))
           val (sure, maybe) = bloom match {
-            case Some(bf) =>
-              val might = udf((s: String) => s != null && bf.mightContainString(s))
+            case Some(bfs) =>
+              // OR across the per-batch filters — NOT mergeInPlace, which
+              // throws IncompatibleMergeException for filters sized from
+              // different row counts (expectedNumItems drives bit size)
+              val might = udf((s: String) =>
+                s != null && bfs.exists(_.mightContainString(s)))
               (batchUnique.filter(!might(col(idCol))),
                 batchUnique.filter(might(col(idCol))))
             case None => (batchUnique.limit(0), batchUnique)
@@ -154,18 +158,79 @@ class LakeSink(val path: String) extends Serializable {
     } finally { batchUnique.unpersist(); () }
   }
 
-  private def mergedBloom(batches: Seq[Long]): Option[BloomFilter] = {
+  private def blooms(batches: Seq[Long]): Option[Seq[BloomFilter]] = {
     val files = batches.map(bloomPath).filter(Files.exists(_))
     if (files.isEmpty || files.length < batches.length) None // old format → no prefilter
-    else {
-      val merged = files.map(f => BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(f))))
-      Some(merged.reduce { (a, b) => a.mergeInPlace(b); a })
+    else Some(files.map(f =>
+      BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(f)))))
+  }
+
+  /** In-place compaction — the scheduled maintenance job a long-running
+    * streaming sink needs at 10^12 scale: a day of 1-minute microbatches is
+    * 1 440 manifest entries and file sets; probes and reads pay per entry.
+    * Rewrites every currently-committed batch into ONE compacted segment
+    * (negative batch id — streaming ids are non-negative, so replay
+    * idempotency is unaffected), with one right-sized bloom rebuilt from
+    * the merged ids and the union event-time range, then atomically swaps
+    * the manifest. Readers see either the old generation or the new one,
+    * never a mix; a crash before the manifest move leaves the old
+    * generation fully intact (the orphan segment dir is invisible and
+    * overwritten by the next run).
+    *
+    * Row bodies are copied verbatim (including `_batch_id`/`_part_id`
+    * lineage, which keeps pointing at the ORIGINATING microbatch), so
+    * `read()` before and after compaction returns identical rows —
+    * asserted in StreamingSpec. Safe to run between microbatches of a live
+    * query (single-writer model: the caller owns the sink). */
+  def compactInPlace(spark: SparkSession, idCol: Option[String] = None): Unit = {
+    val entries = committed()
+    if (entries.length < 2) return // nothing to fold
+    val gen = math.min(entries.map(_.batch).min, 0L) - 1
+    val dirs = entries.map(e => s"$path/batch=${e.batch}")
+    val data = spark.read.parquet(dirs: _*)
+    val dir = s"$path/batch=$gen"
+    data.write.mode("overwrite").parquet(dir)
+    val rows = entries.map(_.rows).filter(_ > 0).sum
+    idCol.foreach { c =>
+      val compacted = spark.read.parquet(dir)
+      val bf =
+        if (rows == 0) BloomFilter.create(1000L, 0.01)
+        else compacted.stat.bloomFilter(c, math.max(1000L, rows), 0.01)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Files.createDirectories(bloomPath(gen).getParent)
+      Files.write(bloomPath(gen), bos.toByteArray)
+    }
+    val ranges = entries.flatMap(_.range)
+    val range =
+      if (ranges.length == entries.count(_.rows != 0)) // every non-empty entry ranged
+        ranges.reduceOption((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+      else None
+    val rangeJson = range.map { case (lo, hi) =>
+      s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
+    val tmp = Paths.get(path, "_manifest.tmp")
+    Files.write(tmp,
+      s"""{"batch": $gen, "rows": $rows$rangeJson}\n""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // old generation is unreachable from the manifest now — reclaim it
+    entries.foreach { e =>
+      deleteRecursive(Paths.get(path, s"batch=${e.batch}"))
+      Files.deleteIfExists(bloomPath(e.batch)); ()
     }
   }
 
-  /** Compaction: fold all committed micro-batch dirs into a partitioned
-    * store table (small-file problem at 10^12 scale), deduping by id with a
-    * deterministic winner (lowest batch id). */
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+
+  /** Compaction-export: fold all committed micro-batch dirs into a
+    * partitioned store table OUTSIDE the sink (small-file problem at 10^12
+    * scale), deduping by id with a deterministic winner (lowest batch id). */
   def compact(spark: SparkSession, targetPath: String, idCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val all = read(spark)

@@ -110,6 +110,60 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.forall(r => r._3 <= r._2)) // doc freq <= term freq
   }
 
+  test("token-table exact dedup collapses identical sequences to min doc_id") {
+    val seqs = Seq(
+      ("d1", Array(1, 2, 3)), ("d2", Array(1, 2, 3)), // dup pair
+      ("d3", Array(1, 2, 4)), ("d4", Array(9))
+    ).toDF("doc_id", "tokens")
+    val out = CorpusOps.dedupExactTokens(seqs)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("d1" -> 2L, "d3" -> 1L, "d4" -> 1L))
+  }
+
+  test("token-table packing over the synthetic north-rule input is gap-free") {
+    val seqs = graft.sources.Synth.inputTable(spark, 500)
+    val rows = CorpusOps.packTokenSequences(seqs, capacity = 2048)
+      .select("bucket", "doc_id", "n_tok", "start_off", "start_chunk", "end_chunk")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._3)
+        case _ =>
+      }
+      sorted.foreach { case (_, _, n, off, sc, ec) =>
+        assert(sc === off / 2048 && ec === (off + n - 1) / 2048)
+      }
+    }
+    // total packed tokens equals the table's own n_tok sum
+    assert(rows.map(_._3).sum ===
+      seqs.agg(sum("n_tok")).as[Long].head())
+  }
+
+  test("token histogram mass equals total token count; ranks are ordered") {
+    val seqs = graft.sources.Synth.inputTable(spark, 200)
+    val hist = CorpusOps.tokenHistogram(seqs, k = 50).as[(Int, Long)].collect()
+    assert(hist.length === 50)
+    hist.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 > b._2 || (a._2 === b._2 && a._1 < b._1))
+      case _ =>
+    }
+    val total = seqs.select(explode(col("tokens"))).count()
+    assert(hist.map(_._2).sum <= total)
+  }
+
+  test("token-table near-dup finds planted shared-prefix sequences") {
+    val base = (0 until 40).toArray
+    val seqs = Seq(
+      ("a", base), ("b", base.dropRight(1) :+ 999), // near-dup of a
+      ("c", (100 until 140).toArray)                // unrelated
+    ).toDF("doc_id", "tokens")
+    val pairs = CorpusOps.tokenNearDupPairs(seqs, threshold = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs === Set(("a", "b")))
+  }
+
   test("repetition signals: planted degenerate doc scores high, diverse doc low") {
     val df = Seq(
       (1L, Array.fill(50)("spam").mkString(" ")),

@@ -85,6 +85,36 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bucketed tables co-locate the join — no Exchange on either side") {
+    // the 100 TB co-located-join path: two tables bucketed on the join key
+    // land in SortMergeJoin with ZERO shuffle (only per-partition sorts).
+    // At cluster scale this is the difference between re-shuffling both fact
+    // tables per query and reading them pre-placed.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS corpus_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS corpus_bkt_b")
+    val docs = graft.operators.TextOps.documents(spark, sf("sf0.001"))
+    docs.select("doc_id", "source").write
+      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("corpus_bkt_a")
+    docs.select("doc_id", "n_chars").write
+      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("corpus_bkt_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("corpus_bkt_a")
+        .join(spark.table("corpus_bkt_b"), "doc_id")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() === docs.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS corpus_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS corpus_bkt_b")
+    }
+    assert(wh != null) // warehouse dir resolved (in-memory catalog default)
+  }
+
   test("uuid5/token-codec expressions stay inside whole-stage codegen") {
     val df = EventOps.events(spark, sf("sf0.001"))
       .select(graft.functions.Uuid5.uuid5Col(

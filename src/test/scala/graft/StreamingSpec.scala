@@ -174,6 +174,53 @@ class StreamingSpec extends SparkSuite {
     assert(sink.committed().forall(c => c.rows == 0 || c.range.isDefined))
   }
 
+  test("merged-sink probe handles differently-sized per-batch bloom filters") {
+    // regression: blooms are sized from batch row counts; merging filters of
+    // different bit sizes throws IncompatibleMergeException — the probe must
+    // OR across them instead. Batch 0 (2500 rows) and batch 1 (3 rows) get
+    // different filter sizes; batch 2 probes both.
+    val sink = new LakeSink(tmp("lakebloom"))
+    val ts = Timestamp.valueOf("2024-01-01 05:00:00")
+    val big = (0 until 2500).map(i => (s"big-$i", ts)).toDF("event_id", "ts")
+    val small = Seq(("s-1", ts), ("s-2", ts), ("s-3", ts)).toDF("event_id", "ts")
+    assert(sink.addBatchMerged(0, big, "event_id"))
+    assert(sink.addBatchMerged(1, small, "event_id"))
+    val probe = Seq(("big-7", ts), ("s-2", ts), ("new-1", ts)).toDF("event_id", "ts")
+    assert(sink.addBatchMerged(2, probe, "event_id"))
+    assert(sink.read(spark).count() === 2504) // only "new-1" was novel
+    assert(sink.read(spark).filter(col("event_id") === "big-7").count() === 1)
+  }
+
+  test("in-place compaction folds the manifest to one segment, reads unchanged") {
+    val sink = new LakeSink(tmp("lakecompact"))
+    def batch(ids: Seq[String], hour: Int) =
+      ids.map(id => (id, Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")))
+        .toDF("event_id", "ts")
+    (0 until 6).foreach { h =>
+      assert(sink.addBatchMerged(h, batch(Seq(s"id-$h", s"id2-$h"), h), "event_id"))
+    }
+    val before = sink.read(spark).select("event_id", "_batch_id")
+      .as[(String, Long)].collect().toSet
+    sink.compactInPlace(spark, idCol = Some("event_id"))
+    assert(sink.committed().map(_.batch) === Seq(-1L)) // one compacted segment
+    val after = sink.read(spark).select("event_id", "_batch_id")
+      .as[(String, Long)].collect().toSet
+    assert(after === before) // identical rows, lineage preserved
+    // merged event-time range survives: a late dup of batch 3 is still caught
+    assert(sink.addBatchMerged(6, batch(Seq("id-3"), 3), "event_id"))
+    assert(sink.read(spark).filter(col("event_id") === "id-3").count() === 1)
+    // second generation: compacting again (segment + new batch) also works
+    assert(sink.addBatchMerged(7, batch(Seq("id-7"), 7), "event_id"))
+    sink.compactInPlace(spark, idCol = Some("event_id"))
+    assert(sink.committed().map(_.batch) === Seq(-2L))
+    assert(sink.read(spark).select("event_id").as[String].collect().toSet
+      === (before.map(_._1) + "id-7"))
+    // old per-batch dirs are reclaimed
+    val dirs = new java.io.File(sink.path).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs === Set("batch=-2"))
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
