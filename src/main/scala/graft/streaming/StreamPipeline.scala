@@ -117,7 +117,8 @@ object StreamPipeline {
     * watermark, the merge sink does not. */
   def toLake(statements: DataFrame, sink: LakeSink, checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow(),
-             mergeById: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] =
+             mergeById: Boolean = true,
+             compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     statements.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -125,6 +126,13 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (mergeById) sink.addBatchMerged(batchId, Store.project(batch, "xapi"), "event_id")
         else sink.addBatch(batchId, Store.project(batch, "xapi"))
+        // scheduled maintenance: fold the manifest every compactEvery
+        // batches so entry count (and probe/read fan-out) stays bounded on
+        // a long-running stream — a replayed batch re-triggering compaction
+        // is harmless (compaction is idempotent on a compacted manifest)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          sink.compactInPlace(batch.sparkSession,
+            idCol = if (mergeById) Some("event_id") else None)
         ()
       }
 

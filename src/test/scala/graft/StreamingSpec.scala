@@ -221,6 +221,35 @@ class StreamingSpec extends SparkSuite {
     assert(dirs === Set("batch=-2"))
   }
 
+  test("scheduled compaction keeps the manifest bounded on a live stream") {
+    // toLake(compactEvery=2) folds committed segments as the stream runs;
+    // data completeness must be unaffected and entry count stays O(1)
+    // instead of O(batches)
+    val sink = new LakeSink(tmp("lakesched"))
+    val cp = tmp("cpsched")
+    val stream = MemoryStream[InputRow]
+    val statements = Pipeline.validateConvert(stream.toDF())
+    val q = StreamPipeline
+      .toLake(statements, sink, cp,
+        trigger = Trigger.ProcessingTime(0), compactEvery = 2)
+      .start()
+    Seq((0L, 150L), (150L, 300L), (300L, 450L)).foreach { case (a, b) =>
+      stream.addData(inputRows(a, b): _*)
+      q.processAllAvailable() // one microbatch per add → batchIds 0,1,2
+    }
+    q.stop()
+    val expected = (0L until 450L)
+      .filter(Synth.isConvertible)
+      .map(i => graft.functions.Uuid5.uuid5(Synth.UuidNamespace, Synth.edxJson(i)))
+      .distinct
+    assert(sink.read(spark).select("event_id").as[String].collect().toSet
+      === expected.toSet)
+    // at least one compaction ran (negative segment id) and the manifest is
+    // smaller than the number of microbatches processed
+    assert(sink.committed().exists(_.batch < 0))
+    assert(sink.committed().length < 3)
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
