@@ -56,6 +56,8 @@ object SparkEntry {
     "q_decontam" -> ((s, d) => CorpusOps.contamination(s, d)),
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
+    "q_semantic_dedup" -> ((s, d) => CorpusOps.semanticDedupPairs(s, d)),
+    "q_label_centroids" -> ((s, d) => CorpusOps.labelCentroids(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
     "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
@@ -271,6 +273,34 @@ object SparkEntry {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY 1 ORDER BY n DESC, word LIMIT 20""",
+    "q_semantic_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(w[k:k+2], ' ') AS s
+                FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jac AS (SELECT id_a, id_b,
+                        round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+                 FROM inter
+                 JOIN cnt ca ON ca.doc_id = id_a
+                 JOIN cnt cb ON cb.doc_id = id_b
+                 WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.5),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT id_a, id_b, jaccard,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM jac
+         JOIN e a ON a.vec_id = id_a
+         JOIN e b ON b.vec_id = id_b
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.0""",
+    "q_label_centroids" ->
+      """SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                round(avg(x), 6) AS c
+         FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+         GROUP BY 1, 2""",
     "q_cos_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

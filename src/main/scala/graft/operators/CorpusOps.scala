@@ -221,6 +221,43 @@ object CorpusOps {
         TextOps.shingleArr(array_join(col("tokens"), " "), k).as("sh")),
       threshold)
 
+  // ---- Cross-modality composition ----------------------------------------
+
+  /** Semantic dedup: text near-dup candidates (MinHash+LSH+exact-verify,
+    * [[TextOps.minhashLshPairs]]) CONFIRMED by embedding agreement — the
+    * two-signal dedup a careful pipeline runs before dropping documents
+    * (lexical overlap alone also matches template/boilerplate pairs whose
+    * content diverges). Pair count after LSH is tiny relative to the
+    * corpus, so the embedding joins are broadcast-sized probes keyed by id;
+    * vectors never shuffle with the candidate generation. */
+  def semanticDedupPairs(spark: SparkSession, dir: String,
+                         jaccardThreshold: Double = 0.5,
+                         cosThreshold: Double = 0.0): DataFrame = {
+    val emb = EmbeddingOps.embeddings(spark, dir) // cast to array<double>
+    val pairs = TextOps.minhashLshPairs(spark, dir, jaccardThreshold)
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(EmbeddingOps.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= cosThreshold)
+  }
+
+  /** Per-label embedding centroids — the distributed element-wise mean that
+    * seeds cluster audits / class prototypes. posexplode shuffles (label,
+    * dim, value) triples with map-side partial aggregation; the vector is
+    * reassembled from the per-dimension means, so no executor ever holds
+    * more than one dimension's running sum per label. Emitted long-form
+    * (label, dim, c) — the shape downstream joins want, and the shape an
+    * engine-independent oracle can recompute. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    EmbeddingOps.embeddings(spark, dir) // embedding cast to array<double>
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("x"))
+      .groupBy("label", "dim")
+      .agg(round(avg("x"), 6).as("c"))
+
   // ---- Vocabulary building -----------------------------------------------
 
   /** Corpus-level top-k vocabulary with document frequencies — the seed of

@@ -164,6 +164,38 @@ class CorpusOpsSpec extends SparkSuite {
     assert(pairs === Set(("a", "b")))
   }
 
+  test("semantic dedup is the cosine-confirmed subset of the lexical pairs") {
+    val lexical = graft.operators.TextOps.minhashLshPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val semantic = CorpusOps.semanticDedupPairs(spark, dir)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(semantic.map(t => (t._1, t._2)).toSet.subsetOf(lexical))
+    assert(semantic.forall(_._3 >= 0.0))
+    // candidate joins are id-keyed hash joins, never nested-loop
+    val plan = CorpusOps.semanticDedupPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("label centroids equal the per-label mean computed directly") {
+    val centroids = CorpusOps.labelCentroids(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (l, d, c) => (l, d) -> c }.toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val byLabel = vecs.groupBy(_._1)
+    byLabel.foreach { case (l, rows) =>
+      val dim = rows.head._2.length
+      (0 until dim).foreach { d =>
+        val mean = rows.map(_._2(d)).sum / rows.length
+        assert(math.abs(centroids((l, d + 1L)) - mean) < 1e-6,
+          s"label $l dim ${d + 1}")
+      }
+    }
+    assert(centroids.size === byLabel.size * vecs.head._2.length)
+  }
+
   test("repetition signals: planted degenerate doc scores high, diverse doc low") {
     val df = Seq(
       (1L, Array.fill(50)("spam").mkString(" ")),
