@@ -57,6 +57,7 @@ object SparkEntry {
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
     "q_semantic_dedup" -> ((s, d) => CorpusOps.semanticDedupPairs(s, d)),
+    "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
     "q_label_centroids" -> ((s, d) => CorpusOps.labelCentroids(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
@@ -294,6 +295,12 @@ object SparkEntry {
          JOIN e a ON a.vec_id = id_a
          JOIN e b ON b.vec_id = id_b
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.0""",
+    "q_quality_quantiles" ->
+      """SELECT source,
+                round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                max(n_chars) AS mx
+         FROM documents GROUP BY 1""",
     "q_label_centroids" ->
       """SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                 round(avg(x), 6) AS c

@@ -258,6 +258,30 @@ object CorpusOps {
       .groupBy("label", "dim")
       .agg(round(avg("x"), 6).as("c"))
 
+  // ---- Distribution audits -----------------------------------------------
+
+  /** Per-source length-distribution audit: exact interpolated percentiles
+    * (`percentile` sorts within the group — exact, and the same linear
+    * interpolation DuckDB's `quantile_cont` uses, so the oracle recomputes
+    * it bit-for-bit). Exact per-group sort state is fine for audit
+    * cardinalities (groups = sources); for per-key quantiles over billions
+    * of keys use [[qualityQuantilesApprox]]. */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy("source")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        max("n_chars").as("mx"))
+
+  /** The scale path: t-digest style bounded-memory sketch
+    * (`approx_percentile`) — mergeable partial state, O(1/accuracy) per
+    * group regardless of group size. */
+  def qualityQuantilesApprox(spark: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame =
+    documents(spark, dir)
+      .groupBy("source")
+      .agg(expr(s"approx_percentile(n_chars, array(0.5, 0.9), $accuracy)").as("pcts"))
+
   // ---- Vocabulary building -----------------------------------------------
 
   /** Corpus-level top-k vocabulary with document frequencies — the seed of

@@ -196,6 +196,18 @@ class CorpusOpsSpec extends SparkSuite {
     assert(centroids.size === byLabel.size * vecs.head._2.length)
   }
 
+  test("approx quantile sketch tracks the exact per-source percentiles") {
+    val exact = CorpusOps.qualityQuantiles(spark, dir)
+      .select("source", "p50").as[(String, Double)].collect().toMap
+    val approx = CorpusOps.qualityQuantilesApprox(spark, dir)
+      .select(col("source"), col("pcts")(0).cast("double"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (src, p50) =>
+      assert(math.abs(approx(src) - p50) <= p50 * 0.05 + 5,
+        s"sketch far from exact for $src")
+    }
+  }
+
   test("repetition signals: planted degenerate doc scores high, diverse doc low") {
     val df = Seq(
       (1L, Array.fill(50)("spam").mkString(" ")),
