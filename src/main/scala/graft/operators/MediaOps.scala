@@ -80,4 +80,90 @@ object MediaOps {
     import bin.sparkSession.implicits._
     bin.mapPartitions(_.map { case (id, bytes) => sniff(id, bytes) }).toDF()
   }
+
+  // ---- Real pixel ops on uncompressed BMP (raw BGR byte math) ------------
+
+  private def bmpGeometry(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 54 || ascii(bytes, 0, 2) != "BM") return None
+    val w = le32(bytes, 18)
+    val h = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val off = le32(bytes, 10)
+    val rowSize = ((bpp * w + 31) / 32) * 4
+    if (w <= 0 || h == 0 || bpp != 24 ||
+      off + rowSize.toLong * math.abs(h) > bytes.length) None
+    else Some((w, h, off, rowSize))
+  }
+
+  /** Nearest-neighbour resize of a 24-bpp BMP — an ACTUAL image transform
+    * in pure byte math (BMP pixel arrays are raw BGR rows, 4-byte-aligned):
+    * the `resize` stage of a media pipeline without any codec dependency.
+    * Returns None for payloads that are not uncompressed 24-bpp BMPs (those
+    * formats need a real codec — quarantine, don't guess). Row orientation
+    * (bottom-up vs top-down) is preserved via the height sign. */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    bmpGeometry(bytes).map { case (w, h, off, rowSize) =>
+      val ah = math.abs(h)
+      val outRow = ((24 * outW + 31) / 32) * 4
+      val out = new Array[Byte](54 + outRow * outH)
+      // header: copy the source's, patch size/dims/offset
+      System.arraycopy(bytes, 0, out, 0, 54)
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(2, out.length)
+      bb.putInt(10, 54)
+      bb.putInt(18, outW)
+      bb.putInt(22, if (h < 0) -outH else outH)
+      bb.putInt(34, outRow * outH) // biSizeImage
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * ah / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * w / outW).toInt
+          val src = off + sy * rowSize + sx * 3
+          val dst = 54 + y * outRow + x * 3
+          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Per-channel mean over a 24-bpp BMP's pixels — the feature-extract
+    * stage (mean colour is the canonical cheap image feature), again pure
+    * byte math. Returns (meanB, meanG, meanR). */
+  def bmpChannelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] =
+    bmpGeometry(bytes).map { case (w, h, off, rowSize) =>
+      val ah = math.abs(h)
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var y = 0
+      while (y < ah) {
+        var x = 0
+        val base = off + y * rowSize
+        while (x < w) {
+          sb += bytes(base + x * 3) & 0xFF
+          sg += bytes(base + x * 3 + 1) & 0xFF
+          sr += bytes(base + x * 3 + 2) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * ah
+      (sb / n, sg / n, sr / n)
+    }
+
+  /** Distributed thumbnailing: binary in → resized binary + geometry out,
+    * one narrow partition-batched pass; non-BMP payloads pass through as
+    * null thumbnails with valid=false (quarantine column, task never
+    * fails). */
+  def thumbnails(bin: Dataset[(Long, Array[Byte])], outW: Int, outH: Int): DataFrame = {
+    import bin.sparkSession.implicits._
+    bin.mapPartitions(_.map { case (id, bytes) =>
+      resizeBmp(bytes, outW, outH) match {
+        case Some(t) => (id, t, outW, outH, true)
+        case None => (id, null.asInstanceOf[Array[Byte]], -1, -1, false)
+      }
+    }).toDF("doc_id", "thumb", "width", "height", "valid")
+  }
 }

@@ -72,6 +72,58 @@ class MediaOpsSpec extends SparkSuite {
     assert(out.size === 6)
   }
 
+  private def bmpWithPixels(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val base = bmp(w, h)
+    val rowSize = ((24 * w + 31) / 32) * 4
+    for (y <- 0 until h; x <- 0 until w) {
+      val (b, g, r) = px(x, y)
+      val off = 54 + y * rowSize + x * 3
+      base(off) = b.toByte; base(off + 1) = g.toByte; base(off + 2) = r.toByte
+    }
+    base
+  }
+
+  test("BMP resize samples exact nearest-neighbour pixels and stays a valid BMP") {
+    // 4x4 image whose pixel (x,y) encodes its own coordinates
+    val src = bmpWithPixels(4, 4, (x, y) => (x * 10, y * 10, x + y))
+    val out = MediaOps.resizeBmp(src, 2, 2).get
+    val meta = MediaOps.sniff(1L, out)
+    assert(meta.kind === "bmp" && meta.width === 2 && meta.height === 2 && meta.valid)
+    // out pixel (x,y) should be src pixel (2x, 2y)
+    val rowSize = ((24 * 2 + 31) / 32) * 4
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val off = 54 + y * rowSize + x * 3
+      assert((out(off) & 0xFF) === 2 * x * 10, s"B at ($x,$y)")
+      assert((out(off + 1) & 0xFF) === 2 * y * 10, s"G at ($x,$y)")
+      assert((out(off + 2) & 0xFF) === 2 * x + 2 * y, s"R at ($x,$y)")
+    }
+    // resized output itself resizes (round-trip through the public parser)
+    assert(MediaOps.resizeBmp(out, 1, 1).isDefined)
+    // non-BMP input quarantines
+    assert(MediaOps.resizeBmp("plain text".getBytes, 2, 2).isEmpty)
+  }
+
+  test("BMP channel means are exact over planted pixels") {
+    val src = bmpWithPixels(2, 2, (x, y) => (10, 20, 30 + 2 * (x + y)))
+    val (mb, mg, mr) = MediaOps.bmpChannelMeans(src).get
+    assert(mb === 10.0 && mg === 20.0)
+    assert(mr === (30.0 + 32 + 32 + 34) / 4)
+  }
+
+  test("distributed thumbnails: valid BMPs resized, others quarantined") {
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> bmpWithPixels(8, 8, (x, y) => (x, y, 0)),
+      2L -> wav(44100, 2, 16, 10),
+      3L -> bmpWithPixels(3, 5, (x, y) => (1, 2, 3))
+    )
+    val out = MediaOps.thumbnails(rows.toDS().repartition(2), 2, 2)
+      .select("doc_id", "width", "valid")
+      .as[(Long, Int, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) === ((2, true)))
+    assert(out(2L) === ((-1, false)))
+    assert(out(3L) === ((2, true)))
+  }
+
   test("negative-height (top-down) BMP reports positive dimensions") {
     val topDown = bmp(32, -8)
     val m = MediaOps.sniff(9L, topDown)
