@@ -52,6 +52,17 @@ object StreamPipeline {
   def deduped(statements: DataFrame): DataFrame =
     statements.dropDuplicatesWithinWatermark(Seq("id"))
 
+  /** Training-stream content dedup: drops rows whose PAYLOAD is
+    * byte-identical within the watermark, regardless of id — the streaming
+    * analogue of the corpus exact-dedup pass (re-sent events with fresh ids,
+    * mirrored sources). State is keyed by the 32-byte sha-256 digest, never
+    * the document, so RocksDB holds digests bounded by the watermark
+    * window. */
+  def dedupedByContent(statements: DataFrame, payloadCol: String = "xapi"): DataFrame =
+    statements.withColumn("_content_h", sha2(col(payloadCol), 256))
+      .dropDuplicatesWithinWatermark(Seq("_content_h"))
+      .drop("_content_h")
+
   /** A1/A2 counts. `saltBuckets > 1` shards hot (verb, source) keys into
     * salted sub-keys; merge with [[mergeSalted]] — two-stage aggregation
     * keeps any single state key's update rate bounded at 10^12 scale. */

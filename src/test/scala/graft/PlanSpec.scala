@@ -115,6 +115,41 @@ class PlanSpec extends SparkSuite {
     assert(wh != null) // warehouse dir resolved (in-memory catalog default)
   }
 
+  test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
+    // hot-key skew is handled two ways in this engine: explicit salting for
+    // streaming state (tumblingCounts saltBuckets) and AQE skew-join for
+    // batch joins — this pins the latter so a config regression is caught.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one hot key dominating the left side
+      val left = (1 to 60000).map(i => (if (i % 100 == 0) i.toLong else 0L,
+        s"payload-$i-${"x" * 64}")).toDF("k", "v")
+      val right = (0 to 600).map(i => (i.toLong, s"dim-$i")).toDF("k", "d")
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's plan (count() would plan a sibling query
+      // and leave this AdaptiveSparkPlan unfinalised)
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split SortMergeJoin in:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("uuid5/token-codec expressions stay inside whole-stage codegen") {
     val df = EventOps.events(spark, sf("sf0.001"))
       .select(graft.functions.Uuid5.uuid5Col(

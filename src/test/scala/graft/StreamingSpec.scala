@@ -250,6 +250,27 @@ class StreamingSpec extends SparkSuite {
     assert(sink.committed().length < 3)
   }
 
+  test("content dedup drops same-payload rows across DIFFERENT ids in-stream") {
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val statements = mem.toDF().toDF("id", "ts", "xapi")
+      .withWatermark("ts", "10 minutes")
+    val out = StreamPipeline.dedupedByContent(statements)
+    val cp = tmp("cpcontent")
+    val q = out.writeStream.format("memory").queryName("content_dedup")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    mem.addData(
+      ("id-1", ts, """{"verb":"played","object":"v1"}"""),
+      ("id-2", ts, """{"verb":"played","object":"v1"}"""), // re-sent, new id
+      ("id-3", ts, """{"verb":"played","object":"v2"}"""))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("content_dedup").select("xapi").as[String].collect()
+    assert(rows.length === 2) // one survivor per distinct payload
+    assert(rows.toSet.size === 2)
+    // the helper column never leaks into the output schema
+    assert(!spark.table("content_dedup").columns.contains("_content_h"))
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
