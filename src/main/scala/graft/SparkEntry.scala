@@ -58,6 +58,8 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
     "q_semantic_dedup" -> ((s, d) => CorpusOps.semanticDedupPairs(s, d)),
     "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
+    "q_dup_clusters" -> ((s, d) => CorpusOps.dupClusters(s, d)),
+    "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
     "q_label_centroids" -> ((s, d) => CorpusOps.labelCentroids(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
@@ -301,6 +303,30 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.9), 6) AS p90,
                 max(n_chars) AS mx
          FROM documents GROUP BY 1""",
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $dupPairsCte,
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1""",
+    "q_dup_survivors" ->
+      s"""WITH RECURSIVE $dupPairsCte,
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         comp AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1)
+         SELECT rep, doc_id AS keep_id, n_chars FROM (
+           SELECT comp.rep, comp.doc_id, d.n_chars,
+                  row_number() OVER (PARTITION BY comp.rep
+                    ORDER BY d.n_chars DESC, comp.doc_id) AS rn
+           FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
+         WHERE rn = 1""",
     "q_label_centroids" ->
       """SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                 round(avg(x), 6) AS c
@@ -334,6 +360,21 @@ object SparkEntry {
     "SELECT * FROM (VALUES " + PipelineGolden.rows.map { case (v, s, n, ids) =>
       s"('$v', '$s', CAST($n AS BIGINT), CAST($ids AS BIGINT))"
     }.mkString(", ") + ") AS t(verb_id, source, n, n_ids)"
+
+  /** Shared CTE prefix: the exact-jaccard near-dup pair graph (same
+    * construction as [[jaccardOracle]], pairs only). */
+  private val dupPairsCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(w[k:k+2], ' ') AS s
+              FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b FROM inter
+                 JOIN cnt ca ON ca.doc_id = id_a
+                 JOIN cnt cb ON cb.doc_id = id_b
+                 WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.5)"""
 
   private def jaccardOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -258,6 +258,73 @@ object CorpusOps {
       .groupBy("label", "dim")
       .agg(round(avg("x"), 6).as("c"))
 
+  // ---- Duplicate clustering (connected components + survivors) ----------
+
+  /** Connected components over an undirected pair graph `(id_a, id_b)` by
+    * iterative min-label propagation: every node adopts the smallest label
+    * among itself and its neighbours until fixpoint. Each round is one
+    * equi-join + one combine-heavy groupBy over (node, label) longs —
+    * sequences/documents never enter the loop. Rounds needed = component
+    * diameter; near-dup clusters are shallow (pairs share content), so
+    * convergence is fast — `maxIter` bounds pathological chains, and the
+    * loop exits the first round nothing changes. (At 10⁹-node scale swap
+    * in large-star/small-star for O(log n) rounds; the join shape is the
+    * same.) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("node").as("v"), col("rep").as("vrep")), Seq("v"))
+          .groupBy(col("u").as("node")).agg(min("vrep").as("nrep"))
+        val updated = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("rep"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = updated.filter(col("rep2") < col("rep")).isEmpty
+        val next = updated.select(col("node"), col("rep2").as("rep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        labels.unpersist(); updated.unpersist()
+        labels = next
+        it += 1
+      }
+      labels.select(col("node").as("doc_id"), col("rep"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Duplicate clusters over the near-dup pair graph: every document that
+    * has at least one near-duplicate, labelled with its cluster
+    * representative (smallest doc_id in the component). The pair source is
+    * the LSH+verify path, exact at the test configuration, so the oracle
+    * recomputes the identical graph from scratch. */
+  def dupClusters(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      TextOps.minhashLshPairs(spark, dir, threshold).select("id_a", "id_b"))
+
+  /** Survivor selection: per duplicate cluster keep the "best" document
+    * (longest text, smallest id on ties — the deterministic quality policy
+    * a dedup pipeline applies before dropping the rest). */
+  def dupSurvivors(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy(col("n_chars").desc, col("doc_id").asc)
+    dupClusters(spark, dir, threshold)
+      .join(documents(spark, dir).select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("doc_id").as("keep_id"), col("n_chars"))
+  }
+
   // ---- Distribution audits -----------------------------------------------
 
   /** Per-source length-distribution audit: exact interpolated percentiles

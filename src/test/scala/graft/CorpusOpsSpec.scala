@@ -196,6 +196,43 @@ class CorpusOpsSpec extends SparkSuite {
     assert(centroids.size === byLabel.size * vecs.head._2.length)
   }
 
+  test("connected components merge chains transitively with min-label reps") {
+    // chain 1-2-3-4 (diameter 3) + island 10-11 + pair crossing: transitive
+    // closure must label the whole chain with 1 even though (1,4) is no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = CorpusOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dup clusters cover exactly the paired docs; survivors are longest-doc-per-cluster") {
+    val pairDocs = graft.operators.TextOps.jaccardPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val clusters = CorpusOps.dupClusters(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(clusters.map(_._1).toSet === pairDocs)
+    // each rep is a member of its own cluster and is the minimum
+    val byRep = clusters.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep)
+    }
+    val survivors = CorpusOps.dupSurvivors(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(survivors.length === byRep.size) // exactly one survivor per cluster
+    val chars = graft.operators.TextOps.documents(spark, dir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    survivors.foreach { case (rep, keep, n) =>
+      val members = byRep(rep).map(_._1)
+      assert(members.contains(keep))
+      assert(n === chars(keep))
+      assert(members.forall(m => chars(m) < n ||
+        (chars(m) === n && m >= keep)), s"survivor not best in cluster $rep")
+    }
+  }
+
   test("approx quantile sketch tracks the exact per-source percentiles") {
     val exact = CorpusOps.qualityQuantiles(spark, dir)
       .select("source", "p50").as[(String, Double)].collect().toMap
