@@ -60,6 +60,9 @@ object SparkEntry {
     "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
     "q_dup_clusters" -> ((s, d) => CorpusOps.dupClusters(s, d)),
     "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
+    // capstone: quality filter → near-dup survivor dedup → stratified
+    // sample → packed training chunks, one composed pipeline
+    "q_training_mix" -> ((s, d) => CorpusOps.trainingMix(s, d)),
     "q_label_centroids" -> ((s, d) => CorpusOps.labelCentroids(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
@@ -327,6 +330,52 @@ object SparkEntry {
                     ORDER BY d.n_chars DESC, comp.doc_id) AS rn
            FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
          WHERE rn = 1""",
+    "q_training_mix" ->
+      """WITH RECURSIVE
+         q AS (SELECT doc_id, text, source, n_chars,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the', 'a')))::DOUBLE
+                        / len(string_split(text, ' ')) AS stop_ratio
+               FROM documents),
+         qf AS (SELECT * FROM q WHERE n_tok >= 30 AND stop_ratio <= 0.25),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM qf),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(w[k:k+2], ' ') AS s
+                FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN cnt ca ON ca.doc_id = id_a
+                   JOIN cnt cb ON cb.doc_id = id_b
+                   WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.5),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+                   UNION
+                   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         comp AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1),
+         surv AS (SELECT doc_id FROM (
+                    SELECT comp.doc_id, row_number() OVER (PARTITION BY rep
+                      ORDER BY q2.n_chars DESC, comp.doc_id) AS rn
+                    FROM comp JOIN qf q2 USING (doc_id)) WHERE rn = 1),
+         losers AS (SELECT doc_id FROM comp
+                    WHERE doc_id NOT IN (SELECT doc_id FROM surv)),
+         kept AS (SELECT qf.* FROM qf
+                  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         sm AS (SELECT * FROM kept
+                WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINTEGER % 20
+                      < 5 + (substr(source, 4)::INT % 10)),
+         c AS (SELECT doc_id, doc_id % 32 AS bucket, n_tok,
+                      sum(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+               FROM sm)
+         SELECT doc_id, bucket, n_tok,
+                CAST(cum - n_tok AS BIGINT) AS start_off,
+                CAST((cum - n_tok) // 256 AS BIGINT) AS start_chunk,
+                CAST((cum - 1) // 256 AS BIGINT) AS end_chunk
+         FROM c""",
     "q_label_centroids" ->
       """SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                 round(avg(x), 6) AS c

@@ -275,9 +275,10 @@ object CorpusOps {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("node")).distinct()
+    var cached = edges.select(col("u").as("node")).distinct()
       .withColumn("rep", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     try {
       var it = 0
       var converged = false
@@ -289,12 +290,12 @@ object CorpusOps {
           .select(col("node"), col("rep"),
             least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = updated.filter(col("rep2") < col("rep")).isEmpty
-        val next = updated.select(col("node"), col("rep2").as("rep"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        labels.unpersist(); updated.unpersist()
-        labels = next
+        // ONE action per round: counting the changed rows also materializes
+        // the cache the next round (and the final projection) reads from
+        converged = updated.filter(col("rep2") < col("rep")).count() == 0
+        cached.unpersist()
+        cached = updated
+        labels = updated.select(col("node"), col("rep2").as("rep"))
         it += 1
       }
       labels.select(col("node").as("doc_id"), col("rep"))
@@ -348,6 +349,54 @@ object CorpusOps {
     documents(spark, dir)
       .groupBy("source")
       .agg(expr(s"approx_percentile(n_chars, array(0.5, 0.9), $accuracy)").as("pcts"))
+
+  // ---- End-to-end training-mix builder -----------------------------------
+
+  /** The capstone composition — the pass a training-data pipeline runs to
+    * turn a raw corpus into a packed training mix:
+    *
+    *   quality filter → near-dup survivor dedup (LSH pairs → connected
+    *   components → keep longest per cluster) → stratified source
+    *   sampling → bucketed sequence packing.
+    *
+    * Every stage is one of the operators above, composed lazily into one
+    * plan per stage boundary; the only driver-side loop is component
+    * convergence. Scale shape: the filter and sampling are narrow, dedup
+    * shuffles band keys and (node, label) longs, packing shuffles by
+    * bucket — documents themselves move only into their final pack slot. */
+  def trainingMix(spark: SparkSession, dir: String,
+                  minTokens: Int = 30, maxStopRatio: Double = 0.25,
+                  capacity: Int = 256, nBuckets: Int = 32): DataFrame = {
+    val w = words(col("text"))
+    val qf = documents(spark, dir)
+      .withColumn("n_tok", size(w).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(w, x => x.isin(TextOps.Stopwords: _*))).cast("double") / col("n_tok"))
+      .filter(col("n_tok") >= minTokens && col("stop_ratio") <= maxStopRatio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = TextOps.minhashLshPairsOn(
+      qf.select(col("doc_id"), TextOps.shingleArr(col("text"), 3).as("sh")), 0.5)
+      .select("id_a", "id_b")
+    val comp = connectedComponents(pairs)
+    val survWin = Window.partitionBy("rep")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val losers = comp
+      .join(qf.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(survWin))
+      .filter(col("rn") > 1) // everyone but the per-cluster survivor
+      .select("doc_id")
+    val kept = qf.join(losers, Seq("doc_id"), "left_anti")
+    val packWin = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampleRows(kept)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nBuckets)).as("bucket"),
+        col("n_tok"))
+      .withColumn("cum", sum("n_tok").over(packWin))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("start_off"),
+        floor((col("cum") - col("n_tok")) / lit(capacity)).as("start_chunk"),
+        floor((col("cum") - 1) / lit(capacity)).as("end_chunk"))
+  }
 
   // ---- Vocabulary building -----------------------------------------------
 

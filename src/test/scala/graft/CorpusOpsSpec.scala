@@ -233,6 +233,34 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("training mix output passes quality, is near-dup-free, and packs gap-free") {
+    val mix = CorpusOps.trainingMix(spark, dir)
+      .select("doc_id", "bucket", "n_tok", "start_off")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mix.nonEmpty)
+    val kept = mix.map(_._1).toSet
+    // quality gate holds for every kept doc
+    val stats = graft.operators.TextOps.quality(spark, dir)
+      .select("doc_id", "n_words", "stop_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    kept.foreach { id =>
+      assert(stats(id)._1 >= 30 && stats(id)._2 <= 0.25, s"doc $id fails quality")
+    }
+    // at most one member of every near-dup pair survives
+    graft.operators.TextOps.jaccardPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(!(kept(a) && kept(b)), s"near-dup pair ($a,$b) both kept")
+      }
+    // packing is gap-free per bucket
+    mix.groupBy(_._2).foreach { case (_, docs) =>
+      docs.sortBy(_._1).sliding(2).foreach {
+        case Array(x, y) => assert(y._4 === x._4 + x._3)
+        case _ =>
+      }
+    }
+  }
+
   test("approx quantile sketch tracks the exact per-source percentiles") {
     val exact = CorpusOps.qualityQuantiles(spark, dir)
       .select("source", "p50").as[(String, Double)].collect().toMap
