@@ -271,6 +271,36 @@ class StreamingSpec extends SparkSuite {
     assert(!spark.table("content_dedup").columns.contains("_content_h"))
   }
 
+  test("compaction composes with checkpoint resume: restart after fold, still exactly-once") {
+    // kill the stream after batches are folded into a compacted segment,
+    // then resume from the checkpoint with overlapping + new data: replayed
+    // ids must still dedup against the COMPACTED manifest
+    val sink = new LakeSink(tmp("lakecr"))
+    val cp = tmp("cpcr")
+    val stream = MemoryStream[InputRow]
+    def start() = StreamPipeline
+      .toLake(Pipeline.validateConvert(stream.toDF()), sink, cp,
+        trigger = Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    stream.addData(inputRows(0, 100): _*)
+    q1.processAllAvailable()
+    stream.addData(inputRows(100, 200): _*)
+    q1.processAllAvailable(); q1.stop() // "crash" after two committed batches
+    sink.compactInPlace(spark, idCol = Some("event_id")) // maintenance while down
+    assert(sink.committed().forall(_.batch < 0))
+    stream.addData(inputRows(100, 350): _*) // 100-200 are re-sends
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = sink.read(spark).select("event_id").as[String].collect()
+    val expected = (0L until 350L)
+      .filter(Synth.isConvertible)
+      .map(i => graft.functions.Uuid5.uuid5(Synth.UuidNamespace, Synth.edxJson(i)))
+      .distinct
+    assert(got.length === got.distinct.length, "duplicates after compact+resume")
+    assert(got.toSet === expected.toSet, "loss after compact+resume")
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
