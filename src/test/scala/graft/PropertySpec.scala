@@ -61,4 +61,37 @@ class PropertySpec extends SparkSuite {
         sources.Synth.docId(i) == sources.Synth.docId(i)
     })
   }
+
+  test("media sniff/resize never throw on arbitrary bytes (fuzz)") {
+    // the quarantine contract: at 10^12 rows every corruption exists; the
+    // parsers must classify, never crash
+    val junk: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+      // adversarial: valid magics with corrupt interiors
+      Gen.listOfN(60, Gen.chooseNum(-128, 127).map(_.toByte)).map { l =>
+        val a = l.toArray; a(0) = 'B'; a(1) = 'M'; a
+      },
+      Gen.listOfN(60, Gen.chooseNum(-128, 127).map(_.toByte)).map { l =>
+        val a = l.toArray
+        "RIFF".getBytes.copyToArray(a, 0); "WAVE".getBytes.copyToArray(a, 8); a
+      })
+    check(forAll(junk, Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) { (bytes, w, h) =>
+      val m = graft.operators.MediaOps.sniff(1L, bytes)
+      val r = graft.operators.MediaOps.resizeBmp(bytes, w, h)
+      // sniff always classifies; resize only succeeds on genuinely valid BMPs
+      (m.kind == "bmp" || m.kind == "wav" || m.kind == "unknown") &&
+        (r.isEmpty || graft.operators.MediaOps.sniff(1L, r.get).valid)
+    })
+  }
+
+  test("BPE mergeOnce shrinks or preserves length and never emits the merged pair") {
+    val seqGen = Gen.listOf(Gen.chooseNum(0, 5)).map(_.toArray)
+    check(forAll(seqGen, Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (s, l, r) =>
+      val out = graft.operators.BpeTrainer.mergeOnce(s, l, r, 99)
+      val noPair = (0 until out.length - 1).forall(i => !(out(i) == l && out(i + 1) == r)) ||
+        (l == r && r == 99) // unreachable newId sentinel guard
+      out.length <= s.length && (l != r || noPair) &&
+        (if (l != r) noPair else true)
+    })
+  }
 }
