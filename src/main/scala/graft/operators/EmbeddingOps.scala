@@ -178,6 +178,60 @@ object EmbeddingOps {
     * `cluster` column (partition/bucket the lake table by it); probing is an
     * equi-join on cluster ids — never a full scan. `nProbe = nCells` probes
     * everything and is exact (the oracle configuration). */
+  // ---- IVF index lifecycle (build once, probe many) ----------------------
+
+  /** Materialise the IVF index: the codebook as a tiny parquet table and
+    * the vectors PARTITIONED BY their cluster cell. This is the 100 TB
+    * shape: training and cell assignment run once at build time; every
+    * later query probes nProbe cells as a PARTITION-PRUNED scan (asserted
+    * in EmbeddingSpec) — reading nProbe/nCells of the index bytes instead
+    * of filtering a full scan. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    nCells: Int = 16): Unit = {
+    import spark.implicits._
+    val all = embeddings(spark, dir)
+    val cents = trainCentroids(all, nCells)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    all.withColumn("cluster",
+        graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexPath/vectors")
+  }
+
+  def loadCodebook(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexPath/codebook")
+      .orderBy("cell").select("centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+  }
+
+  /** Probe a pre-built index: nearest nProbe cells per query (codebook is
+    * driver-resident — it is k×dim floats), then ONE partition-pruned scan
+    * over the union of probed cells joined to the per-query cell list. */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String,
+                     queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = loadCodebook(spark, indexPath)
+    val probes = queries.select(col("qid"), col("qv")).collect().flatMap { r =>
+      val vec = r.getAs[Seq[Double]]("qv").toArray
+      graft.functions.ArgMinCentroid.ranked(vec, cents).take(nProbe)
+        .map(cell => (r.getLong(0), vec, cell))
+    }.toSeq
+    val cells = probes.map(_._3).distinct
+    val indexed = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cluster").isin(cells: _*)) // static partition pruning
+    val q = probes.toDF("qid", "qv", "cluster")
+    val scored = indexed.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nProbe: Int = 4, nCells: Int = 16): DataFrame = {
     import spark.implicits._

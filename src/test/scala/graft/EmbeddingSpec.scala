@@ -70,6 +70,29 @@ class EmbeddingSpec extends SparkSuite {
     assert(ivf === truth)
   }
 
+  test("persisted IVF index: full-probe equals brute force; probe scan is partition-pruned") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    EmbeddingOps.buildIvfIndex(spark, dir, idx, nCells = 16)
+    // codebook round-trips
+    assert(EmbeddingOps.loadCodebook(spark, idx).length === 16)
+    val queries = EmbeddingOps.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val full = EmbeddingOps.ivfTopKIndexed(spark, idx, queries, k = 5, nProbe = 16)
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full.as[(Long, Long, Double, Int)].collect().toSet === truth)
+    // narrow probe reads only the probed cells: partition filter in the scan
+    val narrow = EmbeddingOps.ivfTopKIndexed(spark, idx, queries, k = 5, nProbe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"probe must prune index partitions:\n$plan")
+    // recall under narrow probing is still useful (floor, not exactness)
+    val got = narrow.as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.intersect(truth).size >= truth.size / 2)
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val rows = EmbeddingOps.nearDupPairs(spark, dir, 0.4)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
