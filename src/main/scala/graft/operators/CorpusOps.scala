@@ -373,7 +373,9 @@ object CorpusOps {
       .withColumn("stop_ratio",
         size(filter(w, x => x.isin(TextOps.Stopwords: _*))).cast("double") / col("n_tok"))
       .filter(col("n_tok") >= minTokens && col("stop_ratio") <= maxStopRatio)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // qf is deliberately NOT cached: it is a narrow filter over the scan,
+    // recomputed by three consumers for free, and a persist here would stay
+    // registered past this call (the returned plan still references it)
     val pairs = TextOps.minhashLshPairsOn(
       qf.select(col("doc_id"), TextOps.shingleArr(col("text"), 3).as("sh")), 0.5)
       .select("id_a", "id_b")
