@@ -58,6 +58,7 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
     "q_semantic_dedup" -> ((s, d) => CorpusOps.semanticDedupPairs(s, d)),
     "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
+    "q_unigram_logprob" -> ((s, d) => CorpusOps.unigramLogProb(s, d)),
     "q_dup_clusters" -> ((s, d) => CorpusOps.dupClusters(s, d)),
     "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
     // capstone: quality filter → near-dup survivor dedup → stratified
@@ -330,6 +331,15 @@ object SparkEntry {
                     ORDER BY d.n_chars DESC, comp.doc_id) AS rn
            FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
          WHERE rn = 1""",
+    "q_unigram_logprob" ->
+      """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+         vocab AS (SELECT word, count(*) AS cnt FROM wd GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM wd)
+         SELECT doc_id, count(*) AS n_words,
+                round(avg(ln(cnt::DOUBLE / total)), 6) AS avg_logp
+         FROM wd JOIN vocab USING (word) CROSS JOIN tot
+         GROUP BY 1""",
     "q_training_mix" ->
       """WITH RECURSIVE
          q AS (SELECT doc_id, text, source, n_chars,

@@ -221,6 +221,26 @@ object CorpusOps {
         TextOps.shingleArr(array_join(col("tokens"), " "), k).as("sh")),
       threshold)
 
+  // ---- Corpus-LM quality scoring -----------------------------------------
+
+  /** Unigram log-probability score per document (the CCNet-style LM-quality
+    * proxy: fluent text is made of frequent words; gibberish and boilerplate
+    * sit in the tails). Two aggregations: corpus vocabulary counts (combine-
+    * heavy, (word, count) pairs), then a word→count join and a per-doc mean
+    * of ln(count/total). The vocabulary is Zipf-small relative to the corpus
+    * — broadcast it; the per-doc mean shuffles (doc_id, logp) pairs. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val wordsDf = documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = wordsDf.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = wordsDf.count()
+    wordsDf.join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 6)
+          .as("avg_logp"))
+  }
+
   // ---- Cross-modality composition ----------------------------------------
 
   /** Semantic dedup: text near-dup candidates (MinHash+LSH+exact-verify,
