@@ -244,7 +244,7 @@ object SparkEntry {
                 round(1.0 - bg.n_bg::DOUBLE / (len(ws) - 1), 6)
                   AS dup_bigram_ratio,
                 round(top.top_n::DOUBLE / len(ws), 6) AS top_word_frac
-         FROM w JOIN bg USING (doc_id) JOIN top USING (doc_id)""",
+         FROM w LEFT JOIN bg USING (doc_id) LEFT JOIN top USING (doc_id)""",
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
                            len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -45,8 +45,11 @@ object CorpusOps {
       nWords.as("n_words"),
       round(lit(1.0) - size(array_distinct(w)).cast("double") / nWords, 6)
         .as("dup_word_ratio"),
-      round(lit(1.0) -
-        size(TextOps.shingleArr(col("text"), 2)).cast("double") / (nWords - 1), 6)
+      // single-word docs have no bigrams: NULL, matching the oracle's
+      // LEFT JOIN (an unguarded 0/0 also nulls, but make it explicit)
+      when(nWords > 1,
+        round(lit(1.0) -
+          size(TextOps.shingleArr(col("text"), 2)).cast("double") / (nWords - 1), 6))
         .as("dup_bigram_ratio"))
     val topCount = docs
       .select(col("doc_id"), explode(w).as("word"))
@@ -174,11 +177,14 @@ object CorpusOps {
   // below run the same corpus-prep semantics directly on that shape, so a
   // training pipeline never has to de-tokenize to prepare its data.
 
-  /** Exact dedup over token sequences: hash the whole array (xxhash64 spans
-    * the elements), shuffle 8-byte digests, keep the smallest doc_id per
-    * identical sequence. */
+  /** Exact dedup over token sequences: hash the rendered sequence with
+    * SHA-256 (a 64-bit hash is NOT collision-safe at 10^12 rows — expected
+    * birthday collisions would silently delete non-duplicates; 256 bits
+    * are, the same reasoning as [[TextOps.dedupExact]]), shuffle 32-byte
+    * digests, keep the smallest doc_id per identical sequence. */
   def dedupExactTokens(seqs: DataFrame): DataFrame =
-    seqs.select(col("doc_id"), xxhash64(col("tokens")).as("h"))
+    seqs.select(col("doc_id"),
+        sha2(concat_ws(",", col("tokens").cast("array<string>")), 256).as("h"))
       .groupBy("h")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
@@ -233,11 +239,15 @@ object CorpusOps {
     val wordsDf = documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
     val vocab = wordsDf.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = wordsDf.count()
+    // the corpus total stays INSIDE the plan (a broadcast 1-row aggregate)
+    // — an eager count() here would scan the corpus at plan-build time and
+    // again at execution
+    val total = wordsDf.agg(count(lit(1)).cast("double").as("total"))
     wordsDf.join(broadcast(vocab), Seq("word"))
+      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        round(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 6)
+        round(avg(log(col("cnt").cast("double") / col("total"))), 6)
           .as("avg_logp"))
   }
 
@@ -302,7 +312,7 @@ object CorpusOps {
     try {
       var it = 0
       var converged = false
-      while (!converged && it < maxIter) {
+      while (it < maxIter && !converged) {
         val neighborMin = edges
           .join(labels.select(col("node").as("v"), col("rep").as("vrep")), Seq("v"))
           .groupBy(col("u").as("node")).agg(min("vrep").as("nrep"))
@@ -318,6 +328,13 @@ object CorpusOps {
         labels = updated.select(col("node"), col("rep2").as("rep"))
         it += 1
       }
+      // unconverged labels are WRONG labels (a >maxIter-diameter chain
+      // would be reported as several clusters) — fail loudly, never return
+      // partial propagation
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "a component's diameter exceeds maxIter; raise it")
       labels.select(col("node").as("doc_id"), col("rep"))
     } finally { edges.unpersist(); () }
   }

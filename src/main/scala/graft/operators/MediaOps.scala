@@ -54,21 +54,25 @@ object MediaOps {
       else invalid("bmp")
     } else if (bytes.length >= 12 &&
         ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE") {
-      // walk RIFF chunks to the fmt chunk (it is not always at offset 12)
-      var off = 12
+      // walk RIFF chunks to the fmt chunk (it is not always at offset 12).
+      // The cursor is a Long: a crafted 4-byte chunk size near Int.MaxValue
+      // would wrap Int arithmetic to a negative offset that passes the
+      // bounds checks and crashes the read — quarantine, never throw.
+      var off: Long = 12L
       var out: MediaMeta = invalid("wav")
       while (off + 8 <= bytes.length && !out.valid) {
-        val cid = ascii(bytes, off, 4)
-        val csz = le32(bytes, off + 4)
-        if (cid == "fmt " && csz >= 16 && off + 8 + 16 <= bytes.length) {
-          val ch = le16(bytes, off + 10)
-          val rate = le32(bytes, off + 12)
-          val bits = le16(bytes, off + 22)
+        val io = off.toInt // safe: 0 <= off <= length - 8 here
+        val cid = ascii(bytes, io, 4)
+        val csz = le32(bytes, io + 4).toLong
+        if (cid == "fmt " && csz >= 16 && io + 8 + 16 <= bytes.length) {
+          val ch = le16(bytes, io + 10)
+          val rate = le32(bytes, io + 12)
+          val bits = le16(bytes, io + 22)
           if (ch > 0 && rate > 0)
             out = MediaMeta(id, "wav", -1, -1, rate, ch, bits, n, valid = true)
         }
-        if (csz < 0) off = bytes.length // corrupt size → stop
-        else off += 8 + csz + (csz & 1) // RIFF chunks are 2-byte aligned
+        if (csz < 0) off = bytes.length.toLong // corrupt size → stop
+        else off += 8L + csz + (csz & 1L) // RIFF chunks are 2-byte aligned
       }
       out
     } else invalid("unknown")
@@ -89,10 +93,14 @@ object MediaOps {
     val h = le32(bytes, 22)
     val bpp = le16(bytes, 28)
     val off = le32(bytes, 10)
-    val rowSize = ((bpp * w + 31) / 32) * 4
-    if (w <= 0 || h == 0 || bpp != 24 ||
-      off + rowSize.toLong * math.abs(h) > bytes.length) None
-    else Some((w, h, off, rowSize))
+    // all geometry math in Long: a crafted width near Int.MaxValue would
+    // wrap `bpp*w` to a tiny rowSize that passes the size check and sends
+    // the pixel loops out of bounds
+    val rowSizeL = ((bpp.toLong * w + 31) / 32) * 4
+    if (w <= 0 || h == 0 || h == Int.MinValue || bpp != 24 || off < 54 ||
+      rowSizeL > Int.MaxValue ||
+      off.toLong + rowSizeL * math.abs(h.toLong) > bytes.length) None
+    else Some((w, h, off, rowSizeL.toInt))
   }
 
   /** Nearest-neighbour resize of a 24-bpp BMP — an ACTUAL image transform

@@ -52,7 +52,10 @@ class LakeSink(val path: String) extends Serializable {
     if (!Files.exists(manifest)) Seq.empty
     else Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty).map(Committed.parse)
 
-  def committedBatches(): Set[Long] = committed().map(_.batch).toSet
+  /** All batch ids the manifest accounts for — including streaming ids a
+    * compacted segment folded, so replays of folded batches stay no-ops. */
+  def committedBatches(): Set[Long] =
+    committed().flatMap(e => e.batch +: e.folded).toSet
 
   /** The foreachBatch body. Returns true if the batch was newly committed. */
   def addBatch(batchId: Long, df: DataFrame): Boolean =
@@ -169,8 +172,10 @@ class LakeSink(val path: String) extends Serializable {
     * streaming sink needs at 10^12 scale: a day of 1-minute microbatches is
     * 1 440 manifest entries and file sets; probes and reads pay per entry.
     * Rewrites every currently-committed batch into ONE compacted segment
-    * (negative batch id — streaming ids are non-negative, so replay
-    * idempotency is unaffected), with one right-sized bloom rebuilt from
+    * (negative batch id, so it can never collide with a streaming batch;
+    * the folded streaming ids are recorded in the entry and stay visible
+    * through committedBatches(), so a foreachBatch REPLAY of a folded batch
+    * remains a no-op on both sink paths), with one right-sized bloom rebuilt from
     * the merged ids and the union event-time range, then atomically swaps
     * the manifest. Readers see either the old generation or the new one,
     * never a mix; a crash before the manifest move leaves the old
@@ -190,7 +195,13 @@ class LakeSink(val path: String) extends Serializable {
     val data = spark.read.parquet(dirs: _*)
     val dir = s"$path/batch=$gen"
     data.write.mode("overwrite").parquet(dir)
-    val rows = entries.map(_.rows).filter(_ > 0).sum
+    // entry rows are authoritative for current-format manifests; an
+    // old-format entry (rows = -1) forces a recount so the compacted entry
+    // never reports 0 over a data-bearing segment (probeCandidates would
+    // then skip it forever)
+    val rows =
+      if (entries.forall(_.rows >= 0)) entries.map(_.rows).sum
+      else spark.read.parquet(dir).count()
     idCol.foreach { c =>
       val compacted = spark.read.parquet(dir)
       val bf =
@@ -208,9 +219,16 @@ class LakeSink(val path: String) extends Serializable {
       else None
     val rangeJson = range.map { case (lo, hi) =>
       s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
+    // the compacted entry REMEMBERS every streaming batch id it folded
+    // (transitively, via previous generations): committedBatches() keeps
+    // containing them, so a foreachBatch replay of a folded batch stays a
+    // no-op even on the non-merged addBatch path
+    val folded = entries.flatMap(e => if (e.batch >= 0) Seq(e.batch) else e.folded)
+      .distinct.sorted
     val tmp = Paths.get(path, "_manifest.tmp")
     Files.write(tmp,
-      s"""{"batch": $gen, "rows": $rows$rangeJson}\n""".getBytes(StandardCharsets.UTF_8))
+      s"""{"batch": $gen, "rows": $rows$rangeJson, "folded": [${folded.mkString(",")}]}\n"""
+        .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // old generation is unreachable from the manifest now — reclaim it
@@ -270,21 +288,25 @@ class LakeSink(val path: String) extends Serializable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Committed data only (snapshot isolation at batch granularity). */
+  /** Committed data only (snapshot isolation at batch granularity).
+    * Reads MANIFEST ENTRIES (segment dirs) — not committedBatches(), whose
+    * folded ids point at dirs compaction has reclaimed. */
   def read(spark: SparkSession): DataFrame = {
-    val batches = committedBatches()
+    val batches = committed().map(_.batch)
     if (batches.isEmpty) {
       spark.emptyDataFrame
     } else {
-      val dirs = batches.toSeq.sorted.map(b => s"$path/batch=$b")
+      val dirs = batches.sorted.map(b => s"$path/batch=$b")
       spark.read.parquet(dirs: _*)
     }
   }
 }
 
 object LakeSink {
-  /** One committed-batch manifest entry. */
-  final case class Committed(batch: Long, rows: Long, range: Option[(Long, Long)])
+  /** One committed-batch manifest entry. `folded` lists the streaming batch
+    * ids a compacted segment absorbed (empty for ordinary commits). */
+  final case class Committed(batch: Long, rows: Long, range: Option[(Long, Long)],
+                             folded: Seq[Long] = Seq.empty)
 
   object Committed {
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -294,7 +316,14 @@ object LakeSink {
         if (n.has("min_ts") && n.has("max_ts"))
           Some((n.get("min_ts").asLong, n.get("max_ts").asLong))
         else None
-      Committed(n.get("batch").asLong, if (n.has("rows")) n.get("rows").asLong else -1L, range)
+      val folded =
+        if (!n.has("folded")) Seq.empty[Long]
+        else {
+          val arr = n.get("folded")
+          (0 until arr.size).map(arr.get(_).asLong)
+        }
+      Committed(n.get("batch").asLong,
+        if (n.has("rows")) n.get("rows").asLong else -1L, range, folded)
     }
   }
 }

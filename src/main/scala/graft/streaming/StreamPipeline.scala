@@ -203,7 +203,12 @@ object StreamPipeline {
     * committed files (idempotent — addBatchMerged skips already-committed
     * ids). Returns the batch ids re-forwarded. */
   def reconcileForward(spark: SparkSession, primary: LakeSink, forward: LakeSink): Seq[Long] = {
-    val missing = (primary.committedBatches() -- forward.committedBatches()).toSeq.sorted
+    // walk primary SEGMENTS (manifest entries — folded ids have no dirs of
+    // their own after compaction); the merge write dedups by id, so a
+    // segment that is only partially missing downstream heals cleanly
+    val downstream = forward.committedBatches()
+    val missing = primary.committed().map(_.batch)
+      .filterNot(downstream.contains).sorted
     missing.foreach { b =>
       val batch = spark.read.parquet(s"${primary.path}/batch=$b")
         .drop("_batch_id", "_part_id")

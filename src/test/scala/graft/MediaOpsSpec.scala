@@ -124,6 +124,35 @@ class MediaOpsSpec extends SparkSuite {
     assert(out(3L) === ((2, true)))
   }
 
+  test("adversarial headers: Int-overflow chunk sizes and widths are quarantined") {
+    // review finding: a RIFF chunk size near Int.MaxValue used to wrap the
+    // walk cursor negative and throw; a BMP width of 178 956 971 used to
+    // wrap bpp*w so rowSize passed the bounds check and pixel loops crashed
+    val evilWav = {
+      val b = java.nio.ByteBuffer.allocate(60).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(52); b.put("WAVE".getBytes)
+      b.put("JUNK".getBytes); b.putInt(0x7FFFFFF0) // huge declared chunk
+      b.array()
+    }
+    val m = MediaOps.sniff(1L, evilWav)
+    assert(m.kind === "wav" && !m.valid) // classified, never thrown
+    val evilBmp = {
+      val b = java.nio.ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+      b.putInt(128); b.putInt(0); b.putInt(54)
+      b.putInt(40); b.putInt(178956971); b.putInt(1) // width wraps 24*w
+      b.putShort(1); b.putShort(24)
+      b.array()
+    }
+    assert(MediaOps.resizeBmp(evilBmp, 2, 2).isEmpty)
+    assert(MediaOps.bmpChannelMeans(evilBmp).isEmpty)
+    val minHeightBmp = bmp(4, 4)
+    java.nio.ByteBuffer.wrap(minHeightBmp).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue) // |h| overflows abs()
+    assert(MediaOps.resizeBmp(minHeightBmp, 2, 2).isEmpty)
+    assert(!MediaOps.sniff(2L, minHeightBmp).valid)
+  }
+
   test("negative-height (top-down) BMP reports positive dimensions") {
     val topDown = bmp(32, -8)
     val m = MediaOps.sniff(9L, topDown)

@@ -301,6 +301,26 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSet === expected.toSet, "loss after compact+resume")
   }
 
+  test("non-merged sink: replay of a FOLDED batch is still a no-op after compaction") {
+    // regression (review): compaction used to erase positive batch ids from
+    // the manifest — the only replay guard addBatch (mergeById=false) has.
+    // The compacted entry now records folded ids, so the replay check holds.
+    val sink = new LakeSink(tmp("lakefold"))
+    assert(sink.addBatch(0, Seq(("a", 1)).toDF("event_id", "v")))
+    assert(sink.addBatch(1, Seq(("b", 2)).toDF("event_id", "v")))
+    sink.compactInPlace(spark)
+    assert(sink.committed().map(_.batch) === Seq(-1L))
+    assert(sink.committedBatches() === Set(-1L, 0L, 1L)) // folded ids visible
+    // foreachBatch replay of batch 1 after a crash-before-checkpoint
+    assert(!sink.addBatch(1, Seq(("b", 2)).toDF("event_id", "v")), "replay must no-op")
+    assert(sink.read(spark).count() === 2) // no duplicates
+    // second generation carries the folded set transitively
+    assert(sink.addBatch(2, Seq(("c", 3)).toDF("event_id", "v")))
+    sink.compactInPlace(spark)
+    assert(sink.committedBatches() === Set(-2L, 0L, 1L, 2L))
+    assert(!sink.addBatch(0, Seq(("a", 1)).toDF("event_id", "v")))
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
