@@ -191,7 +191,9 @@ object CorpusOps {
 
   /** Bucketed concat-and-chunk packing over the token table — identical
     * layout contract to [[packSequences]], keyed by the string doc_id and
-    * using the table's own n_tok. */
+    * using the table's own n_tok. PRECONDITION: doc_id is unique (packing
+    * runs after dedup in a real pipeline); duplicate ids make the window
+    * order, and therefore the layout, ill-defined. */
   def packTokenSequences(seqs: DataFrame, capacity: Int = 2048,
                          nBuckets: Int = 32): DataFrame = {
     val win = Window.partitionBy("bucket").orderBy("doc_id")
@@ -204,6 +206,39 @@ object CorpusOps {
         (col("cum") - col("n_tok")).as("start_off"),
         floor((col("cum") - col("n_tok")) / lit(capacity)).as("start_chunk"),
         floor((col("cum") - 1) / lit(capacity)).as("end_chunk"))
+  }
+
+  /** Materialise the packed layout into actual fixed-capacity training
+    * chunks: each document's tokens are split across the chunks its
+    * [start_chunk, end_chunk] span covers (a GPT-style loader row). One
+    * flatMap emits (bucket, chunk, start_off, piece) fragments, then a
+    * groupBy(bucket, chunk) reassembles each chunk with an ORDERED
+    * collect (sort_array on the offset key — collect_list alone has no
+    * order guarantee) and flattens. Every chunk except each bucket's last
+    * is exactly `capacity` tokens (spec-asserted); fragments shuffle once,
+    * keyed by (bucket, chunk). Same unique-doc_id precondition as
+    * [[packTokenSequences]] — the layout join would multiply duplicates. */
+  def materializeChunks(seqs: DataFrame, capacity: Int = 2048,
+                        nBuckets: Int = 32): DataFrame = {
+    import seqs.sparkSession.implicits._
+    val layout = packTokenSequences(seqs, capacity, nBuckets)
+      .join(seqs.select("doc_id", "tokens"), Seq("doc_id"))
+      .select("bucket", "doc_id", "tokens", "start_off", "start_chunk", "end_chunk")
+      .as[(Long, String, Array[Int], Long, Long, Long)]
+    val fragments = layout.flatMap { case (bucket, _, toks, off, sc, ec) =>
+      (sc to ec).map { c =>
+        val fromGlobal = math.max(off, c * capacity)
+        val untilGlobal = math.min(off + toks.length, (c + 1) * capacity)
+        (bucket, c, fromGlobal,
+          toks.slice((fromGlobal - off).toInt, (untilGlobal - off).toInt))
+      }
+    }.toDF("bucket", "chunk", "frag_off", "piece")
+    fragments
+      .groupBy("bucket", "chunk")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("frag_off"), col("piece")))),
+        s => s.getField("piece"))).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
   }
 
   /** Corpus token-frequency top-k (the unigram statistics a tokenizer/mix

@@ -121,11 +121,11 @@ class CorpusOpsSpec extends SparkSuite {
   }
 
   test("token-table packing over the synthetic north-rule input is gap-free") {
-    val seqs = graft.sources.Synth.inputTable(spark, 500)
+    val seqs = graft.sources.Synth.inputTable(spark, 500).dropDuplicates("doc_id")
     val rows = CorpusOps.packTokenSequences(seqs, capacity = 2048)
       .select("bucket", "doc_id", "n_tok", "start_off", "start_chunk", "end_chunk")
       .as[(Long, String, Long, Long, Long, Long)].collect()
-    assert(rows.length === 500)
+    assert(rows.length.toLong === seqs.count())
     rows.groupBy(_._1).foreach { case (_, docs) =>
       val sorted = docs.sortBy(_._2)
       sorted.sliding(2).foreach {
@@ -139,6 +139,42 @@ class CorpusOpsSpec extends SparkSuite {
     // total packed tokens equals the table's own n_tok sum
     assert(rows.map(_._3).sum ===
       seqs.agg(sum("n_tok")).as[Long].head())
+  }
+
+  test("materialized chunks: exact capacity except per-bucket tails, nothing lost, order kept") {
+    // packing runs AFTER dedup in a pipeline — the synthetic input plants
+    // duplicate doc_ids on purpose, so dedupe first (the op's precondition)
+    val seqs = graft.sources.Synth.inputTable(spark, 300).dropDuplicates("doc_id")
+    val cap = 512
+    val chunks = CorpusOps.materializeChunks(seqs, capacity = cap)
+      .select("bucket", "chunk", "tokens")
+      .as[(Long, Long, Array[Int])].collect()
+    // conservation: every token lands in exactly one chunk slot
+    val totalIn = seqs.agg(sum("n_tok")).as[Long].head()
+    assert(chunks.map(_._3.length.toLong).sum === totalIn)
+    // every chunk but each bucket's last is exactly `cap` tokens
+    chunks.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.dropRight(1).foreach { case (b, c, toks) =>
+        assert(toks.length === cap, s"bucket $b chunk $c not full")
+      }
+      assert(sorted.last._3.length <= cap)
+      // chunk ids are contiguous from 0
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length.toLong))
+    }
+    // order preserved: re-concatenating a bucket's chunks equals the
+    // bucket's docs concatenated in doc_id order
+    val byBucket = seqs
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(32)).as("bucket"),
+        col("tokens"))
+      .as[(String, Long, Array[Int])].collect()
+      .groupBy(_._2).map { case (b, rows) =>
+        b -> rows.sortBy(_._1).flatMap(_._3).toSeq
+      }
+    chunks.groupBy(_._1).foreach { case (b, cs) =>
+      val stream = cs.sortBy(_._2).flatMap(_._3).toSeq
+      assert(stream === byBucket(b), s"bucket $b stream mismatch")
+    }
   }
 
   test("token histogram mass equals total token count; ranks are ordered") {
