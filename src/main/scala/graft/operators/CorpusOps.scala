@@ -55,7 +55,9 @@ object CorpusOps {
       .select(col("doc_id"), explode(w).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .groupBy("doc_id").agg(max("n").as("top_n"))
-    base.join(topCount, Seq("doc_id"))
+    // LEFT join, mirroring the oracle: a null-text doc explodes to no word
+    // rows, and an inner join would drop it from the output entirely
+    base.join(topCount, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
         col("dup_bigram_ratio"),
         round(col("top_n").cast("double") / col("n_words"), 6).as("top_word_frac"))
@@ -365,11 +367,13 @@ object CorpusOps {
       }
       // unconverged labels are WRONG labels (a >maxIter-diameter chain
       // would be reported as several clusters) — fail loudly, never return
-      // partial propagation
-      if (!converged)
+      // partial propagation; release the last round's cache on the way out
+      if (!converged) {
+        cached.unpersist()
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds — " +
             "a component's diameter exceeds maxIter; raise it")
+      }
       labels.select(col("node").as("doc_id"), col("rep"))
     } finally { edges.unpersist(); () }
   }

@@ -53,17 +53,28 @@ class LakeSink(val path: String) extends Serializable {
     else Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty).map(Committed.parse)
 
   /** All batch ids the manifest accounts for — including streaming ids a
-    * compacted segment folded, so replays of folded batches stay no-ops. */
+    * compacted segment folded. Materialises the folded ranges; fine for
+    * tests/tools, but hot paths use [[accountsFor]] (O(entries), not
+    * O(ids)). */
   def committedBatches(): Set[Long] =
-    committed().flatMap(e => e.batch +: e.folded).toSet
+    committed().flatMap(e =>
+      e.batch +: e.folded.flatMap { case (lo, hi) => lo to hi }).toSet
+
+  /** Replay/coverage guard: does the manifest account for this streaming
+    * batch id — as a live entry or inside a compacted segment's folded
+    * ranges? Constant work per manifest ENTRY (ranges, never id lists). */
+  def accountsFor(id: Long): Boolean =
+    committed().exists(e => e.batch == id ||
+      e.folded.exists { case (lo, hi) => id >= lo && id <= hi })
 
   /** The foreachBatch body. Returns true if the batch was newly committed. */
   def addBatch(batchId: Long, df: DataFrame): Boolean =
     addBatchTracked(batchId, df, None, None)
 
   private def addBatchTracked(batchId: Long, df: DataFrame,
-                              idCol: Option[String], tsCol: Option[String]): Boolean = {
-    if (committedBatches().contains(batchId)) return false // replay → no-op
+                              idCol: Option[String], tsCol: Option[String],
+                              covering: Seq[(Long, Long)] = Seq.empty): Boolean = {
+    if (accountsFor(batchId)) return false // replay → no-op
     val dir = s"$path/batch=$batchId"
     val withLineage = df
       .withColumn("_batch_id", lit(batchId))
@@ -100,7 +111,7 @@ class LakeSink(val path: String) extends Serializable {
       }
       writeMetrics(batchId, perPart.map(r =>
         s"""{"part": ${r.get(0)}, "rows": ${r.getAs[Long]("n")}}"""))
-      commit(batchId, rows, range)
+      commit(batchId, rows, range, covering)
       true
     } finally { withLineage.unpersist(); () }
   }
@@ -121,8 +132,9 @@ class LakeSink(val path: String) extends Serializable {
     * the watermark. The probe is bounded: event-time-overlapping batches
     * only, bloom-prefiltered, id-column-pruned parquet scan. */
   def addBatchMerged(batchId: Long, df: DataFrame, idCol: String,
-                     tsCol: String = "ts"): Boolean = {
-    if (committedBatches().contains(batchId)) return false
+                     tsCol: String = "ts",
+                     covering: Seq[(Long, Long)] = Seq.empty): Boolean = {
+    if (accountsFor(batchId)) return false
     val spark = df.sparkSession
     val batchUnique = df.dropDuplicates(idCol) // intra-batch dedup (D4)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -157,7 +169,7 @@ class LakeSink(val path: String) extends Serializable {
             .select(col(idCol)).distinct()
           sure.unionByName(maybe.join(existingIds, Seq(idCol), "left_anti"))
         }
-      addBatchTracked(batchId, novel, Some(idCol), Some(tsCol))
+      addBatchTracked(batchId, novel, Some(idCol), Some(tsCol), covering)
     } finally { batchUnique.unpersist(); () }
   }
 
@@ -220,14 +232,17 @@ class LakeSink(val path: String) extends Serializable {
     val rangeJson = range.map { case (lo, hi) =>
       s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
     // the compacted entry REMEMBERS every streaming batch id it folded
-    // (transitively, via previous generations): committedBatches() keeps
-    // containing them, so a foreachBatch replay of a folded batch stays a
-    // no-op even on the non-merged addBatch path
-    val folded = entries.flatMap(e => if (e.batch >= 0) Seq(e.batch) else e.folded)
-      .distinct.sorted
+    // (transitively, via previous generations) as inclusive RANGES —
+    // streaming ids are dense, so this is O(gaps), not O(batches): months
+    // of microbatches compress to one [lo,hi] pair instead of an
+    // ever-growing id list. accountsFor() keeps covering them, so a
+    // foreachBatch replay of a folded batch stays a no-op on both paths.
+    val folded = LakeSink.mergeRanges(
+      entries.flatMap(e => if (e.batch >= 0) Seq((e.batch, e.batch)) else e.folded))
+    val foldedJson = folded.map { case (a, b) => s"[$a,$b]" }.mkString(",")
     val tmp = Paths.get(path, "_manifest.tmp")
     Files.write(tmp,
-      s"""{"batch": $gen, "rows": $rows$rangeJson, "folded": [${folded.mkString(",")}]}\n"""
+      s"""{"batch": $gen, "rows": $rows$rangeJson, "folded": [$foldedJson]}\n"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -275,13 +290,17 @@ class LakeSink(val path: String) extends Serializable {
 
   /** Atomic manifest append: copy-on-write + rename. Single-writer (one
     * streaming query owns a sink), so no lock is needed. */
-  private def commit(batchId: Long, rows: Long, range: Option[(Long, Long)]): Unit = {
+  private def commit(batchId: Long, rows: Long, range: Option[(Long, Long)],
+                     covering: Seq[(Long, Long)] = Seq.empty): Unit = {
     Files.createDirectories(Paths.get(path))
     val prev =
       if (Files.exists(manifest)) Files.readString(manifest) else ""
     val rangeJson = range.map { case (lo, hi) =>
       s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
-    val line = s"""{"batch": $batchId, "rows": $rows$rangeJson}\n"""
+    val foldedJson =
+      if (covering.isEmpty) ""
+      else s""", "folded": [${covering.map { case (a, b) => s"[$a,$b]" }.mkString(",")}]"""
+    val line = s"""{"batch": $batchId, "rows": $rows$rangeJson$foldedJson}\n"""
     val tmp = Paths.get(path, s"_manifest.tmp")
     Files.write(tmp, (prev + line).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
@@ -303,10 +322,28 @@ class LakeSink(val path: String) extends Serializable {
 }
 
 object LakeSink {
-  /** One committed-batch manifest entry. `folded` lists the streaming batch
-    * ids a compacted segment absorbed (empty for ordinary commits). */
+  /** One committed-batch manifest entry. `folded` holds the inclusive
+    * ranges of streaming batch ids a compacted segment absorbed (empty for
+    * ordinary commits). */
   final case class Committed(batch: Long, rows: Long, range: Option[(Long, Long)],
-                             folded: Seq[Long] = Seq.empty)
+                             folded: Seq[(Long, Long)] = Seq.empty) {
+    /** Streaming ids this entry accounts for (entry id itself if it IS a
+      * streaming batch, plus folded ranges). Materialises — call on
+      * segment granularity only. */
+    def streamIds: Seq[Long] =
+      (if (batch >= 0) Seq(batch) else Seq.empty) ++
+        folded.flatMap { case (lo, hi) => lo to hi }
+  }
+
+  /** Merge inclusive ranges into a minimal sorted cover. */
+  def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.sortBy(_._1)
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (a, b)) if a <= hi + 1 =>
+        (lo, math.max(hi, b)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+  }
 
   object Committed {
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -317,10 +354,14 @@ object LakeSink {
           Some((n.get("min_ts").asLong, n.get("max_ts").asLong))
         else None
       val folded =
-        if (!n.has("folded")) Seq.empty[Long]
+        if (!n.has("folded")) Seq.empty[(Long, Long)]
         else {
           val arr = n.get("folded")
-          (0 until arr.size).map(arr.get(_).asLong)
+          (0 until arr.size).map { i =>
+            val el = arr.get(i)
+            if (el.isArray) (el.get(0).asLong, el.get(1).asLong)
+            else (el.asLong, el.asLong) // tolerate flat-id format
+          }
         }
       Committed(n.get("batch").asLong,
         if (n.has("rows")) n.get("rows").asLong else -1L, range, folded)

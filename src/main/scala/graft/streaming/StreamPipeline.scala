@@ -198,23 +198,32 @@ object StreamPipeline {
         ()
       }
 
-  /** Heal the forward store: every batch committed to the primary but
-    * absent from the forward manifest is re-forwarded from the primary's
-    * committed files (idempotent — addBatchMerged skips already-committed
-    * ids). Returns the batch ids re-forwarded. */
+  /** Heal the forward store: every STREAMING batch id committed to the
+    * primary but unaccounted downstream is re-forwarded from the primary
+    * segment that carries it (idempotent — addBatchMerged dedups by id).
+    *
+    * The diff runs on streaming ids, never on segment ids: compacted
+    * generation ids (-1, -2, …) are per-sink counters that collide across
+    * sinks without identifying the same content, so comparing them would
+    * both skip real gaps (primary -1 "present" because forward compacted
+    * too) and re-forward whole histories (primary -N never present
+    * downstream). A healed segment commits under its highest missing
+    * streaming id and records the REST in the entry's folded ranges
+    * (`covering`), so one reconcile accounts for everything it shipped.
+    * Returns the streaming ids healed. */
   def reconcileForward(spark: SparkSession, primary: LakeSink, forward: LakeSink): Seq[Long] = {
-    // walk primary SEGMENTS (manifest entries — folded ids have no dirs of
-    // their own after compaction); the merge write dedups by id, so a
-    // segment that is only partially missing downstream heals cleanly
-    val downstream = forward.committedBatches()
-    val missing = primary.committed().map(_.batch)
-      .filterNot(downstream.contains).sorted
-    missing.foreach { b =>
-      val batch = spark.read.parquet(s"${primary.path}/batch=$b")
-        .drop("_batch_id", "_part_id")
-      forward.addBatchMerged(b, batch, "event_id")
+    val healed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    primary.committed().foreach { e =>
+      val missing = e.streamIds.filterNot(forward.accountsFor)
+      if (missing.nonEmpty) {
+        val batch = spark.read.parquet(s"${primary.path}/batch=${e.batch}")
+          .drop("_batch_id", "_part_id")
+        forward.addBatchMerged(missing.max, batch, "event_id",
+          covering = LakeSink.mergeRanges(missing.map(m => (m, m))))
+        healed ++= missing
+      }
     }
-    missing
+    healed.toSeq.sorted
   }
 
   /** Late-tolerant landing: no stateful operator in the path, dedup wholly

@@ -321,6 +321,43 @@ class StreamingSpec extends SparkSuite {
     assert(!sink.addBatch(0, Seq(("a", 1)).toDF("event_id", "v")))
   }
 
+  test("reconcile heals across INDEPENDENT compactions (streaming-id diff, not segment ids)") {
+    // review regression: both sinks compact → each gets gen -1; a diff on
+    // segment ids would treat them as the same content and skip the heal
+    val primary = new LakeSink(tmp("recp2"))
+    val forward = new LakeSink(tmp("recf2"))
+    val ts = Timestamp.valueOf("2024-01-01 05:00:00")
+    def batch(ids: Seq[String]) = ids.map(id => (id, ts)).toDF("event_id", "ts")
+    Seq(0, 1, 2).foreach(b =>
+      assert(primary.addBatchMerged(b, batch(Seq(s"id-$b")), "event_id")))
+    Seq(0, 2).foreach(b => // forward missed batch 1
+      assert(forward.addBatchMerged(b, batch(Seq(s"id-$b")), "event_id")))
+    primary.compactInPlace(spark, Some("event_id"))
+    forward.compactInPlace(spark, Some("event_id"))
+    val healed = StreamPipeline.reconcileForward(spark, primary, forward)
+    assert(healed === Seq(1L))
+    assert(forward.read(spark).select("event_id").as[String].collect().toSet
+      === Set("id-0", "id-1", "id-2"))
+    assert(forward.read(spark).count() === 3) // heal never duplicates
+    // the healed commit covers id 1: a second reconcile is a true no-op
+    assert(StreamPipeline.reconcileForward(spark, primary, forward).isEmpty)
+  }
+
+  test("folded ranges stay O(gaps): contiguous batches compress to one range") {
+    val sink = new LakeSink(tmp("lakeranges"))
+    (0 until 6).foreach(b =>
+      assert(sink.addBatch(b, Seq((s"x$b", b)).toDF("event_id", "v"))))
+    sink.compactInPlace(spark)
+    val entry = sink.committed().head
+    assert(entry.folded === Seq((0L, 5L))) // one range, not six ids
+    assert((0L to 5L).forall(sink.accountsFor))
+    assert(!sink.accountsFor(6L))
+    // second generation folds the range + the new id into one range again
+    assert(sink.addBatch(6, Seq(("y", 1)).toDF("event_id", "v")))
+    sink.compactInPlace(spark)
+    assert(sink.committed().head.folded === Seq((0L, 6L)))
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
