@@ -327,12 +327,16 @@ object LakeSink {
     * ordinary commits). */
   final case class Committed(batch: Long, rows: Long, range: Option[(Long, Long)],
                              folded: Seq[(Long, Long)] = Seq.empty) {
-    /** Streaming ids this entry accounts for (entry id itself if it IS a
-      * streaming batch, plus folded ranges). Materialises — call on
-      * segment granularity only. */
+    /** Streaming-id RANGES this entry accounts for (entry id itself if it
+      * IS a streaming batch, plus folded ranges). */
+    def streamIdRanges: Seq[(Long, Long)] =
+      (if (batch >= 0) Seq((batch, batch)) else Seq.empty) ++ folded
+
+    /** Materialised streaming ids — call on segment granularity only;
+      * prefer [[streamIdRanges]] + [[LakeSink.subtractRanges]] for
+      * coverage math. */
     def streamIds: Seq[Long] =
-      (if (batch >= 0) Seq(batch) else Seq.empty) ++
-        folded.flatMap { case (lo, hi) => lo to hi }
+      streamIdRanges.flatMap { case (lo, hi) => lo to hi }
   }
 
   /** Merge inclusive ranges into a minimal sorted cover. */
@@ -343,6 +347,23 @@ object LakeSink {
         (lo, math.max(hi, b)) :: tail
       case (acc, r) => r :: acc
     }.reverse
+  }
+
+  /** `a` minus `b`, both inclusive range sets — O(|a| + |b|) after the
+    * merge, never materialising ids (a month-long folded range subtracts in
+    * constant work). */
+  def subtractRanges(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val cover = mergeRanges(b)
+    mergeRanges(a).flatMap { case (lo, hi) =>
+      var cur = lo
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      cover.filter(c => c._2 >= lo && c._1 <= hi).foreach { case (clo, chi) =>
+        if (clo > cur) out += ((cur, clo - 1))
+        cur = math.max(cur, chi + 1)
+      }
+      if (cur <= hi) out += ((cur, hi))
+      out
+    }
   }
 
   object Committed {

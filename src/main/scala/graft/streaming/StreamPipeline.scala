@@ -212,15 +212,18 @@ object StreamPipeline {
     * (`covering`), so one reconcile accounts for everything it shipped.
     * Returns the streaming ids healed. */
   def reconcileForward(spark: SparkSession, primary: LakeSink, forward: LakeSink): Seq[Long] = {
+    // range-level coverage math: a fully-covered month-long segment costs
+    // O(ranges), never O(batch ids)
+    val downstream = forward.committed().flatMap(_.streamIdRanges)
     val healed = scala.collection.mutable.ArrayBuffer.empty[Long]
     primary.committed().foreach { e =>
-      val missing = e.streamIds.filterNot(forward.accountsFor)
+      val missing = LakeSink.subtractRanges(e.streamIdRanges, downstream)
       if (missing.nonEmpty) {
         val batch = spark.read.parquet(s"${primary.path}/batch=${e.batch}")
           .drop("_batch_id", "_part_id")
-        forward.addBatchMerged(missing.max, batch, "event_id",
-          covering = LakeSink.mergeRanges(missing.map(m => (m, m))))
-        healed ++= missing
+        forward.addBatchMerged(missing.map(_._2).max, batch, "event_id",
+          covering = missing)
+        healed ++= missing.flatMap { case (lo, hi) => lo to hi }
       }
     }
     healed.toSeq.sorted

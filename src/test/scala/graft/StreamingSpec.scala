@@ -343,6 +343,17 @@ class StreamingSpec extends SparkSuite {
     assert(StreamPipeline.reconcileForward(spark, primary, forward).isEmpty)
   }
 
+  test("range algebra: merge and subtract cover the reconcile edge cases") {
+    import graft.streaming.LakeSink.{mergeRanges, subtractRanges}
+    assert(mergeRanges(Seq((3L, 5L), (1L, 2L), (7L, 9L))) === Seq((1L, 5L), (7L, 9L)))
+    assert(subtractRanges(Seq((5L, 10L)), Seq((1L, 6L), (8L, 9L)))
+      === Seq((7L, 7L), (10L, 10L)))
+    assert(subtractRanges(Seq((1L, 4L)), Seq((1L, 4L))).isEmpty)
+    assert(subtractRanges(Seq((1L, 4L)), Seq.empty) === Seq((1L, 4L)))
+    assert(subtractRanges(Seq((1L, 3L), (10L, 12L)), Seq((2L, 11L)))
+      === Seq((1L, 1L), (12L, 12L)))
+  }
+
   test("folded ranges stay O(gaps): contiguous batches compress to one range") {
     val sink = new LakeSink(tmp("lakeranges"))
     (0 until 6).foreach(b =>
