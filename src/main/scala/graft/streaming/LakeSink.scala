@@ -253,6 +253,42 @@ class LakeSink(val path: String) extends Serializable {
     }
   }
 
+  /** Reclaim unreachable storage: batch dirs and bloom files not referenced
+    * by the manifest — a crash between the compaction manifest swap and the
+    * old-generation delete leaves orphans (harmless but paying storage).
+    * Safe under the single-writer model whenever no commit is mid-flight.
+    * Returns the reclaimed dir/file names. */
+  def vacuum(): Seq[String] = {
+    val live = committed().map(_.batch).toSet
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Seq.empty
+    val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dirs = Files.list(root)
+    try {
+      dirs.iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("batch=") &&
+            !live.contains(name.stripPrefix("batch=").toLong)) {
+          deleteRecursive(p); reclaimed += name
+        }
+      }
+    } finally dirs.close()
+    val bloomDir = Paths.get(path, "_bloom")
+    if (Files.exists(bloomDir)) {
+      val blooms = Files.list(bloomDir)
+      try {
+        blooms.iterator().asScala.foreach { p =>
+          val name = p.getFileName.toString
+          val id = name.stripPrefix("batch-").stripSuffix(".bin")
+          if (name.startsWith("batch-") && !live.contains(id.toLong)) {
+            Files.delete(p); reclaimed += s"_bloom/$name"
+          }
+        }
+      } finally blooms.close()
+    }
+    reclaimed.toSeq.sorted
+  }
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -369,6 +369,23 @@ class StreamingSpec extends SparkSuite {
     assert(sink.committed().head.folded === Seq((0L, 6L)))
   }
 
+  test("vacuum reclaims orphan dirs/blooms, never committed ones") {
+    val sink = new LakeSink(tmp("lakevac"))
+    assert(sink.addBatchMerged(0, Seq(("a", Timestamp.valueOf("2024-01-01 05:00:00")))
+      .toDF("event_id", "ts"), "event_id"))
+    // simulate a crash between compaction's manifest swap and dir delete:
+    // an orphan segment dir + bloom not referenced by the manifest
+    val orphan = new java.io.File(s"${sink.path}/batch=99"); orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("junk"), "x".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sink.path, "_bloom", "batch-99.bin"), "x".getBytes)
+    val reclaimed = sink.vacuum()
+    assert(reclaimed === Seq("_bloom/batch-99.bin", "batch=99"))
+    assert(!orphan.exists)
+    assert(sink.read(spark).count() === 1) // committed data untouched
+    assert(sink.vacuum().isEmpty) // idempotent
+  }
+
   test("forward reconcile heals batches missing from the downstream manifest") {
     val primary = new LakeSink(tmp("recp"))
     val forward = new LakeSink(tmp("recf"))
