@@ -345,14 +345,16 @@ class LakeSink(val path: String) extends Serializable {
 
   /** Committed data only (snapshot isolation at batch granularity).
     * Reads MANIFEST ENTRIES (segment dirs) — not committedBatches(), whose
-    * folded ids point at dirs compaction has reclaimed. */
+    * folded ids point at dirs compaction has reclaimed. `mergeSchema`
+    * because a long-running sink sees columns added mid-stream: without it
+    * the first file's footer wins and evolved columns silently vanish. */
   def read(spark: SparkSession): DataFrame = {
     val batches = committed().map(_.batch)
     if (batches.isEmpty) {
       spark.emptyDataFrame
     } else {
       val dirs = batches.sorted.map(b => s"$path/batch=$b")
-      spark.read.parquet(dirs: _*)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
   }
 }

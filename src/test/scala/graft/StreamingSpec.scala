@@ -369,6 +369,20 @@ class StreamingSpec extends SparkSuite {
     assert(sink.committed().head.folded === Seq((0L, 6L)))
   }
 
+  test("lake read tolerates schema evolution across committed batches") {
+    // a long-running sink WILL see columns added mid-stream; readers must
+    // union old and new batches with nulls for the missing columns
+    val sink = new LakeSink(tmp("lakeevo"))
+    assert(sink.addBatch(0, Seq(("a", 1)).toDF("event_id", "v")))
+    assert(sink.addBatch(1, Seq(("b", 2, "extra")).toDF("event_id", "v", "w")))
+    val got = sink.read(spark)
+    assert(got.columns.contains("w"))
+    assert(got.count() === 2)
+    val byId = got.select("event_id", "w").as[(String, Option[String])]
+      .collect().toMap
+    assert(byId("a").isEmpty && byId("b").contains("extra"))
+  }
+
   test("vacuum reclaims orphan dirs/blooms, never committed ones") {
     val sink = new LakeSink(tmp("lakevac"))
     assert(sink.addBatchMerged(0, Seq(("a", Timestamp.valueOf("2024-01-01 05:00:00")))
