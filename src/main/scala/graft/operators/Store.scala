@@ -45,8 +45,15 @@ object Store {
       to_date(stmt.getField("timestamp").cast("timestamp")).as("date"))
   }
 
+  /** Partitioned by (date, source); rows SORTED by ts inside each written
+    * file so parquet row-group min/max stats on ts are tight — a since/
+    * until window inside one day then skips most row groups instead of
+    * scanning the whole partition (partition pruning gets the day, the
+    * sort gets the hour). Costs one per-partition sort at write time, no
+    * shuffle. */
   def write(df: DataFrame, path: String, mode: String = "append"): Unit =
-    df.write.mode(mode).partitionBy("date", "source").parquet(path)
+    df.sortWithinPartitions("date", "source", "ts")
+      .write.mode(mode).partitionBy("date", "source").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 }

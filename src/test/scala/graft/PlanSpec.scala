@@ -37,6 +37,23 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("partition"), plan)
   }
 
+  test("lake files are ts-sorted within partitions (tight row-group stats)") {
+    // partition pruning gets the day; the in-file ts sort gets the hour —
+    // row-group min/max stats only skip when rows are clustered by ts
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("sorted").toString
+    Store.write(Pipeline.run(graft.sources.Synth.inputTable(spark, 500)), path, "overwrite")
+    val files = spark.read.parquet(path)
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      // read each data file alone: scan order IS file order
+      val ts = spark.read.parquet(f).select(col("ts").cast("long"))
+        .as[Long].collect().toSeq
+      assert(ts === ts.sorted, s"rows not ts-ordered in $f")
+    }
+  }
+
   test("validate/convert is a single narrow stage — no shuffle before dedup") {
     val df = Pipeline.validateConvert(graft.sources.Synth.inputTable(spark, 100))
     val plan = planOf(df)
