@@ -204,7 +204,10 @@ class LakeSink(val path: String) extends Serializable {
     if (entries.length < 2) return // nothing to fold
     val gen = math.min(entries.map(_.batch).min, 0L) - 1
     val dirs = entries.map(e => s"$path/batch=${e.batch}")
-    val data = spark.read.parquet(dirs: _*)
+    // mergeSchema, like read(): without it one batch's footer wins and a
+    // column added mid-stream is DROPPED from the compacted segment while
+    // the original dirs get deleted — unrecoverable
+    val data = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     val dir = s"$path/batch=$gen"
     data.write.mode("overwrite").parquet(dir)
     // entry rows are authoritative for current-format manifests; an
@@ -256,19 +259,26 @@ class LakeSink(val path: String) extends Serializable {
   /** Reclaim unreachable storage: batch dirs and bloom files not referenced
     * by the manifest — a crash between the compaction manifest swap and the
     * old-generation delete leaves orphans (harmless but paying storage).
-    * Safe under the single-writer model whenever no commit is mid-flight.
-    * Returns the reclaimed dir/file names. */
+    * Names that merely LOOK like segments (batch=5.bak, batch-7.bin.tmp)
+    * are left alone — a cleanup tool must survive the messy states it
+    * exists to clean, never throw on them. `_metrics` files are retained
+    * deliberately: they are the per-microbatch lineage audit log, which
+    * compaction/vacuum must not rewrite history on. Safe under the
+    * single-writer model whenever no commit is mid-flight. Returns the
+    * reclaimed dir/file names. */
   def vacuum(): Seq[String] = {
     val live = committed().map(_.batch).toSet
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
+    def idOf(s: String): Option[Long] =
+      if (s.matches("-?[0-9]+")) Some(s.toLong) else None
     val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
     val dirs = Files.list(root)
     try {
       dirs.iterator().asScala.foreach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("batch=") &&
-            !live.contains(name.stripPrefix("batch=").toLong)) {
+            idOf(name.stripPrefix("batch=")).exists(!live.contains(_))) {
           deleteRecursive(p); reclaimed += name
         }
       }
@@ -279,8 +289,9 @@ class LakeSink(val path: String) extends Serializable {
       try {
         blooms.iterator().asScala.foreach { p =>
           val name = p.getFileName.toString
-          val id = name.stripPrefix("batch-").stripSuffix(".bin")
-          if (name.startsWith("batch-") && !live.contains(id.toLong)) {
+          if (name.startsWith("batch-") && name.endsWith(".bin") &&
+              idOf(name.stripPrefix("batch-").stripSuffix(".bin"))
+                .exists(!live.contains(_))) {
             Files.delete(p); reclaimed += s"_bloom/$name"
           }
         }
@@ -370,11 +381,6 @@ object LakeSink {
     def streamIdRanges: Seq[(Long, Long)] =
       (if (batch >= 0) Seq((batch, batch)) else Seq.empty) ++ folded
 
-    /** Materialised streaming ids — call on segment granularity only;
-      * prefer [[streamIdRanges]] + [[LakeSink.subtractRanges]] for
-      * coverage math. */
-    def streamIds: Seq[Long] =
-      streamIdRanges.flatMap { case (lo, hi) => lo to hi }
   }
 
   /** Merge inclusive ranges into a minimal sorted cover. */
@@ -387,11 +393,17 @@ object LakeSink {
     }.reverse
   }
 
-  /** `a` minus `b`, both inclusive range sets — O(|a| + |b|) after the
-    * merge, never materialising ids (a month-long folded range subtracts in
-    * constant work). */
-  def subtractRanges(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-    val cover = mergeRanges(b)
+  /** `a` minus `b`, both inclusive range sets — range arithmetic only,
+    * never materialising ids (a month-long folded range subtracts in
+    * per-range work). O(|a|·|cover|) scan per call; callers subtracting
+    * the same cover repeatedly should pre-merge it once and use
+    * [[subtractMerged]]. */
+  def subtractRanges(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    subtractMerged(a, mergeRanges(b))
+
+  /** As [[subtractRanges]] but `cover` must already be merged+sorted —
+    * hoist the merge out of loops over many `a` sets. */
+  def subtractMerged(a: Seq[(Long, Long)], cover: Seq[(Long, Long)]): Seq[(Long, Long)] =
     mergeRanges(a).flatMap { case (lo, hi) =>
       var cur = lo
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -402,7 +414,6 @@ object LakeSink {
       if (cur <= hi) out += ((cur, hi))
       out
     }
-  }
 
   object Committed {
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

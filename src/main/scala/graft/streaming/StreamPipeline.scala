@@ -213,11 +213,11 @@ object StreamPipeline {
     * Returns the streaming ids healed. */
   def reconcileForward(spark: SparkSession, primary: LakeSink, forward: LakeSink): Seq[Long] = {
     // range-level coverage math: a fully-covered month-long segment costs
-    // O(ranges), never O(batch ids)
-    val downstream = forward.committed().flatMap(_.streamIdRanges)
+    // O(ranges), never O(batch ids); the downstream cover merges ONCE
+    val downstream = LakeSink.mergeRanges(forward.committed().flatMap(_.streamIdRanges))
     val healed = scala.collection.mutable.ArrayBuffer.empty[Long]
     primary.committed().foreach { e =>
-      val missing = LakeSink.subtractRanges(e.streamIdRanges, downstream)
+      val missing = LakeSink.subtractMerged(e.streamIdRanges, downstream)
       if (missing.nonEmpty) {
         val batch = spark.read.parquet(s"${primary.path}/batch=${e.batch}")
           .drop("_batch_id", "_part_id")

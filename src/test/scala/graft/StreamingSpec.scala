@@ -381,6 +381,13 @@ class StreamingSpec extends SparkSuite {
     val byId = got.select("event_id", "w").as[(String, Option[String])]
       .collect().toMap
     assert(byId("a").isEmpty && byId("b").contains("extra"))
+    // compaction must also merge schemas — it DELETES the source dirs, so
+    // a dropped column there would be unrecoverable
+    sink.compactInPlace(spark)
+    val afterCompact = sink.read(spark)
+    assert(afterCompact.columns.contains("w"))
+    assert(afterCompact.select("event_id", "w").as[(String, Option[String])]
+      .collect().toMap === byId)
   }
 
   test("vacuum reclaims orphan dirs/blooms, never committed ones") {
@@ -393,9 +400,14 @@ class StreamingSpec extends SparkSuite {
     java.nio.file.Files.write(orphan.toPath.resolve("junk"), "x".getBytes)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sink.path, "_bloom", "batch-99.bin"), "x".getBytes)
+    // messy non-segment names must be ignored, not crash the cleanup
+    val weird = new java.io.File(s"${sink.path}/batch=5.bak"); weird.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sink.path, "_bloom", "batch-7.bin.tmp"), "x".getBytes)
     val reclaimed = sink.vacuum()
     assert(reclaimed === Seq("_bloom/batch-99.bin", "batch=99"))
     assert(!orphan.exists)
+    assert(weird.exists) // not ours to judge — left alone
     assert(sink.read(spark).count() === 1) // committed data untouched
     assert(sink.vacuum().isEmpty) // idempotent
   }
