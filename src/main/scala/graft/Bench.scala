@@ -120,15 +120,18 @@ object Bench {
     streamingRun(32, inputPath)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val levels = Seq(2, 8, 32)
-    val best = scala.collection.mutable.Map(levels.map(_ -> 0.0): _*)
-    (1 to rounds).foreach { _ =>
-      levels.foreach { c =>
-        best(c) = math.max(best(c), streamingRun(c, inputPath))
-      }
+    val perRound = (1 to rounds).map { _ =>
+      levels.map(c => c -> streamingRun(c, inputPath)).toMap
     }
+    // throughputs: best per level across rounds. Efficiencies: best
+    // SAME-ROUND pair — the two measurements of a ratio must share the
+    // host-drift regime; best-per-level mixing (a lucky thr2 from round 1
+    // against an unlucky thr8 from round 3) measures the drift, not the
+    // scaling (observed ±40% host swings on identical code)
+    val best = levels.map(c => c -> perRound.map(_(c)).max).toMap
     val (thr2, thr8, thr32) = (best(2), best(8), best(32))
-    val eff28 = (thr8 / thr2) / 4.0
-    val eff832 = (thr32 / thr8) / 4.0
+    val eff28 = perRound.map(r => (r(8) / r(2)) / 4.0).max
+    val eff832 = perRound.map(r => (r(32) / r(8)) / 4.0).max
 
     // tmpfs hygiene: the input + sinks live in RAM — clean up before exit
     def rmrf(f: java.io.File): Unit = {
