@@ -51,4 +51,41 @@ class RealCorpusSpec extends SparkSuite {
     val url = Lrs.moreUrl("/xAPI/statements/", Lrs.Query(limit = 100), cursor.get)
     assert(url.contains("search_after=") && url.contains("limit=100"))
   }
+
+  test("corpus-prep ops over the real 22k statements: exact dedup, near-dup, vocab") {
+    assume(available)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic ids: statement id IS unique per line (verified above)
+    val docs = spark.read.text(corpus).toDF("text")
+      .withColumn("doc_id",
+        xxhash64(get_json_object(col("text"), "$.id")))
+      // canonicalize JSON punctuation to whitespace words for shingling
+      .withColumn("words_text",
+        regexp_replace(col("text"), "[^A-Za-z0-9]+", " "))
+      .cache()
+    assert(docs.select("doc_id").distinct().count() === 22000)
+    // exact dedup: every statement distinct (ids are uuids)
+    val exact = docs.select(sha2(col("text"), 256).as("h"))
+      .groupBy("h").count().filter(col("count") > 1).count()
+    assert(exact === 0L)
+    // near-dup: real statements are template-heavy — the LSH path must
+    // surface pairs at high jaccard, every pair exact-verified >= threshold
+    val pairs = graft.operators.TextOps.minhashLshPairsOn(
+      docs.limit(2000).select(col("doc_id"),
+        graft.operators.TextOps.shingleArr(col("words_text"), 5).as("sh")),
+      threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "template-heavy real corpus should contain near-dups")
+    assert(pairs.forall(p => p._3 >= 0.8 && p._1 < p._2))
+    // vocabulary: the corpus's own IRIs dominate term frequency
+    val vocab = docs.select(explode(split(col("words_text"), " ")).as("word"))
+      .filter(length(col("word")) > 2)
+      .groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(10)
+      .as[(String, Long)].collect()
+    assert(vocab.map(_._1).exists(w =>
+      w == "xapi" || w == "w3id" || w == "video" || w == "https"))
+    docs.unpersist()
+  }
 }
