@@ -65,6 +65,12 @@ object SparkEntry {
     // sample → packed training chunks, one composed pipeline
     "q_training_mix" -> ((s, d) => CorpusOps.trainingMix(s, d)),
     "q_label_centroids" -> ((s, d) => CorpusOps.labelCentroids(s, d)),
+    // cross-document exact-substring (span) duplication, windows md5-hashed
+    // pre-shuffle; deterministic sharded per-epoch training order
+    "q_span_dedup" -> ((s, d) => CorpusOps.spanDedup(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => CorpusOps.epochShuffle(s, d)),
+    // interpolated bigram LM score (CCNet-style perplexity filter)
+    "q_bigram_logprob" -> ((s, d) => CorpusOps.bigramLogProb(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
     "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
@@ -386,6 +392,51 @@ object SparkEntry {
                 CAST((cum - n_tok) // 256 AS BIGINT) AS start_chunk,
                 CAST((cum - 1) // 256 AS BIGINT) AS end_chunk
          FROM c""",
+    "q_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[k:k+7], ' ') AS s
+                 FROM w, unnest(generate_series(1, len(ws) - 7)) t(k)),
+         sh AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM sh0),
+         shared AS (SELECT h FROM sh GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT doc_id, count(*) AS n_windows FROM sh GROUP BY 1),
+         dup AS (SELECT doc_id, count(*) AS n_shared
+                 FROM sh JOIN shared USING (h) GROUP BY 1)
+         SELECT per.doc_id, per.n_windows,
+                coalesce(dup.n_shared, 0) AS n_shared,
+                round(coalesce(dup.n_shared, 0)::DOUBLE / per.n_windows, 6)
+                  AS dup_frac
+         FROM per LEFT JOIN dup USING (doc_id)""",
+    "q_epoch_shuffle" ->
+      """WITH x AS (
+           SELECT doc_id, epoch,
+                  substr(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
+                         1, 16) AS okey,
+                  ('0x' || substr(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
+                                  17, 8))::UBIGINT % 8 AS shard
+           FROM documents, (SELECT unnest(generate_series(0, 1)) AS epoch) e)
+         SELECT epoch::BIGINT AS epoch, shard::BIGINT AS shard, doc_id,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                                        ORDER BY okey, doc_id) AS BIGINT) AS pos
+         FROM x""",
+    "q_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         uni AS (SELECT word, count(*) AS cu FROM wd GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM wd),
+         bg AS (SELECT doc_id, ws[k] AS w1, ws[k+1] AS w2
+                FROM w, unnest(generate_series(1, len(ws) - 1)) t(k)),
+         cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+                round(avg(ln(0.75 * (cb.cb::DOUBLE / u1.cu)
+                             + 0.25 * (u2.cu::DOUBLE / tot.total))), 6)
+                  AS avg_logp
+         FROM bg
+         JOIN cb USING (w1, w2)
+         JOIN uni u1 ON u1.word = bg.w1
+         JOIN uni u2 ON u2.word = bg.w2
+         CROSS JOIN tot
+         GROUP BY 1""",
     "q_label_centroids" ->
       """SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                 round(avg(x), 6) AS c

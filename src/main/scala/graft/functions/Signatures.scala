@@ -141,6 +141,29 @@ object Signatures {
     new GenericArrayData(out)
   }
 
+  /** ALL k-word shingles, duplicates kept in order — the counting variant
+    * (LM statistics need every occurrence; [[shingles]] dedups for set
+    * semantics). */
+  def shinglesAll(s: UTF8String, k: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - k + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(shingles: Column): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles)))
 
@@ -149,6 +172,9 @@ object Signatures {
 
   def shinglesCol(text: Column, k: Int): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), k))
+
+  def shinglesAllCol(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShinglesAllExpr(ExpressionUtils.expression(text), k))
 
   def simhash64(words: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(words)))
@@ -173,6 +199,17 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     Signatures.shingles(v.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.shingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ShinglesAllExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles_all"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.shinglesAll(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.shinglesAll($c, $k)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

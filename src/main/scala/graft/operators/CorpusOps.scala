@@ -145,6 +145,72 @@ object CorpusOps {
       .agg(countDistinct(col("s")).as("n_hits"))
   }
 
+  // ---- Cross-document exact-substring (span) duplication -----------------
+
+  /** Span-level duplication audit — the exact-substring signal ("repeated
+    * ≥w-token spans across documents", the dedup criterion of Lee et al.,
+    * *Deduplicating Training Data Makes Language Models Better*, 2021,
+    * re-shaped for Spark): every rolling `w`-word window of every document
+    * is hashed, windows appearing in ≥2 distinct documents are "shared",
+    * and each document reports how much of it is covered by shared spans.
+    *
+    * Scale design: windows are hashed to a 16-hex-char md5 prefix *before*
+    * the shuffle, so the corpus-wide window groupBy moves 16-byte keys, not
+    * ~50-byte window text (and the hash is one DuckDB recomputes
+    * bit-for-bit, so the whole pass is oracle-checkable). The shared-window
+    * set is an equi-join on the hash — never a cross join; boilerplate
+    * windows shared by millions of documents are exactly the AQE-skew-join
+    * case the session config already enables. Both aggregations combine
+    * map-side. A suffix-array pass (the paper's in-memory design) does not
+    * distribute; hashed rolling windows are the join-shaped equivalent. */
+  def spanDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), w)).as("s"))
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
+    // "appears in ≥2 distinct docs" ⇔ min≠max doc_id per window — a plain
+    // single-pass aggregate ((doc_id, h) rows are already distinct), where
+    // countDistinct would plan a distinct expansion for nothing
+    val shared = sh.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dup = sh.join(shared, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_windows"), 6).as("dup_frac"))
+  }
+
+  // ---- Deterministic epoch shuffle (training order) ----------------------
+
+  /** Per-epoch training order: every document gets a position within a
+    * (epoch, shard) cell, ordered by a keyed md5 hash — the deterministic
+    * global shuffle a data loader consumes, reproducible across runs and
+    * engines with no RNG state.
+    *
+    * Sharding IS the scale design: a single global `row_number` would
+    * funnel the corpus through one reducer per epoch; `nShards` independent
+    * cells (assignment itself hash-derived, so cells stay balanced) sort in
+    * parallel and the loader reads shards round-robin. At cluster scale set
+    * nShards ≈ file-group count (thousands); the per-cell sort is then a
+    * narrow in-partition sort after one hash-partitioned exchange. */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   epochs: Int = 2, nShards: Int = 8): DataFrame = {
+    val h = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    val win = Window.partitionBy("epoch", "shard").orderBy("okey", "doc_id")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .select(col("epoch"), col("doc_id"),
+        substring(h, 1, 16).as("okey"),
+        (conv(substring(h, 17, 8), 16, 10).cast("long") % nShards).as("shard"))
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .select("epoch", "shard", "doc_id", "pos")
+  }
+
   // ---- Stratified source sampling ----------------------------------------
 
   /** Deterministic stratified downsampling by source: each source keeps a
@@ -286,6 +352,39 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_words"),
         round(avg(log(col("cnt").cast("double") / col("total"))), 6)
           .as("avg_logp"))
+  }
+
+  /** Interpolated bigram LM quality score — the context-sensitive
+    * perplexity filter (CCNet-style: score each document under a corpus LM,
+    * drop the tails). Per bigram occurrence:
+    * `p = λ·P(w2|w1) + (1-λ)·P(w2)`, reported as the per-document mean
+    * log-probability. Counting uses ALL occurrences (a native non-distinct
+    * shingle expression — the set variant would skew the statistics).
+    *
+    * Scale shape: the bigram-count join keys on the bigram string — a
+    * corpus-scale table, so it shuffles (never broadcast; hot boilerplate
+    * bigrams are the AQE-skew case); the unigram vocabulary and the 1-row
+    * total stay broadcast. Documents themselves never shuffle — only
+    * (doc_id, bigram) pairs. */
+  def bigramLogProb(spark: SparkSession, dir: String,
+                    lambda: Double = 0.75): DataFrame = {
+    val docs = documents(spark, dir)
+    val wordsDf = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val uni = wordsDf.groupBy("word").agg(count(lit(1)).as("cu"))
+    val total = wordsDf.agg(count(lit(1)).cast("double").as("total"))
+    val bg = docs.select(col("doc_id"),
+        explode(graft.functions.Signatures.shinglesAllCol(col("text"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("cu1")) +
+      lit(1.0 - lambda) * (col("cu2").cast("double") / col("total"))
+    bg.join(cb, Seq("bg"))
+      .join(broadcast(uni.select(col("word").as("w1"), col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logp"))
   }
 
   // ---- Cross-modality composition ----------------------------------------

@@ -297,6 +297,78 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("span dedup matches a driver-side brute force; counts bounded") {
+    val rows = CorpusOps.spanDedup(spark, dir)
+      .select("doc_id", "n_windows", "n_shared", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    rows.foreach { case (_, nw, ns, frac) =>
+      assert(nw > 0 && ns >= 0 && ns <= nw)
+      assert(math.abs(frac - ns.toDouble / nw) < 1e-5)
+    }
+    // driver-side brute force over the tiny sf: identical numbers expected
+    val texts = graft.operators.TextOps.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val windows = texts.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val docsPerWindow = windows.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct.length }
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.length === windows.length)
+    windows.foreach { case (id, s) =>
+      val shared = s.count(docsPerWindow(_) >= 2)
+      val (_, nw, ns, _) = byId(id)
+      assert(nw === s.size && ns === shared, s"doc $id: ($nw,$ns) vs (${s.size},$shared)")
+    }
+    assert(rows.exists(_._3 > 0), "corpus should contain at least one shared span")
+  }
+
+  test("epoch shuffle: each epoch is a permutation, cells contiguous, orders differ") {
+    val rows = CorpusOps.epochShuffle(spark, dir, epochs = 2, nShards = 8)
+      .select("epoch", "shard", "doc_id", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = graft.operators.TextOps.documents(spark, dir).count()
+    (0L to 1L).foreach { e =>
+      val epoch = rows.filter(_._1 == e)
+      assert(epoch.length === nDocs)
+      assert(epoch.map(_._3).distinct.length === nDocs) // permutation
+      epoch.groupBy(_._2).foreach { case (_, cell) =>
+        assert(cell.map(_._4).sorted.toSeq === (1L to cell.length).toSeq)
+      }
+    }
+    // different epochs produce different shard assignment / order for at
+    // least some docs (the hash is keyed on the epoch)
+    val e0 = rows.filter(_._1 == 0L).map(r => r._3 -> (r._2, r._4)).toMap
+    val e1 = rows.filter(_._1 == 1L).map(r => r._3 -> (r._2, r._4)).toMap
+    assert(e0.exists { case (id, v) => e1(id) != v })
+  }
+
+  test("bigram LM: operator matches a driver-side brute force on the tiny sf") {
+    val texts = graft.operators.TextOps.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val ws = texts.map { case (id, t) => id -> t.split(" ", -1) }
+    val uni = ws.flatMap(_._2).groupBy(identity).map { case (w, g) => w -> g.length.toDouble }
+    val total = ws.map(_._2.length).sum.toDouble
+    val cb = ws.flatMap { case (_, a) => a.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) }
+      .groupBy(identity).map { case (k, g) => k -> g.length.toDouble }
+    val expected = ws.filter(_._2.length >= 2).map { case (id, a) =>
+      val lps = a.sliding(2).filter(_.length == 2).map { p =>
+        math.log(0.75 * (cb((p(0), p(1))) / uni(p(0))) + 0.25 * (uni(p(1)) / total))
+      }.toSeq
+      id -> (lps.size.toLong, lps.sum / lps.size)
+    }.toMap
+    val got = CorpusOps.bigramLogProb(spark, dir)
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, lp) =>
+      val (en, elp) = expected(id)
+      assert(n === en)
+      assert(math.abs(lp - elp) < 2e-6, s"doc $id: $lp vs $elp")
+    }
+  }
+
   test("approx quantile sketch tracks the exact per-source percentiles") {
     val exact = CorpusOps.qualityQuantiles(spark, dir)
       .select("source", "p50").as[(String, Double)].collect().toMap

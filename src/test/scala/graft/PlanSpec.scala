@@ -93,7 +93,9 @@ class PlanSpec extends SparkSuite {
       planOf(graft.operators.TextOps.jaccardPairs(spark, sf("sf0.001"))),
       planOf(graft.operators.TextOps.minhashLshPairs(spark, sf("sf0.001"))),
       planOf(graft.operators.TextOps.simhashPairs(spark, sf("sf0.001"))),
-      planOf(EmbeddingOps.lshTopK(spark, sf("sf0.001"))))
+      planOf(EmbeddingOps.lshTopK(spark, sf("sf0.001"))),
+      planOf(graft.operators.CorpusOps.spanDedup(spark, sf("sf0.001"))),
+      planOf(graft.operators.CorpusOps.bigramLogProb(spark, sf("sf0.001"))))
     plans.foreach { p =>
       assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin") ||
