@@ -163,8 +163,21 @@ object CorpusOps {
     * case the session config already enables. Both aggregations combine
     * map-side. A suffix-array pass (the paper's in-memory design) does not
     * distribute; hashed rolling windows are the join-shaped equivalent. */
-  def spanDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val sh = documents(spark, dir)
+  def spanDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    spanDedupOn(documents(spark, dir), w)
+
+  /** Token-sequence variant over the north-rule input shape: the token
+    * stream is rendered as a space-joined word stream and audited by the
+    * SAME hashed-window machinery — payload-agnostic, no de-tokenization
+    * (the [[tokenNearDupPairs]] pattern). */
+  def tokenSpanDedup(seqs: DataFrame, w: Int = 8): DataFrame =
+    spanDedupOn(seqs.select(col("doc_id"),
+      array_join(col("tokens"), " ").as("text")), w)
+
+  /** Span audit over any `(doc_id, text)` frame — shared by the documents
+    * path and the token-table path. */
+  def spanDedupOn(docs: DataFrame, w: Int = 8): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), w)).as("s"))
       .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
     // "appears in ≥2 distinct docs" ⇔ min≠max doc_id per window — a plain

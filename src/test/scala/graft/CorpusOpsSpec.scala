@@ -200,6 +200,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(pairs === Set(("a", "b")))
   }
 
+  test("token-table span dedup flags the planted shared run, not the unrelated one") {
+    // a and b share a 30-token run; c is disjoint — with 8-token windows
+    // every window of the shared run appears in both docs
+    val shared = (0 until 30).toArray
+    val seqs = Seq(
+      ("a", shared ++ Array(500, 501, 502)),
+      ("b", Array(600, 601) ++ shared),
+      ("c", (100 until 140).toArray)
+    ).toDF("doc_id", "tokens")
+    val rows = CorpusOps.tokenSpanDedup(seqs)
+      .select("doc_id", "n_windows", "n_shared")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows("a")._3 === 23L) // 30-token run → 23 shared 8-windows
+    assert(rows("b")._3 === 23L)
+    assert(rows("c")._3 === 0L)
+    assert(rows("a")._2 === 26L && rows("b")._2 === 25L && rows("c")._2 === 33L)
+  }
+
   test("semantic dedup is the cosine-confirmed subset of the lexical pairs") {
     val lexical = graft.operators.TextOps.minhashLshPairs(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
