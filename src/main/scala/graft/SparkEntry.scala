@@ -71,6 +71,8 @@ object SparkEntry {
     "q_epoch_shuffle" -> ((s, d) => CorpusOps.epochShuffle(s, d)),
     // interpolated bigram LM score (CCNet-style perplexity filter)
     "q_bigram_logprob" -> ((s, d) => CorpusOps.bigramLogProb(s, d)),
+    // fused model-based quality filter (deterministic classifier stand-in)
+    "q_quality_score" -> ((s, d) => CorpusOps.qualityScore(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
     "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
@@ -437,6 +439,36 @@ object SparkEntry {
          JOIN uni u2 ON u2.word = bg.w2
          CROSS JOIN tot
          GROUP BY 1""",
+    "q_quality_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         q AS (SELECT doc_id, len(ws) AS n_words,
+                      len(list_filter(ws, x -> x IN ('the', 'a')))::DOUBLE
+                        / len(ws) AS stop_ratio,
+                      CAST(list_aggregate(list_transform(ws, x -> length(x)),
+                        'sum') AS DOUBLE) / len(ws) AS mean_wlen,
+                      round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+                        AS dup_word_ratio
+               FROM w),
+         wc AS (SELECT doc_id, word, count(*) AS n
+                FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(n) AS top_n FROM wc GROUP BY 1),
+         wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         vocab AS (SELECT word, count(*) AS cnt FROM wd GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM wd),
+         lp AS (SELECT doc_id, round(avg(ln(cnt::DOUBLE / total)), 6) AS avg_logp
+                FROM wd JOIN vocab USING (word) CROSS JOIN tot GROUP BY 1),
+         f AS (SELECT q.doc_id,
+                      1.5 + 2.0 * round(stop_ratio, 6)
+                          + 0.3 * round(mean_wlen, 6)
+                          - 3.0 * dup_word_ratio
+                          - 5.0 * round(top.top_n::DOUBLE / q.n_words, 6)
+                          + 0.5 * lp.avg_logp
+                          + 0.2 * ln(q.n_words) AS z
+               FROM q JOIN top ON top.doc_id = q.doc_id
+                      JOIN lp ON lp.doc_id = q.doc_id)
+         SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+                CAST(z >= 0 AS BIGINT) AS keep
+         FROM f""",
     "q_label_centroids" ->
       """SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                 round(avg(x), 6) AS c

@@ -118,22 +118,10 @@ object Signatures {
     * (5 lambda evaluations per shingle per row). Split semantics mirror
     * `split(text, " ")` with limit -1 (empty tokens kept). */
   def shingles(s: UTF8String, k: Int): ArrayData = {
-    val words = s.toString.split(" ", -1)
-    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val all = buildWindows(s, k)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    val sb = new java.lang.StringBuilder()
-    while (i <= words.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    while (i < all.length) { seen.add(all(i)); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var n = 0
@@ -141,13 +129,13 @@ object Signatures {
     new GenericArrayData(out)
   }
 
-  /** ALL k-word shingles, duplicates kept in order — the counting variant
-    * (LM statistics need every occurrence; [[shingles]] dedups for set
-    * semantics). */
-  def shinglesAll(s: UTF8String, k: Int): ArrayData = {
+  /** Every k-word rolling window, in order, duplicates kept. Split
+    * semantics mirror `split(text, " ")` with limit -1 (empty tokens
+    * kept) — the single definition both shingle variants share. */
+  private def buildWindows(s: UTF8String, k: Int): Array[String] = {
     val words = s.toString.split(" ", -1)
-    if (words.length < k) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](words.length - k + 1)
+    if (words.length < k) return Array.empty[String]
+    val out = new Array[String](words.length - k + 1)
     var i = 0
     val sb = new java.lang.StringBuilder()
     while (i <= words.length - k) {
@@ -158,9 +146,20 @@ object Signatures {
         sb.append(words(i + j))
         j += 1
       }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = sb.toString
       i += 1
     }
+    out
+  }
+
+  /** ALL k-word shingles, duplicates kept in order — the counting variant
+    * (LM statistics need every occurrence; [[shingles]] dedups for set
+    * semantics). */
+  def shinglesAll(s: UTF8String, k: Int): ArrayData = {
+    val all = buildWindows(s, k)
+    val out = new Array[Any](all.length)
+    var i = 0
+    while (i < all.length) { out(i) = UTF8String.fromString(all(i)); i += 1 }
     new GenericArrayData(out)
   }
 

@@ -175,25 +175,25 @@ object CorpusOps {
       array_join(col("tokens"), " ").as("text")), w)
 
   /** Span audit over any `(doc_id, text)` frame — shared by the documents
-    * path and the token-table path. */
+    * path and the token-table path. The expensive subtree (explode every
+    * w-window of every document + md5) is evaluated ONCE: the shared flag
+    * is a window min≠max over the hash ("appears in ≥2 distinct docs",
+    * without countDistinct's distinct expansion and without a join back),
+    * so the whole audit is exactly two shuffles — by window hash, then by
+    * doc_id. */
   def spanDedupOn(docs: DataFrame, w: Int = 8): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), w)).as("s"))
       .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h"))
-    // "appears in ≥2 distinct docs" ⇔ min≠max doc_id per window — a plain
-    // single-pass aggregate ((doc_id, h) rows are already distinct), where
-    // countDistinct would plan a distinct expansion for nothing
-    val shared = sh.groupBy("h")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .filter(col("mn") =!= col("mx")).select("h")
-    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val dup = sh.join(shared, Seq("h"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    perDoc.join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
-          col("n_windows"), 6).as("dup_frac"))
+    val byWindow = Window.partitionBy("h")
+    sh.withColumn("shared",
+        (min("doc_id").over(byWindow) =!= max("doc_id").over(byWindow))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), sum("shared").as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
   }
 
   // ---- Deterministic epoch shuffle (training order) ----------------------
@@ -211,6 +211,10 @@ object CorpusOps {
     * narrow in-partition sort after one hash-partitioned exchange. */
   def epochShuffle(spark: SparkSession, dir: String,
                    epochs: Int = 2, nShards: Int = 8): DataFrame = {
+    // sequence(0, epochs-1) DESCENDS for epochs <= 0 (Spark emits [0, -1]),
+    // which would silently double the output under a negative epoch
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val h = md5(concat(col("epoch").cast("string"), lit(":"),
       col("doc_id").cast("string")))
     val win = Window.partitionBy("epoch", "shard").orderBy("okey", "doc_id")
@@ -374,17 +378,30 @@ object CorpusOps {
     * log-probability. Counting uses ALL occurrences (a native non-distinct
     * shingle expression — the set variant would skew the statistics).
     *
-    * Scale shape: the bigram-count join keys on the bigram string — a
-    * corpus-scale table, so it shuffles (never broadcast; hot boilerplate
-    * bigrams are the AQE-skew case); the unigram vocabulary and the 1-row
-    * total stay broadcast. Documents themselves never shuffle — only
+    * Scale shape: the bigram- and unigram-count joins key on corpus-derived
+    * vocabularies — unbounded cardinality (Heaps' law), so NO forced
+    * broadcast anywhere: they shuffle on the word/bigram key (AQE still
+    * broadcasts the vocab at small scale, and splits hot boilerplate keys —
+    * the skew case). The corpus total is folded from the vocabulary counts
+    * (a sum over the vocab), not a third corpus scan; the 1-row total is
+    * the only broadcast. Documents themselves never shuffle — only
     * (doc_id, bigram) pairs. */
   def bigramLogProb(spark: SparkSession, dir: String,
-                    lambda: Double = 0.75): DataFrame = {
-    val docs = documents(spark, dir)
-    val wordsDf = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
-    val uni = wordsDf.groupBy("word").agg(count(lit(1)).as("cu"))
-    val total = wordsDf.agg(count(lit(1)).cast("double").as("total"))
+                    lambda: Double = 0.75): DataFrame =
+    bigramLogProbOn(documents(spark, dir), lambda)
+
+  /** Token-sequence variant over the north-rule input shape (the
+    * [[tokenNearDupPairs]] render trick): LM statistics directly on token
+    * ids, no de-tokenization. */
+  def tokenBigramLogProb(seqs: DataFrame, lambda: Double = 0.75): DataFrame =
+    bigramLogProbOn(seqs.select(col("doc_id"),
+      array_join(col("tokens"), " ").as("text")), lambda)
+
+  /** Interpolated bigram scoring over any `(doc_id, text)` frame. */
+  def bigramLogProbOn(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val uni = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu").cast("double").as("total"))
     val bg = docs.select(col("doc_id"),
         explode(graft.functions.Signatures.shinglesAllCol(col("text"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -393,11 +410,45 @@ object CorpusOps {
     val p = lit(lambda) * (col("cb").cast("double") / col("cu1")) +
       lit(1.0 - lambda) * (col("cu2").cast("double") / col("total"))
     bg.join(cb, Seq("bg"))
-      .join(broadcast(uni.select(col("word").as("w1"), col("cu").as("cu1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("word").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .join(uni.select(col("word").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("cu").as("cu2")), Seq("w2"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logp"))
+  }
+
+  /** Model-based quality filter (FineWeb-Edu-style): the heuristic signals
+    * the pipeline already computes — stopword ratio, mean word length,
+    * duplicate-word ratio, top-word fraction, unigram log-probability,
+    * log-length — fused by a fixed linear model into one sigmoid score and
+    * a keep decision. The weights are deterministic stand-ins for a trained
+    * classifier head (no trainable stack in this sandbox); the engine work
+    * — assembling per-doc features from three aggregate passes and scoring
+    * with engine-exact float parity — is real and oracle-checked.
+    *
+    * Scale shape: three narrow per-doc feature tables joined on doc_id
+    * (shuffle equi-joins of (id, few-doubles) rows — never documents); the
+    * keep decision is `z >= 0` (not a sigmoid threshold), so the boundary
+    * cannot drift between engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("stop_ratio"), col("mean_wlen"))
+    val r = repetitionSignals(spark, dir)
+      .select(col("doc_id"), col("dup_word_ratio"), col("top_word_frac"))
+    val u = unigramLogProb(spark, dir).select(col("doc_id"), col("avg_logp"))
+    // rounded features on BOTH engines before fusing — parity by
+    // construction (dup/top/logp arrive pre-rounded from their operators)
+    val z = lit(1.5) +
+      lit(2.0) * round(col("stop_ratio"), 6) +
+      lit(0.3) * round(col("mean_wlen"), 6) -
+      lit(3.0) * col("dup_word_ratio") -
+      lit(5.0) * col("top_word_frac") +
+      lit(0.5) * col("avg_logp") +
+      lit(0.2) * log(col("n_words").cast("double"))
+    q.join(r, Seq("doc_id")).join(u, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (z >= 0).cast("long").as("keep"))
   }
 
   // ---- Cross-modality composition ----------------------------------------

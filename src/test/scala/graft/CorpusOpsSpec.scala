@@ -360,6 +360,10 @@ class CorpusOpsSpec extends SparkSuite {
     val e0 = rows.filter(_._1 == 0L).map(r => r._3 -> (r._2, r._4)).toMap
     val e1 = rows.filter(_._1 == 1L).map(r => r._3 -> (r._2, r._4)).toMap
     assert(e0.exists { case (id, v) => e1(id) != v })
+    // sequence(0, -1) would DESCEND and emit spurious epochs — guarded
+    intercept[IllegalArgumentException] {
+      CorpusOps.epochShuffle(spark, dir, epochs = 0)
+    }
   }
 
   test("bigram LM: operator matches a driver-side brute force on the tiny sf") {
@@ -385,6 +389,38 @@ class CorpusOpsSpec extends SparkSuite {
       assert(n === en)
       assert(math.abs(lp - elp) < 2e-6, s"doc $id: $lp vs $elp")
     }
+  }
+
+  test("fused quality score: keep is exactly the sign of z; both classes appear") {
+    val rows = CorpusOps.qualityScore(spark, dir)
+      .select("doc_id", "score", "keep").as[(Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, k) =>
+      assert(s >= 0.0 && s <= 1.0)
+      // keep ⇔ z ≥ 0 ⇔ sigmoid ≥ 0.5 (allow the round-6 boundary)
+      assert((k == 1) === (s >= 0.5) || math.abs(s - 0.5) < 2e-6)
+    }
+    assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L),
+      "the fixed weights should split the corpus into both classes")
+  }
+
+  test("token-table bigram LM equals the text-path score on the rendered stream") {
+    val seqs = Seq(
+      ("a", Array(1, 2, 1, 2, 3)),
+      ("b", Array(1, 2, 9)),
+      ("c", Array(7)) // single token: no bigrams, absent from output
+    ).toDF("doc_id", "tokens")
+    val got = CorpusOps.tokenBigramLogProb(seqs)
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val text = CorpusOps.bigramLogProbOn(
+      seqs.select(col("doc_id"), array_join(col("tokens"), " ").as("text")))
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got === text)
+    assert(!got.contains("c") && got("a")._2 === 4L && got("b")._2 === 2L)
+    // shared frequent bigram (1 2) must score doc a above the rarer-path b
+    assert(got("a")._3 > got("b")._3)
   }
 
   test("approx quantile sketch tracks the exact per-source percentiles") {

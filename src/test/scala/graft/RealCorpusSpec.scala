@@ -55,7 +55,6 @@ class RealCorpusSpec extends SparkSuite {
   test("corpus-prep ops over the real 22k statements: exact dedup, near-dup, vocab") {
     assume(available)
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     // deterministic ids: statement id IS unique per line (verified above)
     val docs = spark.read.text(corpus).toDF("text")
       .withColumn("doc_id",
