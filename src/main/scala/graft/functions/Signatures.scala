@@ -163,6 +163,23 @@ object Signatures {
     new GenericArrayData(out)
   }
 
+  /** One-pass distinct-count + modal-count over an int token array — the
+    * per-row repetition statistics a streaming quality gate needs without
+    * the O(n²) interpreted higher-order-function shape. */
+  def tokenStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[Int, Int](Math.max(16, n * 2))
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getInt(i)
+      val c = counts.merge(t, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](counts.size.toLong, top.toLong))
+  }
+
   def minhashSig(shingles: Column): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles)))
 
@@ -174,6 +191,10 @@ object Signatures {
 
   def shinglesAllCol(text: Column, k: Int): Column =
     ExpressionUtils.column(ShinglesAllExpr(ExpressionUtils.expression(text), k))
+
+  /** `array(n_distinct, top_count)` of an `array<int>` token column. */
+  def tokenStatsCol(tokens: Column): Column =
+    ExpressionUtils.column(TokenStatsExpr(ExpressionUtils.expression(tokens)))
 
   def simhash64(words: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(words)))
@@ -209,6 +230,17 @@ case class ShinglesAllExpr(child: Expression, k: Int) extends UnaryExpression {
     Signatures.shinglesAll(v.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.shinglesAll($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class TokenStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_stats"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.tokenStats(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.tokenStats($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -451,6 +451,28 @@ object CorpusOps {
         (z >= 0).cast("long").as("keep"))
   }
 
+  /** Streaming-safe quality gate over token-sequence rows (the north-rule
+    * input shape): the per-row features of [[qualityScore]] that need NO
+    * corpus statistics — duplicate-token ratio, top-token fraction,
+    * log-length — scored by the same fixed linear head. One narrow
+    * projection: stateless, shuffle-free, codegen — composable into a
+    * `readStream → gate → sink` pipeline as the ingest-time filter, while
+    * the corpus-statistics variant ([[qualityScore]]'s LM features) runs in
+    * batch over the landed lake. */
+  def qualityGateTokens(seqs: DataFrame): DataFrame = {
+    // one-pass native stats (array(n_distinct, top_count)) — the
+    // higher-order-function equivalent is O(n²) AND interpreted per element
+    val st = graft.functions.Signatures.tokenStatsCol(col("tokens"))
+    val n = size(col("tokens")).cast("double")
+    val dupRatio = lit(1.0) - element_at(st, 1).cast("double") / n
+    val topFrac = element_at(st, 2).cast("double") / n
+    val z = lit(1.5) - lit(3.0) * dupRatio - lit(5.0) * topFrac +
+      lit(0.2) * log(n)
+    seqs
+      .withColumn("gate_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("gate_keep", (z >= 0).cast("long"))
+  }
+
   // ---- Cross-modality composition ----------------------------------------
 
   /** Semantic dedup: text near-dup candidates (MinHash+LSH+exact-verify,

@@ -423,6 +423,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got("a")._3 > got("b")._3)
   }
 
+  test("token quality gate: degenerate sequences rejected, diverse kept, score exact") {
+    val seqs = Seq(
+      ("deg", Array.fill(64)(7)),               // one token repeated: top_frac 1
+      ("div", (0 until 64).toArray),            // all distinct
+      ("mix", (0 until 32).toArray ++ Array.fill(32)(5))
+    ).toDF("doc_id", "tokens")
+    val rows = CorpusOps.qualityGateTokens(seqs)
+      .select("doc_id", "gate_score", "gate_keep")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows("deg")._3 === 0L && rows("div")._3 === 1L)
+    // brute-force z for the diverse row: dup 0, top 1/64, n 64
+    val zDiv = 1.5 - 3.0 * 0.0 - 5.0 * (1.0 / 64) + 0.2 * math.log(64.0)
+    assert(math.abs(rows("div")._2 - 1.0 / (1.0 + math.exp(-zDiv))) < 2e-6)
+    // mix: 32 distinct of 64 (5 ∈ 0..31), top count 33 (token 5: 1 + 32)
+    val zMix = 1.5 - 3.0 * (1.0 - 32.0 / 64) - 5.0 * (33.0 / 64) + 0.2 * math.log(64.0)
+    assert((rows("mix")._3 == 1L) === (zMix >= 0))
+  }
+
   test("approx quantile sketch tracks the exact per-source percentiles") {
     val exact = CorpusOps.qualityQuantiles(spark, dir)
       .select("source", "p50").as[(String, Double)].collect().toMap

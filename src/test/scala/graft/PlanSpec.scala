@@ -104,6 +104,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("span audit is join-free: exactly two exchanges (window hash, then doc)") {
+    // the corpus-wide span audit must stay a two-shuffle pipeline — a third
+    // Exchange or any Join node means the single-evaluation rewrite
+    // regressed to the aggregate-join-aggregate shape (3× the scan+md5 work)
+    val plan = planOf(graft.operators.CorpusOps.spanDedup(spark, sf("sf0.001")))
+    assert(!plan.contains("Join"), s"span audit must not join:\n$plan")
+    val nExchanges = "(?<!Reused)Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(nExchanges == 2, s"expected 2 exchanges, got $nExchanges:\n$plan")
+  }
+
+  test("epoch shuffle is one exchange per epoch set — no global single-reducer sort") {
+    val plan = planOf(graft.operators.CorpusOps.epochShuffle(spark, sf("sf0.001")))
+    assert(!plan.contains("Join"), plan)
+    // the training order must be computed per (epoch, shard) cell: the only
+    // exchange hash-partitions on the cell key, never a SinglePartition sort
+    assert(plan.contains("Exchange hashpartitioning(epoch"), plan)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global sort would single-reduce at scale:\n$plan")
+  }
+
   test("bucketed tables co-locate the join — no Exchange on either side") {
     // the 100 TB co-located-join path: two tables bucketed on the join key
     // land in SortMergeJoin with ZERO shuffle (only per-partition sorts).

@@ -271,6 +271,25 @@ class StreamingSpec extends SparkSuite {
     assert(!spark.table("content_dedup").columns.contains("_content_h"))
   }
 
+  test("token quality gate runs in-stream: stateless, filters degenerate rows") {
+    val mem = MemoryStream[InputRow]
+    val gated = graft.operators.CorpusOps.qualityGateTokens(mem.toDF())
+      .filter(col("gate_keep") === 1)
+    val cp = tmp("cpgate")
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    mem.addData(
+      InputRow("deg", Array.fill(64)(7), 64, "src1"),   // degenerate: dropped
+      InputRow("div", (0 until 64).toArray, 64, "src1")) // diverse: kept
+    q.processAllAvailable()
+    // stateless gate: a pure projection+filter needs no state store
+    assert(!q.lastProgress.json.contains("stateOperators\":[{"),
+      q.lastProgress.json)
+    q.stop()
+    val kept = spark.table("gate_out").select("doc_id").as[String].collect()
+    assert(kept.toSeq === Seq("div"))
+  }
+
   test("compaction composes with checkpoint resume: restart after fold, still exactly-once") {
     // kill the stream after batches are folded into a compacted segment,
     // then resume from the checkpoint with overlapping + new data: replayed
