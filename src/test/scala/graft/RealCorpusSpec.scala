@@ -87,4 +87,31 @@ class RealCorpusSpec extends SparkSuite {
       w == "xapi" || w == "w3id" || w == "video" || w == "https"))
     docs.unpersist()
   }
+
+  test("span audit + quality gate over the real corpus: template spans detected") {
+    assume(available)
+    import spark.implicits._
+    val docs = spark.read.text(corpus).toDF("text").limit(2000)
+      .withColumn("doc_id", xxhash64(get_json_object(col("text"), "$.id")))
+      .withColumn("words_text",
+        regexp_replace(col("text"), "[^A-Za-z0-9]+", " "))
+    // xAPI statements share whole template regions (verb IRIs, extension
+    // keys): the span audit must find heavy cross-doc window sharing
+    val spans = graft.operators.CorpusOps.spanDedupOn(
+      docs.select(col("doc_id"), col("words_text").as("text")))
+      .select("doc_id", "n_windows", "n_shared", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(spans.length === 2000)
+    val meanFrac = spans.map(_._4).sum / spans.length
+    assert(meanFrac > 0.5,
+      f"template-heavy statements should share most spans, got $meanFrac%.3f")
+    spans.foreach { case (_, nw, ns, _) => assert(ns >= 0 && ns <= nw) }
+    // the stateless token gate runs end-to-end on real token sequences
+    val seqs = docs.select(col("doc_id").cast("string").as("doc_id"),
+      graft.functions.TokenCodec.encodeTokens(col("text")).as("tokens"))
+    val gated = graft.operators.CorpusOps.qualityGateTokens(seqs)
+      .select("gate_score", "gate_keep").as[(Double, Long)].collect()
+    assert(gated.length === 2000)
+    assert(gated.forall { case (s, k) => s >= 0 && s <= 1 && (k == 0 || k == 1) })
+  }
 }
