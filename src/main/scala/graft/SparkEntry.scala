@@ -463,7 +463,7 @@ object SparkEntry {
                           - 3.0 * dup_word_ratio
                           - 5.0 * round(top.top_n::DOUBLE / q.n_words, 6)
                           + 0.5 * lp.avg_logp
-                          + 0.2 * ln(q.n_words) AS z
+                          + 0.2 * round(ln(q.n_words), 6) AS z
                FROM q JOIN top ON top.doc_id = q.doc_id
                       JOIN lp ON lp.doc_id = q.doc_id)
          SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,

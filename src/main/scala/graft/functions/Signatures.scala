@@ -172,9 +172,13 @@ object Signatures {
     var top = 0
     var i = 0
     while (i < n) {
-      val t = arr.getInt(i)
-      val c = counts.merge(t, 1, (a, b) => a + b)
-      if (c > top) top = c
+      // skip NULL slots: getInt on a null element reads 0 and would
+      // fabricate a repetition signal for token id 0
+      if (!arr.isNullAt(i)) {
+        val t = arr.getInt(i)
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > top) top = c
+      }
       i += 1
     }
     new GenericArrayData(Array[Any](counts.size.toLong, top.toLong))

@@ -430,6 +430,20 @@ object CorpusOps {
     * (shuffle equi-joins of (id, few-doubles) rows — never documents); the
     * keep decision is `z >= 0` (not a sigmoid threshold), so the boundary
     * cannot drift between engines. */
+  /** The fixed linear head both quality filters share — ONE definition, so
+    * the stream gate ([[qualityGateTokens]]) and the batch scorer
+    * ([[qualityScore]]) can never drift apart. Frozen stand-ins for a
+    * trained classifier; the DuckDB oracle quotes the same values. */
+  object QualityHead {
+    val Intercept = 1.5
+    val StopW = 2.0    // stopword ratio (batch only — needs the stop list)
+    val WlenW = 0.3    // mean word length (batch only)
+    val DupW = 3.0     // duplicate-token ratio (negative contribution)
+    val TopW = 5.0     // top-token fraction (negative contribution)
+    val LogpW = 0.5    // unigram log-prob (batch only — corpus statistics)
+    val LenW = 0.2     // log-length
+  }
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val q = TextOps.quality(spark, dir)
       .select(col("doc_id"), col("n_words"), col("stop_ratio"), col("mean_wlen"))
@@ -438,13 +452,15 @@ object CorpusOps {
     val u = unigramLogProb(spark, dir).select(col("doc_id"), col("avg_logp"))
     // rounded features on BOTH engines before fusing — parity by
     // construction (dup/top/logp arrive pre-rounded from their operators)
-    val z = lit(1.5) +
-      lit(2.0) * round(col("stop_ratio"), 6) +
-      lit(0.3) * round(col("mean_wlen"), 6) -
-      lit(3.0) * col("dup_word_ratio") -
-      lit(5.0) * col("top_word_frac") +
-      lit(0.5) * col("avg_logp") +
-      lit(0.2) * log(col("n_words").cast("double"))
+    // EVERY feature rounded to 6 places (log included — JVM Math.log and
+    // DuckDB ln may differ in the last ulp) so z is engine-exact
+    val z = lit(QualityHead.Intercept) +
+      lit(QualityHead.StopW) * round(col("stop_ratio"), 6) +
+      lit(QualityHead.WlenW) * round(col("mean_wlen"), 6) -
+      lit(QualityHead.DupW) * col("dup_word_ratio") -
+      lit(QualityHead.TopW) * col("top_word_frac") +
+      lit(QualityHead.LogpW) * col("avg_logp") +
+      lit(QualityHead.LenW) * round(log(col("n_words").cast("double")), 6)
     q.join(r, Seq("doc_id")).join(u, Seq("doc_id"))
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
@@ -466,11 +482,18 @@ object CorpusOps {
     val n = size(col("tokens")).cast("double")
     val dupRatio = lit(1.0) - element_at(st, 1).cast("double") / n
     val topFrac = element_at(st, 2).cast("double") / n
-    val z = lit(1.5) - lit(3.0) * dupRatio - lit(5.0) * topFrac +
-      lit(0.2) * log(n)
+    val z = lit(QualityHead.Intercept) -
+      lit(QualityHead.DupW) * dupRatio -
+      lit(QualityHead.TopW) * topFrac +
+      lit(QualityHead.LenW) * log(n)
+    // an EMPTY sequence divides by zero → NULL z; the most degenerate input
+    // must land in the reject class, not fall through both filter branches
     seqs
-      .withColumn("gate_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
-      .withColumn("gate_keep", (z >= 0).cast("long"))
+      .withColumn("gate_score",
+        when(n === 0, lit(0.0))
+          .otherwise(round(lit(1.0) / (lit(1.0) + exp(-z)), 6)))
+      .withColumn("gate_keep",
+        when(n === 0, lit(0L)).otherwise((z >= 0).cast("long")))
   }
 
   // ---- Cross-modality composition ----------------------------------------

@@ -433,6 +433,11 @@ class CorpusOpsSpec extends SparkSuite {
       .select("doc_id", "gate_score", "gate_keep")
       .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
     assert(rows("deg")._3 === 0L && rows("div")._3 === 1L)
+    // empty sequence: rejected with concrete 0s, never a NULL fall-through
+    val empty = CorpusOps.qualityGateTokens(
+      Seq(("e", Array.empty[Int])).toDF("doc_id", "tokens"))
+      .select("gate_score", "gate_keep").as[(Double, Long)].collect()
+    assert(empty.toSeq === Seq((0.0, 0L)))
     // brute-force z for the diverse row: dup 0, top 1/64, n 64
     val zDiv = 1.5 - 3.0 * 0.0 - 5.0 * (1.0 / 64) + 0.2 * math.log(64.0)
     assert(math.abs(rows("div")._2 - 1.0 / (1.0 + math.exp(-zDiv))) < 2e-6)
