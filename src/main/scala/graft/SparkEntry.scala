@@ -83,6 +83,9 @@ object SparkEntry {
     // nProbe = nCells probes every cell → exact by construction; production
     // uses nProbe << nCells (the equi-join plumbing is identical)
     "q_ann_ivf" -> ((s, d) => EmbeddingOps.ivfTopK(s, d, nProbe = 16, nCells = 16)),
+    // PQ with the lossless codebook: decode is bit-exact, so the compressed
+    // scan reproduces brute force; production trains k<<distinct codewords
+    "q_ann_pq" -> ((s, d) => EmbeddingOps.pqTopK(s, d)),
     // ---- xAPI pipeline ----------------------------------------------------
     // Deterministic end-to-end digest of the batch pipeline on the seeded
     // 2000-row synthetic input: per-(verb, source) row counts + distinct
@@ -213,6 +216,7 @@ object SparkEntry {
     // by construction (every cell probed through the same equi-join)
     "q_ann_lsh" -> cosTopkOracle,
     "q_ann_ivf" -> cosTopkOracle,
+    "q_ann_pq" -> cosTopkOracle,
     "q_fingerprint" ->
       """SELECT count(DISTINCT text) AS n_texts,
                 CAST(count(*) AS BIGINT) AS n_docs,

@@ -115,6 +115,104 @@ object LshBuckets {
     ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(vec), planes))
 }
 
+/** Product-quantization encode: the vector is split into M contiguous
+  * subspaces and each sub-vector is replaced by the index of its nearest
+  * codeword in that subspace's codebook — one native pass, the codebooks
+  * ride in the plan as a constant (M × K × dim/M doubles). At 100 TB this
+  * is the ANN storage story: 8 one-byte-range codes replace 64 doubles. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    PqEncode.encode(v.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqEncode.encode($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncode {
+  /** Static (non-`eval`) so codegen's static call compiles — see
+    * [[ArgMinCentroid.assign]]'s forwarder note. */
+  def encode(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val n = vec.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = books(s)
+      val dsub = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub && off + i < n) {
+          val diff = vec.getDouble(off + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(vec), books))
+}
+
+/** Product-quantization decode: codes → the concatenation of their
+  * codewords (the quantized reconstruction candidates are scored against —
+  * reconstruction error IS the quantization error; with a lossless
+  * codebook it is zero and decode is bit-exact). */
+case class PqDecode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    PqDecode.decode(v.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqDecode.decode($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqDecode {
+  def decode(codes: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    var dim = 0
+    var s = 0
+    while (s < m) { dim += books(s)(0).length; s += 1 }
+    val out = new Array[Any](dim)
+    var off = 0
+    s = 0
+    while (s < m) {
+      val cent = books(s)(codes.getInt(s))
+      var i = 0
+      while (i < cent.length) { out(off + i) = cent(i); i += 1 }
+      off += cent.length
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqDecode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqDecode(ExpressionUtils.expression(codes), books))
+}
+
 object ArgMinCentroid {
   /** Squared-L2 argmin. Named `assign` (not `eval`): the companion CLASS
     * inherits `eval(InternalRow)`, which suppresses the static forwarder a

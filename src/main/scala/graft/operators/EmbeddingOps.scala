@@ -136,13 +136,23 @@ object EmbeddingOps {
     * vectors fits the same 16×64 codebook with zero cluster jobs beyond the
     * sample collect. */
   def trainCentroids(df: DataFrame, k: Int = 16, iters: Int = 2,
-                     maxSample: Int = 1024): Array[Array[Double]] = {
+                     maxSample: Int = 1024): Array[Array[Double]] =
+    kmeansLocal(strideSample(df, maxSample), k, iters)
+
+  /** Bounded deterministic sample: every stride-th vec_id, capped. */
+  private def strideSample(df: DataFrame, maxSample: Int): Array[Array[Double]] = {
     val n = df.count()
     val stride = math.max(1L, n / maxSample)
-    val sample = df.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    df.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(maxSample)
       .select("embedding").collect()
       .map(_.getAs[Seq[Double]](0).toArray)
+  }
+
+  /** Driver-local mini-Lloyd over an already-bounded sample — shared by the
+    * IVF codebook and each PQ subspace codebook. */
+  private def kmeansLocal(sample: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
     var cents = sample.take(k)
     (0 until iters).foreach { _ =>
       val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
@@ -226,6 +236,69 @@ object EmbeddingOps {
     val scored = indexed.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+  }
+
+  // ---- Product quantization (compressed ANN storage) ---------------------
+
+  /** Per-subspace PQ codebooks trained on the bounded sample: M independent
+    * (k × dim/M) local k-means fits — the codebook problem never touches
+    * the cluster. */
+  def trainPqCodebooks(df: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+                       maxSample: Int = 1024): Array[Array[Array[Double]]] = {
+    val sample = strideSample(df, maxSample)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      kmeansLocal(sample.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
+    }
+  }
+
+  /** LOSSLESS configuration — every distinct sub-vector becomes its own
+    * codeword, so decode reconstructs bit-exactly and PQ top-k equals brute
+    * force (the oracle configuration). Collects the full table: test-scale
+    * ONLY; production uses [[trainPqCodebooks]]. */
+  def exactPqCodebooks(df: DataFrame, m: Int = 8): Array[Array[Array[Double]]] = {
+    val vecs = df.select("embedding").collect()
+      .map(_.getAs[collection.Seq[Double]](0))
+    val dim = vecs.head.length
+    require(dim % m == 0)
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      vecs.map(_.slice(s * dsub, (s + 1) * dsub)).distinct.map(_.toArray).toArray
+    }
+  }
+
+  /** The PQ index: per-vector codes REPLACE the vector — M small ints
+    * (here 8) instead of dim doubles (64×8 bytes): a 32–64× storage/scan
+    * compression, which is what makes a 10¹²-vector candidate scan fit a
+    * cluster's disks. One narrow native projection. */
+  def pqIndex(df: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col("vec_id"),
+      graft.functions.PqEncode.pqEncode(col("embedding"), books).as("codes"))
+
+  /** PQ ANN top-k over the compressed index: candidates are scored against
+    * their RECONSTRUCTION (decode is a native expression; the codebook
+    * rides in the plan). Asymmetric-distance LUTs would cut per-candidate
+    * FLOPs further; the dominant 100 TB win — scanning codes instead of
+    * vectors — is already here, and with the lossless codebook the result
+    * is exactly [[bruteTopK]], which the DuckDB oracle checks. */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8,
+             codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val all = embeddings(spark, dir)
+    val books = codebooks.getOrElse(exactPqCodebooks(all, m))
+    val codes = pqIndex(all, books)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosineSim(col("qv"),
+        graft.functions.PqDecode.pqDecode(col("codes"), books)), 6))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -70,6 +70,29 @@ class EmbeddingSpec extends SparkSuite {
     assert(ivf === truth)
   }
 
+  test("PQ with the lossless codebook equals brute force exactly (oracle config)") {
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pq = EmbeddingOps.pqTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(pq === truth)
+  }
+
+  test("PQ codes are m small ints (the 32-64x storage story); trained recall floor holds") {
+    val all = EmbeddingOps.embeddings(spark, dir)
+    val books = EmbeddingOps.trainPqCodebooks(all, m = 8, k = 64)
+    val codes = EmbeddingOps.pqIndex(all, books)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 64)))
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ann = EmbeddingOps.pqTopK(spark, dir, 10, 5, codebooks = Some(books))
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(ann).size.toDouble / truth.size
+    info(f"PQ (8 subspaces x 64 codewords, 8-byte codes) top-5 recall: $recall%.2f")
+    assert(recall >= 0.3, f"recall $recall%.2f below floor")
+  }
+
   test("persisted IVF index: full-probe equals brute force; probe scan is partition-pruned") {
     val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
     EmbeddingOps.buildIvfIndex(spark, dir, idx, nCells = 16)

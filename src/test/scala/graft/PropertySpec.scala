@@ -84,6 +84,22 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("tokenStats equals brute-force distinct/modal counts on arbitrary arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    check(forAll(Gen.listOf(Gen.chooseNum(-5, 5))) { xs =>
+      val got = graft.functions.Signatures.tokenStats(
+        new GenericArrayData(xs.toArray))
+      val expDistinct = xs.distinct.size.toLong
+      val expTop = if (xs.isEmpty) 0L
+        else xs.groupBy(identity).map(_._2.length).max.toLong
+      got.getLong(0) == expDistinct && got.getLong(1) == expTop
+    })
+    // null slots are skipped, never read as token 0
+    val withNulls = new GenericArrayData(Array[Any](null, null, 5, 5))
+    val st = graft.functions.Signatures.tokenStats(withNulls)
+    assert(st.getLong(0) === 1L && st.getLong(1) === 2L)
+  }
+
   test("BPE mergeOnce shrinks or preserves length and never emits the merged pair") {
     val seqGen = Gen.listOf(Gen.chooseNum(0, 5)).map(_.toArray)
     check(forAll(seqGen, Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (s, l, r) =>
