@@ -125,47 +125,79 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
-  override protected def nullSafeEval(v: Any): Any =
-    PqEncode.encode(v.asInstanceOf[ArrayData], codebooks)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.PqEncode.encode($c, $ref)")
-  }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
 
-object PqEncode {
-  /** Static (non-`eval`) so codegen's static call compiles — see
-    * [[ArgMinCentroid.assign]]'s forwarder note. */
-  def encode(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
-    val m = books.length
+  /** Exact-match index per subspace, built lazily ONCE per executor: the
+    * lossless oracle codebook holds every distinct sub-vector, so encode
+    * is a hash lookup instead of a K-codeword argmin scan (K = thousands
+    * in that configuration); any miss — trained codebooks, novel vectors —
+    * falls back to the scan, so results never change. */
+  @transient private lazy val exactIndex
+      : Array[java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer]] =
+    codebooks.map { book =>
+      val m = new java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer](book.length * 2)
+      var c = 0
+      while (c < book.length) {
+        val key = new java.util.ArrayList[java.lang.Double](book(c).length)
+        book(c).foreach(d => key.add(d))
+        m.putIfAbsent(key, c) // first match wins, like the argmin scan on d=0
+        c += 1
+      }
+      m
+    }
+
+  def encodeFast(vec: ArrayData): ArrayData = {
+    val m = codebooks.length
     val n = vec.numElements()
     val out = new Array[Any](m)
     var s = 0
     var off = 0
     while (s < m) {
-      val book = books(s)
-      val dsub = book(0).length
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < book.length) {
-        val cent = book(c)
-        var d = 0.0
-        var i = 0
-        while (i < dsub && off + i < n) {
-          val diff = vec.getDouble(off + i) - cent(i)
-          d += diff * diff
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      out(s) = best
+      val dsub = codebooks(s)(0).length
+      val key = new java.util.ArrayList[java.lang.Double](dsub)
+      var i = 0
+      while (i < dsub && off + i < n) { key.add(vec.getDouble(off + i)); i += 1 }
+      val hit = exactIndex(s).get(key)
+      out(s) =
+        if (hit != null) hit.intValue()
+        else PqEncode.argminSub(vec, codebooks(s), off, n)
       off += dsub
       s += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    encodeFast(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS expression so codegen reuses the executor-cached index
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeFast($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncode {
+  /** Argmin over one subspace's codewords (the fallback scan; static,
+    * uniquely named — see [[ArgMinCentroid.assign]]'s forwarder note). */
+  def argminSub(vec: ArrayData, book: Array[Array[Double]],
+                off: Int, n: Int): Int = {
+    val dsub = book(0).length
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cent = book(c)
+      var d = 0.0
+      var i = 0
+      while (i < dsub && off + i < n) {
+        val diff = vec.getDouble(off + i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =

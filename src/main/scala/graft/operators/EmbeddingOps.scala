@@ -305,6 +305,57 @@ object EmbeddingOps {
       .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
   }
 
+  /** Asymmetric-distance (ADC) PQ scoring — the query-speed half of PQ:
+    * per query an M×K lookup table of sub-dot-products against every
+    * codeword, plus one query-independent codeword sub-norm² table; each
+    * candidate costs M table lookups and a divide instead of a dim-length
+    * pass. Computes cos(q, decode(codes)) — the same quantity as
+    * [[pqTopK]] (subspace-major summation, so the last float ulp may
+    * differ; ids/ranks agree). LUT construction is per-query driver work
+    * (request-sized); candidates never decode. */
+  def pqTopKAdc(spark: SparkSession, dir: String, nQueries: Int = 10,
+                k: Int = 5, m: Int = 8,
+                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    import spark.implicits._
+    val all = embeddings(spark, dir)
+    val books = codebooks.getOrElse(exactPqCodebooks(all, m))
+    val offsets = books.scanLeft(0)(_ + _.length)
+    val total = offsets.last
+    val dsubs = books.map(_(0).length)
+    val n2 = new Array[Double](total) // codeword sub-norm², query-independent
+    for (s <- books.indices; c <- books(s).indices)
+      n2(offsets(s) + c) = books(s)(c).map(x => x * x).sum
+    val codes = pqIndex(all, books)
+    val qRows = all.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect().toSeq.map { r =>
+        val q = r.getAs[collection.Seq[Double]](1).toArray
+        val lut = new Array[Double](total)
+        var off = 0
+        for (s <- books.indices) {
+          for (c <- books(s).indices) {
+            var d = 0.0
+            var i = 0
+            while (i < dsubs(s)) { d += q(off + i) * books(s)(c)(i); i += 1 }
+            lut(offsets(s) + c) = d
+          }
+          off += dsubs(s)
+        }
+        (r.getLong(0), lut.toSeq, math.sqrt(q.map(x => x * x).sum))
+      }
+    val q = qRows.toDF("qid", "lut", "qnorm")
+    val n2Col = typedlit(n2.toSeq)
+    def slot(s: Int) = lit(offsets(s) + 1) + element_at(col("codes"), s + 1)
+    val dot = books.indices.map(s => element_at(col("lut"), slot(s))).reduce(_ + _)
+    val vn2 = books.indices.map(s => element_at(n2Col, slot(s))).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(dot / (sqrt(vn2) * col("qnorm")), 6))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nProbe: Int = 4, nCells: Int = 16): DataFrame = {
     import spark.implicits._

@@ -93,6 +93,21 @@ class EmbeddingSpec extends SparkSuite {
     assert(recall >= 0.3, f"recall $recall%.2f below floor")
   }
 
+  test("ADC lookup-table scoring returns the same neighbours as decode scoring") {
+    val truthIds = EmbeddingOps.pqTopK(spark, dir, 10, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val adc = EmbeddingOps.pqTopKAdc(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(adc.map(r => (r._1, r._2)).toSet === truthIds)
+    // the LUT computes cos(q, decode(v)) — values agree to rounding
+    val sims = EmbeddingOps.pqTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    adc.foreach { case (q, n, s, _) =>
+      assert(math.abs(s - sims((q, n))) <= 2e-6, s"($q,$n): $s vs ${sims((q, n))}")
+    }
+  }
+
   test("persisted IVF index: full-probe equals brute force; probe scan is partition-pruned") {
     val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
     EmbeddingOps.buildIvfIndex(spark, dir, idx, nCells = 16)
