@@ -163,25 +163,28 @@ object Signatures {
     new GenericArrayData(out)
   }
 
-  /** One-pass distinct-count + modal-count over an int token array — the
-    * per-row repetition statistics a streaming quality gate needs without
-    * the O(n²) interpreted higher-order-function shape. */
+  /** One-pass `array(n_valid, n_distinct, top_count)` over an int token
+    * array — the per-row repetition statistics a streaming quality gate
+    * needs without the O(n²) interpreted higher-order-function shape.
+    * NULL slots are excluded from ALL THREE numbers: getInt on a null
+    * element reads 0 (fabricating token id 0), and counting nulls in the
+    * denominator alone would fabricate phantom duplicates instead. */
   def tokenStats(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val counts = new java.util.HashMap[Int, Int](Math.max(16, n * 2))
     var top = 0
+    var valid = 0L
     var i = 0
     while (i < n) {
-      // skip NULL slots: getInt on a null element reads 0 and would
-      // fabricate a repetition signal for token id 0
       if (!arr.isNullAt(i)) {
         val t = arr.getInt(i)
         val c = counts.merge(t, 1, (a, b) => a + b)
         if (c > top) top = c
+        valid += 1
       }
       i += 1
     }
-    new GenericArrayData(Array[Any](counts.size.toLong, top.toLong))
+    new GenericArrayData(Array[Any](valid, counts.size.toLong, top.toLong))
   }
 
   def minhashSig(shingles: Column): Column =
@@ -196,7 +199,8 @@ object Signatures {
   def shinglesAllCol(text: Column, k: Int): Column =
     ExpressionUtils.column(ShinglesAllExpr(ExpressionUtils.expression(text), k))
 
-  /** `array(n_distinct, top_count)` of an `array<int>` token column. */
+  /** `array(n_valid, n_distinct, top_count)` of an `array<int>` token
+    * column (null slots excluded from all three). */
   def tokenStatsCol(tokens: Column): Column =
     ExpressionUtils.column(TokenStatsExpr(ExpressionUtils.expression(tokens)))
 

@@ -126,24 +126,17 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
 
-  /** Exact-match index per subspace, built lazily ONCE per executor: the
-    * lossless oracle codebook holds every distinct sub-vector, so encode
-    * is a hash lookup instead of a K-codeword argmin scan (K = thousands
-    * in that configuration); any miss — trained codebooks, novel vectors —
-    * falls back to the scan, so results never change. */
+  /** Exact-match index per subspace: the lossless oracle codebook holds
+    * every distinct sub-vector, so encode is a hash lookup instead of a
+    * K-codeword argmin scan (K = thousands in that configuration); any
+    * miss — trained codebooks, novel vectors — falls back to the scan, so
+    * results never change. The expression instance is deserialized fresh
+    * per TASK, so the transient lazy alone would rebuild the index per
+    * task; the content-keyed JVM cache in the companion makes it
+    * once-per-executor. */
   @transient private lazy val exactIndex
       : Array[java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer]] =
-    codebooks.map { book =>
-      val m = new java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer](book.length * 2)
-      var c = 0
-      while (c < book.length) {
-        val key = new java.util.ArrayList[java.lang.Double](book(c).length)
-        book(c).foreach(d => key.add(d))
-        m.putIfAbsent(key, c) // first match wins, like the argmin scan on d=0
-        c += 1
-      }
-      m
-    }
+    PqEncode.indexFor(codebooks)
 
   def encodeFast(vec: ArrayData): ArrayData = {
     val m = codebooks.length
@@ -177,6 +170,43 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 }
 
 object PqEncode {
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long,
+    Array[java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer]]]()
+
+  /** 64-bit FNV over the full codebook content — the JVM-wide cache key
+    * (deserialized copies of the same codebook hash identically). */
+  private def fingerprint(books: Array[Array[Array[Double]]]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    mix(books.length)
+    books.foreach { book =>
+      mix(book.length)
+      book.foreach { cw =>
+        mix(cw.length)
+        cw.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+      }
+    }
+    h
+  }
+
+  private[functions] def indexFor(books: Array[Array[Array[Double]]])
+      : Array[java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer]] = {
+    if (indexCache.size > 8) indexCache.clear() // bound executor memory
+    indexCache.computeIfAbsent(fingerprint(books), _ =>
+      books.map { book =>
+        val m = new java.util.HashMap[java.util.ArrayList[java.lang.Double], Integer](book.length * 2)
+        var c = 0
+        while (c < book.length) {
+          val key = new java.util.ArrayList[java.lang.Double](book(c).length)
+          book(c).foreach(d => key.add(d))
+          m.putIfAbsent(key, c) // first match wins, like the argmin scan on d=0
+          c += 1
+        }
+        m
+      })
+  }
+
   /** Argmin over one subspace's codewords (the fallback scan; static,
     * uniquely named — see [[ArgMinCentroid.assign]]'s forwarder note). */
   def argminSub(vec: ArrayData, book: Array[Array[Double]],

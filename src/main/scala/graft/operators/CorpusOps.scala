@@ -417,19 +417,6 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log(p)), 6).as("avg_logp"))
   }
 
-  /** Model-based quality filter (FineWeb-Edu-style): the heuristic signals
-    * the pipeline already computes — stopword ratio, mean word length,
-    * duplicate-word ratio, top-word fraction, unigram log-probability,
-    * log-length — fused by a fixed linear model into one sigmoid score and
-    * a keep decision. The weights are deterministic stand-ins for a trained
-    * classifier head (no trainable stack in this sandbox); the engine work
-    * — assembling per-doc features from three aggregate passes and scoring
-    * with engine-exact float parity — is real and oracle-checked.
-    *
-    * Scale shape: three narrow per-doc feature tables joined on doc_id
-    * (shuffle equi-joins of (id, few-doubles) rows — never documents); the
-    * keep decision is `z >= 0` (not a sigmoid threshold), so the boundary
-    * cannot drift between engines. */
   /** The fixed linear head both quality filters share — ONE definition, so
     * the stream gate ([[qualityGateTokens]]) and the batch scorer
     * ([[qualityScore]]) can never drift apart. Frozen stand-ins for a
@@ -444,6 +431,19 @@ object CorpusOps {
     val LenW = 0.2     // log-length
   }
 
+  /** Model-based quality filter (FineWeb-Edu-style): the heuristic signals
+    * the pipeline already computes — stopword ratio, mean word length,
+    * duplicate-word ratio, top-word fraction, unigram log-probability,
+    * log-length — fused by a fixed linear model into one sigmoid score and
+    * a keep decision. The weights are deterministic stand-ins for a trained
+    * classifier head (no trainable stack in this sandbox); the engine work
+    * — assembling per-doc features from three aggregate passes and scoring
+    * with engine-exact float parity — is real and oracle-checked.
+    *
+    * Scale shape: three narrow per-doc feature tables joined on doc_id
+    * (shuffle equi-joins of (id, few-doubles) rows — never documents); the
+    * keep decision is `z >= 0` (not a sigmoid threshold), so the boundary
+    * cannot drift between engines. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val q = TextOps.quality(spark, dir)
       .select(col("doc_id"), col("n_words"), col("stop_ratio"), col("mean_wlen"))
@@ -479,21 +479,26 @@ object CorpusOps {
     // one-pass native stats (array(n_distinct, top_count)) — the
     // higher-order-function equivalent is O(n²) AND interpreted per element
     val st = graft.functions.Signatures.tokenStatsCol(col("tokens"))
-    val n = size(col("tokens")).cast("double")
-    val dupRatio = lit(1.0) - element_at(st, 1).cast("double") / n
-    val topFrac = element_at(st, 2).cast("double") / n
+    // n counts NON-NULL slots (from the same one-pass stats expression) —
+    // size(tokens) would count null slots in the denominator and fabricate
+    // phantom duplicates for rows with missing token ids
+    val n = element_at(st, 1).cast("double")
+    val dupRatio = lit(1.0) - element_at(st, 2).cast("double") / n
+    val topFrac = element_at(st, 3).cast("double") / n
     val z = lit(QualityHead.Intercept) -
       lit(QualityHead.DupW) * dupRatio -
       lit(QualityHead.TopW) * topFrac +
       lit(QualityHead.LenW) * log(n)
-    // an EMPTY sequence divides by zero → NULL z; the most degenerate input
-    // must land in the reject class, not fall through both filter branches
+    // a NULL or EMPTY sequence nulls z (size(NULL) is NULL; 0/0 is NULL in
+    // non-ANSI mode); the most degenerate input must land in the reject
+    // class, not fall through both filter branches
+    val degenerate = n.isNull || n === 0
     seqs
       .withColumn("gate_score",
-        when(n === 0, lit(0.0))
+        when(degenerate, lit(0.0))
           .otherwise(round(lit(1.0) / (lit(1.0) + exp(-z)), 6)))
       .withColumn("gate_keep",
-        when(n === 0, lit(0L)).otherwise((z >= 0).cast("long")))
+        when(degenerate, lit(0L)).otherwise((z >= 0).cast("long")))
   }
 
   // ---- Cross-modality composition ----------------------------------------

@@ -29,6 +29,16 @@ object EmbeddingOps {
     * DuckDB's list_cosine_similarity uses). */
   def cosine(a: Column, b: Column): Column = cosineSim(a, b)
 
+  /** The shared ranking tail of every top-k variant: per-query rank by
+    * similarity (ties broken by vec_id) — ONE definition of the output
+    * contract `(qid, nid, sim, rank)`. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+  }
+
   /** Brute-force top-k: queries broadcast against the full table. */
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val all = embeddings(spark, dir)
@@ -37,10 +47,7 @@ object EmbeddingOps {
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+    topK(scored, k)
   }
 
   /** All near-dup pairs above a cosine threshold — the EXACT / ground-truth
@@ -121,10 +128,7 @@ object EmbeddingOps {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(qVecs), Seq("qid"))
       .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+    topK(scored, k)
   }
 
   // ---- IVF (inverted-file) ANN -------------------------------------------
@@ -236,10 +240,7 @@ object EmbeddingOps {
     val scored = indexed.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+    topK(scored, k)
   }
 
   // ---- Product quantization (compressed ANN storage) ---------------------
@@ -299,10 +300,7 @@ object EmbeddingOps {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(cosineSim(col("qv"),
         graft.functions.PqDecode.pqDecode(col("codes"), books)), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+    topK(scored, k)
   }
 
   /** Asymmetric-distance (ADC) PQ scoring — the query-speed half of PQ:
@@ -350,10 +348,7 @@ object EmbeddingOps {
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(dot / (sqrt(vn2) * col("qnorm")), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+    topK(scored, k)
   }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
@@ -374,9 +369,6 @@ object EmbeddingOps {
     val scored = indexed.join(broadcast(q), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+    topK(scored, k)
   }
 }

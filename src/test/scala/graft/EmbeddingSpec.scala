@@ -94,15 +94,13 @@ class EmbeddingSpec extends SparkSuite {
   }
 
   test("ADC lookup-table scoring returns the same neighbours as decode scoring") {
-    val truthIds = EmbeddingOps.pqTopK(spark, dir, 10, 5)
-      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val decode = EmbeddingOps.pqTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect()
     val adc = EmbeddingOps.pqTopKAdc(spark, dir, 10, 5)
       .as[(Long, Long, Double, Int)].collect()
-    assert(adc.map(r => (r._1, r._2)).toSet === truthIds)
+    assert(adc.map(r => (r._1, r._2)).toSet === decode.map(r => (r._1, r._2)).toSet)
     // the LUT computes cos(q, decode(v)) — values agree to rounding
-    val sims = EmbeddingOps.pqTopK(spark, dir, 10, 5)
-      .as[(Long, Long, Double, Int)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
+    val sims = decode.map(r => (r._1, r._2) -> r._3).toMap
     adc.foreach { case (q, n, s, _) =>
       assert(math.abs(s - sims((q, n))) <= 2e-6, s"($q,$n): $s vs ${sims((q, n))}")
     }

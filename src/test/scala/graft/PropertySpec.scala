@@ -92,12 +92,13 @@ class PropertySpec extends SparkSuite {
       val expDistinct = xs.distinct.size.toLong
       val expTop = if (xs.isEmpty) 0L
         else xs.groupBy(identity).map(_._2.length).max.toLong
-      got.getLong(0) == expDistinct && got.getLong(1) == expTop
+      got.getLong(0) == xs.length.toLong &&
+        got.getLong(1) == expDistinct && got.getLong(2) == expTop
     })
-    // null slots are skipped, never read as token 0
+    // null slots are excluded from ALL THREE counts, never read as token 0
     val withNulls = new GenericArrayData(Array[Any](null, null, 5, 5))
     val st = graft.functions.Signatures.tokenStats(withNulls)
-    assert(st.getLong(0) === 1L && st.getLong(1) === 2L)
+    assert(st.getLong(0) === 2L && st.getLong(1) === 1L && st.getLong(2) === 2L)
   }
 
   test("BPE mergeOnce shrinks or preserves length and never emits the merged pair") {
