@@ -228,6 +228,25 @@ object CorpusOps {
       .select("epoch", "shard", "doc_id", "pos")
   }
 
+  /** Streaming-safe decontamination gate over token-sequence rows: flags
+    * rows sharing any k-token shingle with a STATIC benchmark shingle set.
+    * The set is eval-set-sized (thousands of shingles vs a trillion-token
+    * stream) and rides in the plan as a literal — one stateless per-row
+    * membership check, no join, no watermark, no state; the ingest-time
+    * sibling of the batch [[contamination]] audit. At eval sets too big
+    * for a plan literal, swap the literal for a bloom filter built in
+    * batch (`Column.mightContain`) — same stateless shape. */
+  def decontamGateTokens(seqs: DataFrame, benchShingles: Seq[String],
+                         k: Int = 3): DataFrame =
+    seqs.withColumn("contaminated",
+      // null tokens → no shingles → not flagged here (the quality gate
+      // already rejects degenerate rows; coalesce keeps the flag non-null)
+      coalesce(
+        arrays_overlap(
+          TextOps.shingleArr(array_join(col("tokens"), " "), k),
+          typedlit(benchShingles)).cast("long"),
+        lit(0L)))
+
   // ---- Stratified source sampling ----------------------------------------
 
   /** Deterministic stratified downsampling by source: each source keeps a

@@ -290,6 +290,26 @@ class StreamingSpec extends SparkSuite {
     assert(kept.toSeq === Seq("div"))
   }
 
+  test("decontamination gate flags benchmark-overlapping rows in-stream, stateless") {
+    val mem = MemoryStream[InputRow]
+    // benchmark = the shingles of a known eval sequence
+    val benchTokens = (100 until 110).map(_.toString)
+    val bench = benchTokens.sliding(3).map(_.mkString(" ")).toSeq
+    val gated = graft.operators.CorpusOps.decontamGateTokens(mem.toDF(), bench)
+    val cp = tmp("cpdecontam")
+    val q = gated.writeStream.format("memory").queryName("decontam_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    mem.addData(
+      InputRow("leak", (98 until 108).toArray, 10, "s"), // overlaps the eval run
+      InputRow("clean", (200 until 210).toArray, 10, "s"))
+    q.processAllAvailable()
+    assert(!q.lastProgress.json.contains("stateOperators\":[{"), q.lastProgress.json)
+    q.stop()
+    val flags = spark.table("decontam_out").select("doc_id", "contaminated")
+      .as[(String, Long)].collect().toMap
+    assert(flags === Map("leak" -> 1L, "clean" -> 0L))
+  }
+
   test("compaction composes with checkpoint resume: restart after fold, still exactly-once") {
     // kill the stream after batches are folded into a compacted segment,
     // then resume from the checkpoint with overlapping + new data: replayed
