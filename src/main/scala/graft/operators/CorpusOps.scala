@@ -366,6 +366,44 @@ object CorpusOps {
         TextOps.shingleArr(array_join(col("tokens"), " "), k).as("sh")),
       threshold)
 
+  /** North-rule capstone over the pre-tokenized input table: the
+    * end-to-end corpus-prep pass a training pipeline runs on the streaming
+    * engine's landed token rows —
+    *
+    *   stateless quality gate → benchmark decontamination → exact content
+    *   dedup → near-dup survivor dedup (LSH + connected components, most
+    *   tokens survives) → bucketed fixed-capacity packing —
+    *
+    * all without de-tokenizing. Every stage is one of the operators above
+    * composed lazily; the only driver loop is component convergence. The
+    * wide edges are the dedup digest groupBy (32-byte keys), the LSH band
+    * joins, the (node, label) component rounds and the per-bucket packing
+    * window — sequences themselves move only into their final pack slot. */
+  def tokenTrainingMix(seqs: DataFrame, benchShingles: Seq[String] = Nil,
+                       capacity: Int = 256, nBuckets: Int = 32,
+                       threshold: Double = 0.5): DataFrame = {
+    val gated = qualityGateTokens(seqs).filter(col("gate_keep") === 1)
+      .drop("gate_score", "gate_keep")
+    val clean =
+      if (benchShingles.isEmpty) gated
+      else decontamGateTokens(gated, benchShingles)
+        .filter(col("contaminated") === 0).drop("contaminated")
+    val keepExact = clean.select(col("doc_id"),
+        sha2(concat_ws(",", col("tokens").cast("array<string>")), 256).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exact = clean.join(keepExact, Seq("doc_id"), "left_semi")
+    val comp = connectedComponents(
+      tokenNearDupPairs(exact, threshold).select("id_a", "id_b"))
+    val survWin = Window.partitionBy("rep")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    val losers = comp.join(exact.select("doc_id", "n_tok"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(survWin))
+      .filter(col("rn") > 1).select("doc_id")
+    packTokenSequences(exact.join(losers, Seq("doc_id"), "left_anti"),
+      capacity, nBuckets)
+  }
+
   // ---- Corpus-LM quality scoring -----------------------------------------
 
   /** Unigram log-probability score per document (the CCNet-style LM-quality

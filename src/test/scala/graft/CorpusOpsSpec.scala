@@ -218,6 +218,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows("a")._2 === 26L && rows("b")._2 === 25L && rows("c")._2 === 33L)
   }
 
+  test("token training mix: gate, decontam, exact+near dedup and packing compose") {
+    val shared = (0 until 40).toArray
+    val bench = (500 until 510).map(_.toString).sliding(3).map(_.mkString(" ")).toSeq
+    val seqs = Seq(
+      ("a", shared),                       // near-dup pair with b; tie → a survives
+      ("b", shared.dropRight(1) :+ 999),
+      ("c", (100 until 140).toArray),      // unique, kept
+      ("d", (100 until 140).toArray),      // exact dup of c → dropped
+      ("e", Array.fill(64)(7)),            // degenerate → quality-gated out
+      ("f", (498 until 520).toArray)       // overlaps the eval run → decontaminated
+    ).toDF("doc_id", "tokens")
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("source", lit("s1"))
+    val out = CorpusOps.tokenTrainingMix(seqs, bench)
+      .select("doc_id", "bucket", "n_tok", "start_off")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet === Set("a", "c"))
+    // layout stays gap-free within every bucket after all the filtering
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      docs.sortBy(_._4).foldLeft(0L) { case (expected, (_, _, n, off)) =>
+        assert(off === expected); off + n
+      }
+    }
+  }
+
   test("semantic dedup is the cosine-confirmed subset of the lexical pairs") {
     val lexical = graft.operators.TextOps.minhashLshPairs(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
