@@ -150,8 +150,12 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
       var i = 0
       while (i < dsub && off + i < n) { key.add(vec.getDouble(off + i)); i += 1 }
       val hit = exactIndex(s).get(key)
+      // hit-side guard: the JVM cache keys on a 64-bit content fingerprint;
+      // on the (2^-64) chance two codebooks collide, a hit could come from
+      // the wrong index — verify the codeword matches before trusting it
       out(s) =
-        if (hit != null) hit.intValue()
+        if (hit != null && PqEncode.sameSub(vec, codebooks(s)(hit.intValue()), off, n))
+          hit.intValue()
         else PqEncode.argminSub(vec, codebooks(s), off, n)
       off += dsub
       s += 1
@@ -205,6 +209,16 @@ object PqEncode {
         }
         m
       })
+  }
+
+  /** Element-wise equality of a sub-vector against a codeword. */
+  def sameSub(vec: ArrayData, cw: Array[Double], off: Int, n: Int): Boolean = {
+    var i = 0
+    while (i < cw.length) {
+      if (off + i >= n || vec.getDouble(off + i) != cw(i)) return false
+      i += 1
+    }
+    true
   }
 
   /** Argmin over one subspace's codewords (the fallback scan; static,

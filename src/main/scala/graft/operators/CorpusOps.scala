@@ -388,11 +388,16 @@ object CorpusOps {
       if (benchShingles.isEmpty) gated
       else decontamGateTokens(gated, benchShingles)
         .filter(col("contaminated") === 0).drop("contaminated")
-    val keepExact = clean.select(col("doc_id"),
-        sha2(concat_ws(",", col("tokens").cast("array<string>")), 256).as("h"))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // ONE definition of the content key: reuse the standalone op
+    val keepExact = dedupExactTokens(clean).select(col("keep_id").as("doc_id"))
+    // persisted for the duration: the eager component loop below plus the
+    // losers join and the pack input all read this subtree — without the
+    // persist the gate/decontam/digest pass re-executes per consumer. Like
+    // connectedComponents' own label cache, it stays registered in the
+    // returned plan (Spark evicts LRU; callers may unpersist after
+    // materializing).
     val exact = clean.join(keepExact, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = connectedComponents(
       tokenNearDupPairs(exact, threshold).select("id_a", "id_b"))
     val survWin = Window.partitionBy("rep")
@@ -533,7 +538,7 @@ object CorpusOps {
     * the corpus-statistics variant ([[qualityScore]]'s LM features) runs in
     * batch over the landed lake. */
   def qualityGateTokens(seqs: DataFrame): DataFrame = {
-    // one-pass native stats (array(n_distinct, top_count)) — the
+    // one-pass native stats (array(n_valid, n_distinct, top_count)) — the
     // higher-order-function equivalent is O(n²) AND interpreted per element
     val st = graft.functions.Signatures.tokenStatsCol(col("tokens"))
     // n counts NON-NULL slots (from the same one-pass stats expression) —
