@@ -210,7 +210,13 @@ object CorpusOps {
     * nShards ≈ file-group count (thousands); the per-cell sort is then a
     * narrow in-partition sort after one hash-partitioned exchange. */
   def epochShuffle(spark: SparkSession, dir: String,
-                   epochs: Int = 2, nShards: Int = 8): DataFrame = {
+                   epochs: Int = 2, nShards: Int = 8): DataFrame =
+    epochShuffleOn(documents(spark, dir), epochs, nShards)
+
+  /** The shuffle over any `(doc_id, …)` frame — the token-table training
+    * order is the same call (string doc_ids hash the same way). */
+  def epochShuffleOn(docs: DataFrame,
+                     epochs: Int = 2, nShards: Int = 8): DataFrame = {
     // sequence(0, epochs-1) DESCENDS for epochs <= 0 (Spark emits [0, -1]),
     // which would silently double the output under a negative epoch
     require(epochs > 0, s"epochs must be positive, got $epochs")
@@ -218,7 +224,7 @@ object CorpusOps {
     val h = md5(concat(col("epoch").cast("string"), lit(":"),
       col("doc_id").cast("string")))
     val win = Window.partitionBy("epoch", "shard").orderBy("okey", "doc_id")
-    documents(spark, dir)
+    docs
       .select(col("doc_id"),
         explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
       .select(col("epoch"), col("doc_id"),

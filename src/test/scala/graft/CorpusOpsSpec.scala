@@ -389,6 +389,14 @@ class CorpusOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       CorpusOps.epochShuffle(spark, dir, epochs = 0)
     }
+    // the string-keyed token table shuffles through the same call
+    val tok = CorpusOps.epochShuffleOn(
+      Seq("x", "y", "z").toDF("doc_id"), epochs = 2, nShards = 2)
+      .select("epoch", "doc_id", "pos").as[(Long, String, Long)].collect()
+    assert(tok.length === 6)
+    (0L to 1L).foreach { e =>
+      assert(tok.filter(_._1 == e).map(_._2).toSet === Set("x", "y", "z"))
+    }
   }
 
   test("bigram LM: operator matches a driver-side brute force on the tiny sf") {
