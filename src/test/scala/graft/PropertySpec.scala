@@ -101,6 +101,32 @@ class PropertySpec extends SparkSuite {
     assert(st.getLong(0) === 2L && st.getLong(1) === 1L && st.getLong(2) === 2L)
   }
 
+  test("PQ encode/decode: codes in range, reconstruction is codewords, members lossless") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val books = Array.tabulate(4) { s =>
+      Array.tabulate(4) { c =>
+        Array.tabulate(4) { d =>
+          graft.sources.Synth.mix(s * 100 + c * 10 + d, 7L).toDouble / Long.MaxValue
+        }
+      }
+    }
+    val enc = graft.functions.PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), books)
+    check(forAll(Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0))) { xs =>
+      val codes = enc.encodeFast(new GenericArrayData(xs.toArray))
+      val dec = graft.functions.PqDecode.decode(codes, books)
+      (0 until 4).forall(s => codes.getInt(s) >= 0 && codes.getInt(s) < 4) &&
+        dec.numElements() == 16 &&
+        (0 until 4).forall(s => (0 until 4).forall(d =>
+          dec.getDouble(s * 4 + d) == books(s)(codes.getInt(s))(d)))
+    })
+    // a vector assembled from codewords round-trips to exactly those codes
+    // (drives the exact-match hit path AND its collision guard)
+    val member = books(0)(2) ++ books(1)(0) ++ books(2)(3) ++ books(3)(1)
+    val codes = enc.encodeFast(new GenericArrayData(member))
+    assert((0 until 4).map(codes.getInt) === Seq(2, 0, 3, 1))
+  }
+
   test("BPE mergeOnce shrinks or preserves length and never emits the merged pair") {
     val seqGen = Gen.listOf(Gen.chooseNum(0, 5)).map(_.toArray)
     check(forAll(seqGen, Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (s, l, r) =>
