@@ -55,6 +55,8 @@ object SparkEntry {
     "q_pseudonymize" -> ((s, d) => CorpusOps.pseudonymize(s, d)),
     "q_decontam" -> ((s, d) => CorpusOps.contamination(s, d)),
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
+    // GPT-3-style temperature mix planner (w_s ∝ tokens^alpha)
+    "q_source_weights" -> ((s, d) => CorpusOps.temperatureMix(s, d)),
     "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
     "q_semantic_dedup" -> ((s, d) => CorpusOps.semanticDedupPairs(s, d)),
     "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
@@ -287,6 +289,17 @@ object SparkEntry {
                                < 5 + (substr(source, 4)::INT % 10)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents GROUP BY 1""",
+    "q_source_weights" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                             AS n_tokens
+                    FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_tokens)::DOUBLE AS tt,
+                      sum(pow(n_tokens::DOUBLE, 0.5)) AS tp FROM a)
+         SELECT source, n_docs, n_tokens,
+                round(n_tokens::DOUBLE / tt, 6) AS nat_share,
+                round(pow(n_tokens::DOUBLE, 0.5) / tp, 6) AS temp_weight
+         FROM a CROSS JOIN t""",
     "q_vocab_topk" ->
       """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -272,6 +272,31 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
   }
 
+  /** Temperature-scaled source mixture (the GPT-3-style mix planner):
+    * sampling weights `w_s ∝ n_s^alpha` flatten the natural token
+    * distribution toward uniform as alpha → 0 (alpha = 1 reproduces it).
+    * Emits per source the doc/token counts, the natural share and the
+    * temperature weight — the numbers a pipeline multiplies into
+    * per-source sampling rates before a [[sampleRows]]-style filter.
+    * One combine-heavy aggregation over (source, token-count) pairs; the
+    * power/normalisation runs over the #sources-row aggregate (broadcast,
+    * 1 row). */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     alpha: Double = 0.5): DataFrame = {
+    val agg = documents(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+    val tot = agg.agg(
+      sum(col("n_tokens")).cast("double").as("tt"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("tp"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tt"), 6).as("nat_share"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("tp"), 6)
+          .as("temp_weight"))
+  }
+
   /** The row-level sampling filter itself (what a pipeline composes before
     * writing the training mix). */
   def sampleRows(df: DataFrame): DataFrame = {

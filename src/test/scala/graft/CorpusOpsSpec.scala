@@ -479,6 +479,20 @@ class CorpusOpsSpec extends SparkSuite {
     assert((rows("mix")._3 == 1L) === (zMix >= 0))
   }
 
+  test("temperature mix flattens toward uniform: weights sum to 1, extremes compressed") {
+    val rows = CorpusOps.temperatureMix(spark, dir, alpha = 0.5)
+      .select("source", "nat_share", "temp_weight")
+      .as[(String, Double, Double)].collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // alpha < 1 compresses the distribution: the biggest source loses
+    // share, the smallest gains
+    val byNat = rows.sortBy(_._2)
+    assert(byNat.last._3 < byNat.last._2, "dominant source must shrink")
+    assert(byNat.head._3 > byNat.head._2, "smallest source must grow")
+  }
+
   test("approx quantile sketch tracks the exact per-source percentiles") {
     val exact = CorpusOps.qualityQuantiles(spark, dir)
       .select("source", "p50").as[(String, Double)].collect().toMap
