@@ -123,15 +123,38 @@ object Bench {
     val perRound = (1 to rounds).map { _ =>
       levels.map(c => c -> streamingRun(c, inputPath)).toMap
     }
-    // throughputs: best per level across rounds. Efficiencies: best
-    // SAME-ROUND pair — the two measurements of a ratio must share the
+    // throughputs: best per level across rounds. Efficiencies: robust
+    // SAME-ROUND pairs — the two measurements of a ratio must share the
     // host-drift regime; best-per-level mixing (a lucky thr2 from round 1
     // against an unlucky thr8 from round 3) measures the drift, not the
-    // scaling (observed ±40% host swings on identical code)
+    // scaling (observed ±40% host swings on identical code). Taking the
+    // MAX over rounds is upward-biased cherry-picking (the round whose
+    // low-parallelism run was most depressed by host load "wins" — it once
+    // emitted a physically impossible 2.37), so: (1) a round is valid only
+    // if every level's throughput is within 20% of that level's
+    // cross-round median (drift rejection); (2) a per-round ratio > 1.05
+    // is an invalid measurement, not a result (super-linearity on this
+    // harness can only mean the denominator run was load-depressed);
+    // (3) the reported efficiency is the MEDIAN of the surviving ratios.
+    // If every round is rejected the host was too noisy to measure — fall
+    // back to the most conservative (minimum) raw ratio, never the max.
     val best = levels.map(c => c -> perRound.map(_(c)).max).toMap
     val (thr2, thr8, thr32) = (best(2), best(8), best(32))
-    val eff28 = perRound.map(r => (r(8) / r(2)) / 4.0).max
-    val eff832 = perRound.map(r => (r(32) / r(8)) / 4.0).max
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val medByLevel = levels.map(c => c -> median(perRound.map(_(c)))).toMap
+    val quietRounds = perRound.filter(r =>
+      levels.forall(c => math.abs(r(c) - medByLevel(c)) <= 0.20 * medByLevel(c)))
+    def eff(num: Int, den: Int, factor: Double): Double = {
+      val ratios = quietRounds.map(r => (r(num) / r(den)) / factor).filter(_ <= 1.05)
+      if (ratios.nonEmpty) median(ratios)
+      else perRound.map(r => (r(num) / r(den)) / factor).min
+    }
+    val eff28 = eff(8, 2, 4.0)
+    val eff832 = eff(32, 8, 4.0)
 
     // tmpfs hygiene: the input + sinks live in RAM — clean up before exit
     def rmrf(f: java.io.File): Unit = {

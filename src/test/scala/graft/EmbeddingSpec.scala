@@ -70,12 +70,25 @@ class EmbeddingSpec extends SparkSuite {
     assert(ivf === truth)
   }
 
-  test("PQ with the lossless codebook equals brute force exactly (oracle config)") {
+  test("PQ with the lossless codebook equals brute force exactly (ground-truth config)") {
     val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
       .as[(Long, Long, Double, Int)].collect().toSet
-    val pq = EmbeddingOps.pqTopK(spark, dir, 10, 5)
+    val books = EmbeddingOps.exactPqCodebooks(EmbeddingOps.embeddings(spark, dir))
+    val pq = EmbeddingOps.pqTopK(spark, dir, 10, 5, codebooks = Some(books))
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(pq === truth)
+  }
+
+  test("shipped PQ re-rank (trained codebooks + ADC + exact re-rank) equals brute force") {
+    // the q_ann_pq oracle configuration: the compressed candidate scan must
+    // carry the true top-5 into the re-rank stage at every test sf
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"), sf("sf0.1"))) {
+      val truth = EmbeddingOps.bruteTopK(spark, d, 10, 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val pq = EmbeddingOps.pqTopKRerank(spark, d, 10, 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(pq === truth, s"re-rank recall < 1.0 at $d")
+    }
   }
 
   test("PQ codes are m small ints (the 32-64x storage story); trained recall floor holds") {
@@ -130,8 +143,29 @@ class EmbeddingSpec extends SparkSuite {
   }
 
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
-    val rows = EmbeddingOps.nearDupPairs(spark, dir, 0.4)
+    val rows = EmbeddingOps.nearDupPairsGroundTruth(spark, dir, 0.4)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
     assert(rows.forall(r => r._1 < r._2 && r._3 >= 0.4))
+  }
+
+  test("bucketed near-dup = ground truth restricted to shared cells (SemDeDup semantics)") {
+    import org.apache.spark.sql.functions._
+    val pl = EmbeddingOps.planes(64, 1, EmbeddingOps.NearDupPlanes)
+    val cells = EmbeddingOps.embeddings(spark, dir)
+      .select(col("vec_id"),
+        element_at(EmbeddingOps.bucketsOf(col("embedding"), pl), 1).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val truth = EmbeddingOps.nearDupPairsGroundTruth(spark, dir, 0.4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val expected = truth.filter(p => cells(p._1) == cells(p._2))
+    val got = EmbeddingOps.nearDupPairsBucketed(spark, dir, 0.4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // within-cell fraction is the recall SemDeDup trades for linearity —
+    // report it so a degenerate cell assignment (recall 0 or 1.0 with one
+    // giant cell) would be visible
+    info(f"within-cell recall vs all-pairs ground truth: ${
+      expected.size.toDouble / truth.size}%.2f over ${truth.size} pairs")
+    assert(expected.nonEmpty && expected.size < truth.size)
   }
 }

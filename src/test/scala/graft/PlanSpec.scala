@@ -94,6 +94,7 @@ class PlanSpec extends SparkSuite {
       planOf(graft.operators.TextOps.minhashLshPairs(spark, sf("sf0.001"))),
       planOf(graft.operators.TextOps.simhashPairs(spark, sf("sf0.001"))),
       planOf(EmbeddingOps.lshTopK(spark, sf("sf0.001"))),
+      planOf(EmbeddingOps.nearDupPairsBucketed(spark, sf("sf0.001"))),
       planOf(graft.operators.CorpusOps.spanDedup(spark, sf("sf0.001"))),
       planOf(graft.operators.CorpusOps.bigramLogProb(spark, sf("sf0.001"))))
     plans.foreach { p =>
@@ -101,6 +102,35 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin") ||
         p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
         s"no hash/merge join path in:\n$p")
+    }
+  }
+
+  test("NO shipped query plans a CartesianProduct (both-sides-unbounded join)") {
+    // VERDICT r2 wrong-3: q_cos_neardup shipped an all-pairs crossJoin.
+    // Gate: across EVERY SparkEntry.queries plan, the only cross-join shape
+    // allowed is BroadcastNestedLoopJoin with a request-sized broadcast
+    // side (the brute-force/ANN query fan-outs); a CartesianProduct node —
+    // Spark's both-sides-partitioned cartesian — is corpus² at scale.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = planOf(fn(spark, sf("sf0.001")))
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $name:\n$p")
+    }
+  }
+
+  test("shipped q_ann_pq carries bounded trained codebooks, never the lossless collect") {
+    // VERDICT r2 wrong-2: the lossless codebook (exactPqCodebooks) collects
+    // the FULL embeddings table to the driver. The shipped query must carry
+    // codebooks bounded by the trained size (k codewords per subspace), so
+    // walk the executed plan's PqEncode expressions and check.
+    val df = SparkEntry.queries("q_ann_pq")(spark, sf("sf0.001"))
+    // walk the analyzed logical plan (AQE wraps the physical tree)
+    val encoders = df.queryExecution.analyzed.flatMap(_.expressions)
+      .flatMap(_.collect { case e: graft.functions.PqEncode => e })
+    assert(encoders.nonEmpty, "q_ann_pq no longer uses PQ encoding?")
+    encoders.foreach { e =>
+      e.codebooks.foreach(book =>
+        assert(book.length <= 256, // = kCodes: trained size, not table size
+          s"codebook has ${book.length} codewords — lossless full-table config shipped"))
     }
   }
 
