@@ -286,6 +286,44 @@ class CorpusOpsSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star converges on a diameter-1000 path in O(log n) rounds") {
+    // the property min-label propagation cannot have: a path graph of 1001
+    // nodes has diameter 1000, so label propagation needs 1000 rounds;
+    // star contraction must finish in ~2·log2(n)
+    val n = 1000
+    val path = (0 until n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val (labels, rounds) = CorpusOps.connectedComponentsWithRounds(path, maxIter = 25)
+    val comp = labels.as[(Long, Long)].collect()
+    assert(comp.length === n + 1)
+    assert(comp.forall(_._2 === 0L), "whole path must collapse to rep 0")
+    val bound = 2 * (math.log(n + 1) / math.log(2)).ceil.toInt + 2
+    info(s"converged in $rounds rounds (bound $bound)")
+    assert(rounds <= bound, s"$rounds rounds exceeds O(log n) bound $bound")
+  }
+
+  test("star contraction labels equal union-find ground truth on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(v => v -> find(v)).toMap
+    // min-rep normalisation: union-find roots ARE component minima here
+    // because unions always point the larger root at the smaller
+    val got = CorpusOps.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("dup clusters cover exactly the paired docs; survivors are longest-doc-per-cluster") {
     val pairDocs = graft.operators.TextOps.jaccardPairs(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect()
