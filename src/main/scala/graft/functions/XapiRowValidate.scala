@@ -98,7 +98,9 @@ object XapiModels {
       (timestamp == null || EdxModels.parseTsMicros(timestamp) != EdxModels.NoTs) &&
       // platform/revision only for Activity objects (base/statements.py:62-73)
       ((g(ctx, "platform") == null && g(ctx, "revision") == null) ||
-        objectTypeProp == null || objectTypeProp == "Activity")
+        objectTypeProp == null || objectTypeProp == "Activity") &&
+      // per-template context/result payload rules (XapiTemplates registry)
+      XapiTemplates.ok(model, root)
     if (baseOk) (EdxModels.StatusOk, model)
     else (EdxModels.StatusInvalidModel, model)
   }
