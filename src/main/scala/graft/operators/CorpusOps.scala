@@ -120,9 +120,19 @@ object CorpusOps {
           regexp_replace(c, EmailRx, "<EMAIL>"),
           Ipv4Rx, "<IP>"),
         LongNumRx, "<NUM>")
+    // count matches on the SOURCE column: splitting the redacted text on
+    // the placeholder literals over-counts when the input already contains
+    // "<EMAIL>"/"<IP>"/"<NUM>" verbatim (ADVICE r2). The replace chain is
+    // sequential, so an IP inside an email or digits inside an IP are
+    // counted once by their outermost (first-applied) pattern — mirror
+    // that by counting each pattern on the PREVIOUS stage's output.
+    val afterEmail = regexp_replace(c, EmailRx, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Rx, "<IP>")
+    val n = regexp_count(c, lit(EmailRx)) +
+      regexp_count(afterEmail, lit(Ipv4Rx)) +
+      regexp_count(afterIp, lit(LongNumRx))
     df.withColumn("redacted", redacted)
-      .withColumn("n_redactions",
-        (size(split(col("redacted"), "<EMAIL>|<IP>|<NUM>")) - 1).cast("long"))
+      .withColumn("n_redactions", n.cast("long"))
   }
 
   // ---- Benchmark decontamination -----------------------------------------

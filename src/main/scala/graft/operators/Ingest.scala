@@ -38,8 +38,12 @@ object Ingest {
     val intraDup = incoming.groupBy("stmt_id").count().filter(col("count") > 1).count()
     if (intraDup > 0) {
       val empty = incoming.limit(0)
-      return Result(toWrite = empty, conflicts = empty, duplicates = empty,
-        intraBatchDups = intraDup)
+      // same schema as the probed outputs below (`_stored_event` appended):
+      // a caller unioning Result frames across batches must not hit an
+      // AnalysisException on the rejected path (ADVICE r2)
+      val emptyProbed = empty.withColumn("_stored_event", lit(null).cast("string"))
+      return Result(toWrite = empty, conflicts = emptyProbed,
+        duplicates = emptyProbed, intraBatchDups = intraDup)
     }
     val batch = incoming
 

@@ -42,14 +42,35 @@ object Ldp {
   }
 
   /** Read only archives not yet in the history ledger, then record them —
-    * the `new=True` consumption loop (mixins.py:11-71 + ldp.py:204-212). */
+    * the `new=True` consumption loop (mixins.py:11-71 + ldp.py:204-212).
+    *
+    * The ledger is written only AFTER the archives are fully materialised
+    * (the reference appends the `read` entry after the archive is fully
+    * streamed, ldp.py:240-252) — r2 recorded at plan-build time, so a
+    * downstream failure (or a never-run plan) permanently marked unread
+    * archives consumed (ADVICE r2). The returned frame is cache-backed by
+    * the materialisation. Callers that sink the data somewhere durable and
+    * want the ledger write tied to THAT success use
+    * [[readNewWithCommit]]. */
   def readNew(spark: SparkSession, dir: String, historyPath: String,
               maxStatements: Option[Int] = None): DataFrame = {
+    val (out, commit) = readNewWithCommit(spark, dir, historyPath, maxStatements)
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // full read BEFORE the ledger records consumption
+    commit()
+    cached
+  }
+
+  /** As [[readNew]] but the caller owns the commit point: the ledger
+    * records the archives as consumed only when the returned callback is
+    * invoked — call it after the downstream write succeeds (exactly the
+    * reference's stream-then-record order, lifted to caller granularity). */
+  def readNewWithCommit(spark: SparkSession, dir: String, historyPath: String,
+                        maxStatements: Option[Int] = None): (DataFrame, () => Unit) = {
     val fresh = History.onlyNew(listArchives(spark, dir),
       History.read(spark, historyPath))
       .collect().map(_.getString(0)).toSeq // archive list: driver-sized metadata
     val out = read(spark, fresh, maxStatements)
-    if (fresh.nonEmpty) History.record(spark, historyPath, fresh)
-    out
+    (out, () => { if (fresh.nonEmpty) History.record(spark, historyPath, fresh); () })
   }
 }

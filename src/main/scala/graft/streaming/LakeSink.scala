@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -154,14 +154,14 @@ class LakeSink(val path: String) extends Serializable {
         else {
           val bloom = blooms(cands.map(_.batch))
           val (sure, maybe) = bloom match {
-            case Some(bfs) =>
-              // OR across the per-batch filters — NOT mergeInPlace, which
-              // throws IncompatibleMergeException for filters sized from
-              // different row counts (expectedNumItems drives bit size)
-              val might = udf((s: String) =>
-                s != null && bfs.exists(_.mightContainString(s)))
-              (batchUnique.filter(!might(col(idCol))),
-                batchUnique.filter(might(col(idCol))))
+            case Some(bytes) =>
+              // native codegen probe, OR across the per-batch filters (see
+              // BloomMightContainAny: mergeInPlace throws across sizes).
+              // null ids can never be "already committed" → sure-novel side
+              val might = graft.functions.BloomProbe
+                .mightContainAny(col(idCol), bytes)
+              (batchUnique.filter(col(idCol).isNull || !might),
+                batchUnique.filter(col(idCol).isNotNull && might))
             case None => (batchUnique.limit(0), batchUnique)
           }
           val dirs = cands.map(c => s"$path/batch=${c.batch}")
@@ -173,17 +173,19 @@ class LakeSink(val path: String) extends Serializable {
     } finally { batchUnique.unpersist(); () }
   }
 
-  private def blooms(batches: Seq[Long]): Option[Seq[BloomFilter]] = {
+  /** Serialized per-batch bloom filters — raw bytes so they can ride a
+    * plan as an expression constant (deserialized once per task). */
+  private def blooms(batches: Seq[Long]): Option[Array[Array[Byte]]] = {
     val files = batches.map(bloomPath).filter(Files.exists(_))
     if (files.isEmpty || files.length < batches.length) None // old format → no prefilter
-    else Some(files.map(f =>
-      BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(f)))))
+    else Some(files.map(f => Files.readAllBytes(f)).toArray)
   }
 
   /** In-place compaction — the scheduled maintenance job a long-running
     * streaming sink needs at 10^12 scale: a day of 1-minute microbatches is
     * 1 440 manifest entries and file sets; probes and reads pay per entry.
-    * Rewrites every currently-committed batch into ONE compacted segment
+    * Rewrites the FOLDABLE committed batches (those under `maxFoldRows`;
+    * all of them at the default threshold) into ONE compacted segment
     * (negative batch id, so it can never collide with a streaming batch;
     * the folded streaming ids are recorded in the entry and stay visible
     * through committedBatches(), so a foreachBatch REPLAY of a folded batch
@@ -199,11 +201,23 @@ class LakeSink(val path: String) extends Serializable {
     * `read()` before and after compaction returns identical rows —
     * asserted in StreamingSpec. Safe to run between microbatches of a live
     * query (single-writer model: the caller owns the sink). */
-  def compactInPlace(spark: SparkSession, idCol: Option[String] = None): Unit = {
+  def compactInPlace(spark: SparkSession, idCol: Option[String] = None,
+                     maxFoldRows: Long = Long.MaxValue): Unit = {
     val entries = committed()
-    if (entries.length < 2) return // nothing to fold
+    // TIERED fold (size-tiered LSM shape): only segments under the
+    // threshold are rewritten; a segment that has grown past `maxFoldRows`
+    // graduates and is never copied again. With the default threshold
+    // everything folds (the one-shot maintenance shape); a long-lived
+    // stream passes a tier size so cumulative rewrite I/O is
+    // O(rows · tier/batch) instead of quadratic in stream length
+    // (ADVICE r2: compactEvery=N re-copied every committed byte each run).
+    // Old-format entries (rows = -1, size unknown) always fold — folding
+    // is also the format upgrade.
+    val (foldable, retained) =
+      entries.partition(e => e.rows < 0 || e.rows < maxFoldRows)
+    if (foldable.length < 2) return // nothing worth folding
     val gen = math.min(entries.map(_.batch).min, 0L) - 1
-    val dirs = entries.map(e => s"$path/batch=${e.batch}")
+    val dirs = foldable.map(e => s"$path/batch=${e.batch}")
     // mergeSchema, like read(): without it one batch's footer wins and a
     // column added mid-stream is DROPPED from the compacted segment while
     // the original dirs get deleted — unrecoverable
@@ -215,7 +229,7 @@ class LakeSink(val path: String) extends Serializable {
     // never reports 0 over a data-bearing segment (probeCandidates would
     // then skip it forever)
     val rows =
-      if (entries.forall(_.rows >= 0)) entries.map(_.rows).sum
+      if (foldable.forall(_.rows >= 0)) foldable.map(_.rows).sum
       else spark.read.parquet(dir).count()
     idCol.foreach { c =>
       val compacted = spark.read.parquet(dir)
@@ -227,13 +241,11 @@ class LakeSink(val path: String) extends Serializable {
       Files.createDirectories(bloomPath(gen).getParent)
       Files.write(bloomPath(gen), bos.toByteArray)
     }
-    val ranges = entries.flatMap(_.range)
+    val ranges = foldable.flatMap(_.range)
     val range =
-      if (ranges.length == entries.count(_.rows != 0)) // every non-empty entry ranged
+      if (ranges.length == foldable.count(_.rows != 0)) // every non-empty entry ranged
         ranges.reduceOption((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
       else None
-    val rangeJson = range.map { case (lo, hi) =>
-      s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
     // the compacted entry REMEMBERS every streaming batch id it folded
     // (transitively, via previous generations) as inclusive RANGES —
     // streaming ids are dense, so this is O(gaps), not O(batches): months
@@ -241,16 +253,16 @@ class LakeSink(val path: String) extends Serializable {
     // ever-growing id list. accountsFor() keeps covering them, so a
     // foreachBatch replay of a folded batch stays a no-op on both paths.
     val folded = LakeSink.mergeRanges(
-      entries.flatMap(e => if (e.batch >= 0) Seq((e.batch, e.batch)) else e.folded))
-    val foldedJson = folded.map { case (a, b) => s"[$a,$b]" }.mkString(",")
+      foldable.flatMap(e => if (e.batch >= 0) Seq((e.batch, e.batch)) else e.folded))
+    // new manifest generation: graduated segments verbatim + the new fold
+    val lines = retained.map(LakeSink.entryJson) :+
+      LakeSink.entryJson(Committed(gen, rows, range, folded))
     val tmp = Paths.get(path, "_manifest.tmp")
-    Files.write(tmp,
-      s"""{"batch": $gen, "rows": $rows$rangeJson, "folded": [$foldedJson]}\n"""
-        .getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // old generation is unreachable from the manifest now — reclaim it
-    entries.foreach { e =>
+    // folded segments are unreachable from the manifest now — reclaim them
+    foldable.foreach { e =>
       deleteRecursive(Paths.get(path, s"batch=${e.batch}"))
       Files.deleteIfExists(bloomPath(e.batch)); ()
     }
@@ -381,6 +393,16 @@ object LakeSink {
     def streamIdRanges: Seq[(Long, Long)] =
       (if (batch >= 0) Seq((batch, batch)) else Seq.empty) ++ folded
 
+  }
+
+  /** One manifest line for an entry (the inverse of [[Committed.parse]]). */
+  def entryJson(e: Committed): String = {
+    val rangeJson = e.range.map { case (lo, hi) =>
+      s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
+    val foldedJson =
+      if (e.folded.isEmpty) ""
+      else s""", "folded": [${e.folded.map { case (a, b) => s"[$a,$b]" }.mkString(",")}]"""
+    s"""{"batch": ${e.batch}, "rows": ${e.rows}$rangeJson$foldedJson}"""
   }
 
   /** Merge inclusive ranges into a minimal sorted cover. */

@@ -129,7 +129,8 @@ object StreamPipeline {
   def toLake(statements: DataFrame, sink: LakeSink, checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow(),
              mergeById: Boolean = true,
-             compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+             compactEvery: Int = 0,
+             compactTierRows: Long = 1000000L): DataStreamWriter[org.apache.spark.sql.Row] =
     statements.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -140,10 +141,14 @@ object StreamPipeline {
         // scheduled maintenance: fold the manifest every compactEvery
         // batches so entry count (and probe/read fan-out) stays bounded on
         // a long-running stream — a replayed batch re-triggering compaction
-        // is harmless (compaction is idempotent on a compacted manifest)
+        // is harmless (compaction is idempotent on a compacted manifest).
+        // TIERED: segments past compactTierRows graduate and are never
+        // re-copied, so a row is rewritten O(tier/batch) times over the
+        // stream's life instead of once per compaction run (ADVICE r2)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
           sink.compactInPlace(batch.sparkSession,
-            idCol = if (mergeById) Some("event_id") else None)
+            idCol = if (mergeById) Some("event_id") else None,
+            maxFoldRows = compactTierRows)
         ()
       }
 

@@ -191,6 +191,72 @@ class StreamingSpec extends SparkSuite {
     assert(sink.read(spark).filter(col("event_id") === "big-7").count() === 1)
   }
 
+  test("tiered compaction: graduated segments are never re-copied, reads unchanged") {
+    // ADVICE r2: full-fold compaction on a live stream rewrites every
+    // committed byte each run (quadratic I/O over the stream's life). With
+    // a tier threshold, a segment that grew past it graduates: its dir
+    // must survive later compactions byte-identical.
+    val sink = new LakeSink(tmp("laketier"))
+    val ts = Timestamp.valueOf("2024-01-01 05:00:00")
+    def batch(n: Int, tag: String) =
+      (0 until n).map(i => (s"$tag-$i", ts)).toDF("event_id", "ts")
+    (0 until 4).foreach(b => assert(sink.addBatchMerged(b, batch(50, s"b$b"), "event_id")))
+    // fold the four 50-row batches → one 200-row segment ≥ tier (150)
+    sink.compactInPlace(spark, Some("event_id"), maxFoldRows = 150)
+    val afterFirst = sink.committed()
+    assert(afterFirst.map(_.rows).sorted === Seq(200L))
+    val genDir = java.nio.file.Paths.get(sink.path, s"batch=${afterFirst.head.batch}")
+    val mtime = java.nio.file.Files.getLastModifiedTime(genDir)
+    // new small batches arrive; compaction folds ONLY them
+    (4 until 7).foreach(b => assert(sink.addBatchMerged(b, batch(10, s"b$b"), "event_id")))
+    sink.compactInPlace(spark, Some("event_id"), maxFoldRows = 150)
+    val afterSecond = sink.committed()
+    assert(afterSecond.map(_.rows).sorted === Seq(30L, 200L))
+    // the graduated 200-row segment was not rewritten
+    assert(java.nio.file.Files.getLastModifiedTime(genDir) === mtime,
+      "graduated segment must not be re-copied")
+    // reads and replay idempotency unchanged
+    assert(sink.read(spark).count() === 230)
+    (0 until 7).foreach(b => assert(sink.accountsFor(b)))
+    assert(!sink.addBatchMerged(3, batch(5, "replay"), "event_id"))
+  }
+
+  test("bloom prefilter is a native codegen expression, not a Scala UDF") {
+    // VERDICT r2 wrong-4: the per-microbatch merge prefilter ran as an
+    // interpreted per-row udf(). The native expression must (a) agree with
+    // the filters bit-for-bit, (b) compile under whole-stage codegen with
+    // fallback disabled, (c) plan no ScalaUDF node.
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf1 = BloomFilter.create(100, 0.01)
+    val bf2 = BloomFilter.create(5000, 0.01) // different size: OR, not merge
+    bf1.putString("in-first"); bf2.putString("in-second")
+    def ser(bf: BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val probe = graft.functions.BloomProbe
+      .mightContainAny(col("id"), Array(ser(bf1), ser(bf2)))
+    val df = Seq("in-first", "in-second", "neither").toDF("id")
+      .withColumn("hit", probe)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = df.as[(String, Boolean)].collect().toMap
+      assert(got("in-first") && got("in-second") && !got("neither"))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // plan assertion over a non-local source (a literal Seq collapses into
+    // a pre-evaluated LocalTableScan, hiding the expression)
+    val planned = spark.range(3).select(concat(lit("id-"), col("id")).as("id"))
+      .withColumn("hit", graft.functions.BloomProbe
+        .mightContainAny(col("id"), Array(ser(bf1))))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_any"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("*(1)"), s"probe not inside WholeStageCodegen:\n$plan")
+  }
+
   test("in-place compaction folds the manifest to one segment, reads unchanged") {
     val sink = new LakeSink(tmp("lakecompact"))
     def batch(ids: Seq[String], hour: Int) =
