@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Real multimodal metadata decode for container formats whose structure is
   * pure byte layout — no codec library required: BMP (dimensions from the
-  * 54-byte header) and WAV/RIFF (sample rate / channels / bit depth from
-  * the fmt chunk). Formats that need an actual codec (JPEG entropy decode,
-  * MP4 sample tables) stay behind the documented stub in
-  * [[TextOps.multimodalMeta]]; this upgrades the plumbing-only story to a
-  * working decode path for the layouts the JVM can parse byte-for-byte.
+  * 54-byte header), WAV/RIFF (sample rate / channels / bit depth from the
+  * fmt chunk), PNG (IHDR fixed offsets) and JPEG (SOFn marker walk — frame
+  * dimensions precede any entropy-coded data). Only formats whose metadata
+  * sits inside entropy-coded payloads (MP4 sample tables) stay behind the
+  * documented stub in [[TextOps.multimodalMeta]].
   *
   * Execution shape is the one a 100 TB media pipeline needs: the payload
   * travels as an opaque binary column, the decode runs partition-batched
@@ -36,6 +36,18 @@ object MediaOps {
   private def ascii(b: Array[Byte], off: Int, len: Int): String =
     if (off + len > b.length) ""
     else new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    if (off + 2 > b.length) -1
+    else ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
   /** Parse one payload. Total work is O(header), not O(bytes) — the body is
     * never touched, so throughput is bounded by IO, not decode. */
@@ -73,6 +85,61 @@ object MediaOps {
         }
         if (csz < 0) off = bytes.length.toLong // corrupt size → stop
         else off += 8L + csz + (csz & 1L) // RIFF chunks are 2-byte aligned
+      }
+      out
+    } else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSignature)) {
+      // PNG: the IHDR chunk MUST be first (PNG spec §11.2.2) — length(4 BE)
+      // then "IHDR" at offset 12, width/height as BE32 at 16/20, bit depth
+      // at 24, colour type at 25. Pure fixed-offset byte layout, no codec.
+      val w = be32(bytes, 16)
+      val h = be32(bytes, 20)
+      val depth = if (bytes.length > 24) bytes(24) & 0xFF else -1
+      val colorType = if (bytes.length > 25) bytes(25) & 0xFF else -1
+      val channels = colorType match {
+        case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
+        case _ => -1
+      }
+      if (bytes.length >= 26 && be32(bytes, 8) >= 13 &&
+          ascii(bytes, 12, 4) == "IHDR" &&
+          w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue &&
+          channels > 0)
+        MediaMeta(id, "png", w.toInt, h.toInt, -1, channels, depth, n, valid = true)
+      else invalid("png")
+    } else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      // JPEG: walk the marker segments to the first SOFn frame header —
+      // dimensions live BEFORE any entropy-coded data, so this never
+      // decodes. Cursor in Long like the RIFF walk (a crafted BE16 length
+      // cannot wrap, but the invariant is cheap to keep uniform). Stop at
+      // SOS/EOI without a SOF → quarantine.
+      var off = 2L
+      var out: MediaMeta = invalid("jpeg")
+      var done = false
+      while (!done && off + 4 <= bytes.length) {
+        val io = off.toInt
+        if ((bytes(io) & 0xFF) != 0xFF) { done = true } // marker desync
+        else {
+          val marker = bytes(io + 1) & 0xFF
+          if (marker == 0xFF) off += 1 // fill byte
+          else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
+            off += 2 // standalone marker, no length
+          } else if (marker == 0xD9 || marker == 0xDA) {
+            done = true // EOI / start-of-scan without SOF
+          } else {
+            val segLen = be16(bytes, io + 2)
+            val isSof = marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+            if (segLen < 2) done = true // corrupt length
+            else if (isSof && segLen >= 8 && io + 2 + segLen <= bytes.length) {
+              val precision = bytes(io + 4) & 0xFF
+              val h = be16(bytes, io + 5)
+              val w = be16(bytes, io + 7)
+              val comps = bytes(io + 9) & 0xFF
+              if (w > 0 && h > 0)
+                out = MediaMeta(id, "jpeg", w, h, -1, comps, precision, n, valid = true)
+              done = true
+            } else off += 2L + segLen
+          }
+        }
       }
       out
     } else invalid("unknown")

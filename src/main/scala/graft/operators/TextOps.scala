@@ -238,9 +238,12 @@ object TextOps {
 
   /** Multimodal columns: the payload travels as an opaque binary column with
     * typed metadata extracted by a batched per-partition decode. The decode
-    * itself is a STUB (deterministic fake — media codecs are not in this
-    * container); the Spark-side plumbing (schema, binary transport,
-    * partition-batched decode shape) is real. */
+    * HERE is a STUB (deterministic fake, so the DuckDB oracle can recompute
+    * it); real header-layout decode for BMP/WAV/PNG/JPEG lives in
+    * [[MediaOps.sniff]] — only formats whose metadata sits inside
+    * entropy-coded payloads (MP4 sample tables) remain codec-bound. The
+    * Spark-side plumbing (schema, binary transport, partition-batched
+    * decode shape) is shared and real. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = documents(spark, dir)

@@ -167,4 +167,84 @@ class MediaOpsSpec extends SparkSuite {
     assert(a.sample_rate === b.sample_rate && a.channels === b.channels &&
       b.valid, "decode cost must be O(header), not O(bytes)")
   }
+
+  // ---- PNG / JPEG (codec-free header layouts) ----------------------------
+
+  private def png(w: Int, h: Int, depth: Int = 8, colorType: Int = 6): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33) // sig + IHDR (no CRC needed)
+    b.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13); b.put("IHDR".getBytes)
+    b.putInt(w); b.putInt(h)
+    b.put(depth.toByte); b.put(colorType.toByte)
+    b.array()
+  }
+
+  private def jpeg(w: Int, h: Int, comps: Int = 3): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(64)
+    b.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+    b.put(0xFF.toByte).put(0xE0.toByte).putShort(16)       // APP0 (JFIF)
+    b.put("JFIF".getBytes).put(new Array[Byte](10))
+    b.put(0xFF.toByte).put(0xC0.toByte)                    // SOF0
+    b.putShort((8 + 3 * comps).toShort)
+    b.put(8.toByte)                                        // precision
+    b.putShort(h.toShort); b.putShort(w.toShort)
+    b.put(comps.toByte)
+    b.array()
+  }
+
+  test("PNG IHDR and JPEG SOF0 decode exact dimensions without a codec") {
+    val p = MediaOps.sniff(1L, png(640, 480, depth = 8, colorType = 2))
+    assert(p.kind === "png" && p.valid && p.width === 640 && p.height === 480)
+    assert(p.channels === 3 && p.bits_per_sample === 8)
+    val rgba = MediaOps.sniff(2L, png(17, 9, colorType = 6))
+    assert(rgba.valid && rgba.channels === 4)
+    val j = MediaOps.sniff(3L, jpeg(1920, 1080))
+    assert(j.kind === "jpeg" && j.valid && j.width === 1920 && j.height === 1080)
+    assert(j.channels === 3 && j.bits_per_sample === 8)
+    // progressive JPEG (SOF2) also carries dimensions in its frame header
+    val prog = jpeg(320, 200)
+    prog(21) = 0xC2.toByte
+    val pj = MediaOps.sniff(4L, prog)
+    assert(pj.valid && pj.width === 320 && pj.height === 200)
+  }
+
+  test("PNG/JPEG adversarial bytes quarantine, never throw") {
+    // wrong chunk type where IHDR must be
+    val notIhdr = png(10, 10)
+    System.arraycopy("JUNK".getBytes, 0, notIhdr, 12, 4)
+    assert(!MediaOps.sniff(1L, notIhdr).valid)
+    // zero-dimension PNG
+    assert(!MediaOps.sniff(2L, png(0, 7)).valid)
+    // truncated PNG (signature only)
+    assert(!MediaOps.sniff(3L, png(5, 5).take(12)).valid)
+    // JPEG with SOS before any SOF → quarantined as jpeg
+    val sosFirst = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put(0xFF.toByte).put(0xD8.toByte)
+      b.put(0xFF.toByte).put(0xDA.toByte).putShort(4)
+      b.array()
+    }
+    val m = MediaOps.sniff(4L, sosFirst)
+    assert(m.kind === "jpeg" && !m.valid)
+    // JPEG with a corrupt (tiny) segment length must terminate the walk
+    val corrupt = jpeg(8, 8)
+    corrupt(4) = 0; corrupt(5) = 1 // APP0 length = 1 < 2
+    assert(!MediaOps.sniff(5L, corrupt).valid)
+    // marker desync (non-FF where a marker must start)
+    val desync = jpeg(8, 8)
+    desync(2) = 0x00
+    assert(!MediaOps.sniff(6L, desync).valid)
+    // random bytes across all four families never throw (fuzz)
+    val rnd = new scala.util.Random(42)
+    (0 until 3000).foreach { i =>
+      val len = rnd.nextInt(80)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      if (len >= 2 && i % 4 == 0) { bytes(0) = 0xFF.toByte; bytes(1) = 0xD8.toByte }
+      if (len >= 8 && i % 4 == 1)
+        System.arraycopy(png(1, 1), 0, bytes, 0, 8)
+      val out = MediaOps.sniff(i.toLong, bytes) // must classify, never throw
+      assert(out.n_bytes === len.toLong)
+    }
+  }
 }
