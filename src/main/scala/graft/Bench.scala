@@ -45,6 +45,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.json.enablePartialResults", "false")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.codegen.methodSplitThreshold", "512") // keep map path JIT-able
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")

@@ -33,6 +33,13 @@ object Sessions {
       // full snapshots make state commit time scale with partition count
       // and dominate microbatch latency at high parallelism
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // split generated projection code below the JIT's huge-method limit:
+      // at the default 1024 the widest validate→convert projection emitted
+      // a 19.8KB doConsume that HotSpot refused to compile (VERDICT r2 #5).
+      // Residual: stages fusing a Generate (shingle explode) with a partial
+      // aggregate still emit one large method — Spark cannot split there
+      // (deferred stream variables); see BASELINE.md's codegen note.
+      .config("spark.sql.codegen.methodSplitThreshold", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
@@ -45,6 +52,7 @@ object Sessions {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.json.enablePartialResults", "false")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.codegen.methodSplitThreshold", "512")
     spark
   }
 }
