@@ -662,7 +662,7 @@ object CorpusOps {
     * O(diameter) rounds, loses at 10⁹-node scale. Unconverged labels are
     * wrong labels, so the loop throws rather than returning a partial
     * contraction. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
   /** [[connectedComponents]] plus the number of rounds it took — the spec
