@@ -57,7 +57,11 @@ object Bench {
       val cp = Files.createTempDirectory(Paths.get(shm), s"cp-$cores").toString
       val input = spark.readStream
         .schema(graft.model.Schemas.inputTable)
-        .option("maxFilesPerTrigger", "64") // several microbatches → state commits + watermark advance
+        // 128 input files / 32 per trigger = 4 data microbatches: the first
+        // (codegen + RocksDB warmup) is dropped, so steady-state averages
+        // THREE batches — at 64 it averaged a single batch, and one batch's
+        // jitter at the low-parallelism level is what the N→4N ratio eats
+        .option("maxFilesPerTrigger", "32")
         .parquet(inputPath)
       val stmts = StreamPipeline.deduped(StreamPipeline.statements(input))
       val sessions = StreamPipeline.sessions(stmts).toDF()
@@ -119,7 +123,7 @@ object Bench {
     // scales, and interleaving exposes every level to the same drift —
     // sequential per-level repeats would bias the ratio
     streamingRun(32, inputPath)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val levels = Seq(2, 8, 32)
     val perRound = (1 to rounds).map { _ =>
       levels.map(c => c -> streamingRun(c, inputPath)).toMap
@@ -152,10 +156,22 @@ object Bench {
     def eff(num: Int, den: Int, factor: Double): Double = {
       val ratios = quietRounds.map(r => (r(num) / r(den)) / factor).filter(_ <= 1.05)
       if (ratios.nonEmpty) median(ratios)
-      else perRound.map(r => (r(num) / r(den)) / factor).min
+      else {
+        // nothing measurable this run: fall back to the most conservative
+        // raw ratio; if even that is super-unity the host was loaded in
+        // every round's denominator run — report the -1 sentinel (clearly
+        // invalid) rather than publish an impossible efficiency
+        val rawMin = perRound.map(r => (r(num) / r(den)) / factor).min
+        if (rawMin <= 1.05) rawMin else -1.0
+      }
     }
     val eff28 = eff(8, 2, 4.0)
     val eff832 = eff(32, 8, 4.0)
+    // per-round raw throughputs ride along for auditability: the published
+    // efficiency must be reconstructible from the measurements it came from
+    val roundsJson = perRound.map(r =>
+      f"""{"thr2":${r(2)}%.1f,"thr8":${r(8)}%.1f,"thr32":${r(32)}%.1f}""")
+      .mkString("[", ",", "]")
 
     // tmpfs hygiene: the input + sinks live in RAM — clean up before exit
     def rmrf(f: java.io.File): Unit = {
@@ -169,7 +185,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stream =
-      f"""{"rows":$nRows,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"scaling_efficiency_N_to_4N":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"unit":"statements/sec"}"""
+      f"""{"rows":$nRows,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"scaling_efficiency_N_to_4N":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"rounds":$roundsJson,"unit":"statements/sec"}"""
     // contract line: value/unit = total seconds over the headline queries;
     // the north-rule throughput + scaling evidence rides in "streaming"
     val line =

@@ -126,10 +126,14 @@ object XapiTemplates {
     else reqKey(ext, VSession, uuidish) && more(ext)
   }
 
-  private def videoResult(res: JsonNode)(more: JsonNode => Boolean): Boolean = {
+  /** `segmentsDeclared`: every video result-extensions model except
+    * VideoSeekedResultExtensions declares the optional playedSegments
+    * field — where undeclared, extra=allow means ANY value passes. */
+  private def videoResult(res: JsonNode, segmentsDeclared: Boolean = true)(
+      more: JsonNode => Boolean): Boolean = {
     if (res == null) return false
     val ext = g(res, "extensions")
-    ext != null && opt(ext, VSegments, strish) && more(ext)
+    ext != null && (!segmentsDeclared || opt(ext, VSegments, strish)) && more(ext)
   }
 
   // ---- virtual-classroom profile (virtual_classroom/contexts.py) ----------
@@ -153,8 +157,7 @@ object XapiTemplates {
     val par = g(g(ctx, "contextActivities"), "parent")
     def vcTyped(a: JsonNode) = text(g(a, "definition"), "type") == VcActivityType
     if (par == null) false
-    else if (par.isArray) {
-      if (par.size() == 0) return false
+    else if (par.isArray) { // an empty list is legal: List[...] has no min length
       var i = 0
       while (i < par.size()) {
         if (!vcTyped(par.get(i))) return false
@@ -205,17 +208,15 @@ object XapiTemplates {
       case "video.VideoPaused" =>
         videoCtx(ctx, extRequired = true)(ext =>
           req(ext, VLength, nonNegNum) && opt(ext, VThreshold, nonNegNum)) &&
-          g(ctx, "extensions") != null &&
           videoResult(res)(ext =>
             req(ext, VTime, nonNegNum) && opt(ext, VProgress, nonNegNum))
       case "video.VideoSeeked" =>
         videoCtx(ctx, extRequired = false)(_ => true) &&
-          videoResult(res)(ext =>
+          videoResult(res, segmentsDeclared = false)(ext =>
             req(ext, VTimeFrom, nonNegNum) && req(ext, VTimeTo, nonNegNum))
       case "video.VideoCompleted" =>
         videoCtx(ctx, extRequired = true)(ext =>
           req(ext, VLength, nonNegNum) && opt(ext, VThreshold, nonNegNum)) &&
-          g(ctx, "extensions") != null &&
           videoResult(res)(ext =>
             req(ext, VTime, nonNegNum) && req(ext, VProgress, nonNegNum)) &&
           (g(res, "completion") == null || (g(res, "completion").isBoolean &&
@@ -224,7 +225,6 @@ object XapiTemplates {
       case "video.VideoTerminated" =>
         videoCtx(ctx, extRequired = true)(ext =>
           req(ext, VLength, nonNegNum) && opt(ext, VThreshold, nonNegNum)) &&
-          g(ctx, "extensions") != null &&
           videoResult(res)(ext =>
             req(ext, VTime, nonNegNum) && req(ext, VProgress, nonNegNum))
       case "video.VideoInteracted" =>

@@ -114,20 +114,16 @@ object CorpusOps {
 
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(c, EmailRx, "<EMAIL>"),
-          Ipv4Rx, "<IP>"),
-        LongNumRx, "<NUM>")
     // count matches on the SOURCE column: splitting the redacted text on
     // the placeholder literals over-counts when the input already contains
     // "<EMAIL>"/"<IP>"/"<NUM>" verbatim (ADVICE r2). The replace chain is
     // sequential, so an IP inside an email or digits inside an IP are
-    // counted once by their outermost (first-applied) pattern — mirror
-    // that by counting each pattern on the PREVIOUS stage's output.
+    // counted once by their outermost (first-applied) pattern — count each
+    // pattern on the previous stage's output, and build `redacted` from
+    // the SAME staged expressions so the two can never drift apart.
     val afterEmail = regexp_replace(c, EmailRx, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Rx, "<IP>")
+    val redacted = regexp_replace(afterIp, LongNumRx, "<NUM>")
     val n = regexp_count(c, lit(EmailRx)) +
       regexp_count(afterEmail, lit(Ipv4Rx)) +
       regexp_count(afterIp, lit(LongNumRx))
@@ -733,15 +729,29 @@ object CorpusOps {
     * rebuild the identical LSH pair graph and run the identical contraction
     * loop from scratch (VERDICT r2 plan-audit). Keyed by (application, dir,
     * threshold) so a new session never reuses a stopped session's plan;
-    * the label frame is persisted (it is label-sized, not corpus-sized). */
+    * the label frame is persisted (it is label-sized, not corpus-sized).
+    * ASSUMPTION (standard snapshot semantics): the documents under `dir`
+    * are immutable for the life of the application — rewriting them and
+    * recalling dupClusters in the SAME app would serve the old labels; call
+    * [[invalidateDupLabels]] after mutating inputs in place. */
   private val dupLabelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+
+  /** Drop (and unpersist) every cached label frame. */
+  def invalidateDupLabels(): Unit = {
+    dupLabelCache.values.foreach(df =>
+      try { df.unpersist(); () } catch { case _: Exception => () })
+    dupLabelCache.clear()
+  }
 
   private def dupLabels(spark: SparkSession, dir: String,
                         threshold: Double): DataFrame =
     dupLabelCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, threshold), {
-        if (dupLabelCache.size > 16) dupLabelCache.clear() // bound stale entries
+        // bound stale entries — unpersist evicted frames, never just drop
+        // the reference (the block-manager storage would leak for the
+        // application lifetime)
+        if (dupLabelCache.size > 16) invalidateDupLabels()
         connectedComponents(
           TextOps.minhashLshPairs(spark, dir, threshold).select("id_a", "id_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

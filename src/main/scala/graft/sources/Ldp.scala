@@ -55,10 +55,15 @@ object Ldp {
   def readNew(spark: SparkSession, dir: String, historyPath: String,
               maxStatements: Option[Int] = None): DataFrame = {
     val (out, commit) = readNewWithCommit(spark, dir, historyPath, maxStatements)
-    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count() // full read BEFORE the ledger records consumption
+    // full read BEFORE the ledger records consumption. Deliberately NOT
+    // persisted: a consumption-loop poller calls this forever, and a
+    // persist-per-call with no owner leaks executor storage; archives are
+    // immutable, so the caller's action re-reading them is merely a second
+    // scan (callers that cannot afford it use readNewWithCommit and own
+    // both the caching and the commit point).
+    out.count()
     commit()
-    cached
+    out
   }
 
   /** As [[readNew]] but the caller owns the commit point: the ledger
