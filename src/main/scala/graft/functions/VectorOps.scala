@@ -297,6 +297,96 @@ object PqDecode {
     ExpressionUtils.column(PqDecode(ExpressionUtils.expression(codes), books))
 }
 
+/** IVF-PQ residual decode: `codes` are PQ codes of (v − centroid(cluster)),
+  * so the reconstruction is centroid(cluster) + concat(codewords) — one
+  * native pass, both codebooks ride the plan as constants. The composed
+  * IVFADC layout (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011) stores exactly this pair per vector. */
+case class PqDecodeResidual(left: Expression, right: Expression,
+                            codebooks: Array[Array[Array[Double]]],
+                            centroids: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_decode_residual"
+  override protected def nullSafeEval(codes: Any, cluster: Any): Any =
+    PqDecodeResidual.decodePlus(codes.asInstanceOf[ArrayData],
+      cluster.asInstanceOf[Int], codebooks, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", codebooks, "double[][][]")
+    val c = ctx.addReferenceObj("cents", centroids, "double[][]")
+    defineCodeGen(ctx, ev, (codes, cluster) =>
+      s"graft.functions.PqDecodeResidual.decodePlus($codes, $cluster, $b, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqDecodeResidual {
+  def decodePlus(codes: ArrayData, cluster: Int,
+                 books: Array[Array[Array[Double]]],
+                 cents: Array[Array[Double]]): ArrayData = {
+    val cent = cents(cluster)
+    val out = new Array[Any](cent.length)
+    var off = 0
+    var s = 0
+    while (s < books.length) {
+      val cw = books(s)(codes.getInt(s))
+      var i = 0
+      while (i < cw.length && off + i < cent.length) {
+        out(off + i) = cent(off + i) + cw(i)
+        i += 1
+      }
+      off += cw.length
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqDecodeResidual(codes: Column, cluster: Column,
+                       books: Array[Array[Array[Double]]],
+                       cents: Array[Array[Double]]): Column =
+    ExpressionUtils.column(PqDecodeResidual(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(cluster),
+      books, cents))
+}
+
+/** Residual against the nearest coarse centroid: v − centroid(argmin) in
+  * ONE pass (argmin + subtract fused) — the index-build-side companion of
+  * [[PqDecodeResidual]]. */
+case class CentroidResidual(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_residual"
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidResidual.residual(v.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidResidual.residual($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CentroidResidual {
+  def residual(vec: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val c = ArgMinCentroid.assign(vec, cents)
+    val cent = cents(c)
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = vec.getDouble(i) - (if (i < cent.length) cent(i) else 0.0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def centroidResidual(vec: Column, cents: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      CentroidResidual(ExpressionUtils.expression(vec), cents))
+}
+
 object ArgMinCentroid {
   /** Squared-L2 argmin. Named `assign` (not `eval`): the companion CLASS
     * inherits `eval(InternalRow)`, which suppresses the static forwarder a

@@ -142,6 +142,33 @@ class EmbeddingSpec extends SparkSuite {
     assert(got.intersect(truth).size >= truth.size / 2)
   }
 
+  test("IVF-PQ index: exact at full probe/re-rank; narrow probes partition-pruned with recall floor") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    EmbeddingOps.buildIvfPqIndex(spark, dir, idx, nCells = 16, m = 8, kCodes = 64)
+    val queries = EmbeddingOps.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // probing every cell + re-ranking every candidate must reproduce brute
+    // force exactly (the compressed scan only ORDERS the re-rank input)
+    val full = EmbeddingOps.ivfPqTopK(spark, idx, dir, queries,
+      k = 5, nProbe = 16, rerank = 1000)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === truth)
+    // production shape: 4/16 cells, 64-candidate re-rank — pruned scan
+    val narrow = EmbeddingOps.ivfPqTopK(spark, idx, dir, queries,
+      k = 5, nProbe = 4, rerank = 64)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"probe must prune index partitions:\n$plan")
+    val got = narrow.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.map(t => (t._1, t._2)).intersect(got).size.toDouble / truth.size
+    info(f"IVF-PQ 4/16-cell 64-re-rank top-5 recall: $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below floor")
+  }
+
   test("cosine near-dup pairs are symmetric-free (a<b) and above threshold") {
     val rows = EmbeddingOps.nearDupPairsGroundTruth(spark, dir, 0.4)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
