@@ -259,6 +259,27 @@ object CorpusOps {
           typedlit(benchShingles)).cast("long"),
         lit(0L)))
 
+  /** Bloom-backed in-stream decontamination gate — the LARGE-eval-set
+    * variant of [[decontamGateTokens]]: when the benchmark shingle set is
+    * too big to ride the plan as a literal (full eval-suite
+    * decontamination is 10⁷–10⁸ shingles), the gate probes a serialized
+    * bloom filter through one native short-circuiting array pass
+    * ([[graft.functions.BloomAnyElement]]). Still stateless and
+    * shuffle-free. Semantics: a conservative SUPERSET of the exact gate —
+    * false positives flag ~fpp extra clean rows (the standard
+    * drop-slightly-more trade; CorpusOpsSpec pins superset + FP-rate
+    * bounds), never the reverse: a contaminated row cannot slip through. */
+  def decontamGateTokensBloom(seqs: DataFrame, benchShingles: Seq[String],
+                              k: Int = 3, fpp: Double = 0.001): DataFrame = {
+    val bloom = graft.functions.BloomProbe.build(benchShingles, fpp)
+    seqs.withColumn("contaminated",
+      coalesce(
+        graft.functions.BloomProbe.anyElement(
+          TextOps.shingleArr(array_join(col("tokens"), " "), k), bloom)
+          .cast("long"),
+        lit(0L)))
+  }
+
   // ---- Stratified source sampling ----------------------------------------
 
   /** Deterministic stratified downsampling by source: each source keeps a

@@ -100,6 +100,35 @@ object EmbeddingOps {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Multi-table recall dial for [[nearDupPairsBucketed]]: a pair is a
+    * candidate if it shares a cell in ANY of `nTables` independent plane
+    * tables — recall over the all-pairs ground truth rises with L at the
+    * cost of L× index rows (the MinHash band trade, applied to SemDeDup
+    * cells). Table 0 is identical to the single-table path, so its pairs
+    * are always a subset of this one's. Candidates dedup on ids only
+    * (vectors re-attached afterwards — no embedding payload ever moves
+    * through the distinct, the r1 LSH lesson). */
+  def nearDupPairsBucketedMulti(spark: SparkSession, dir: String,
+                                threshold: Double = 0.4,
+                                planesPer: Int = NearDupPlanes,
+                                nTables: Int = 4): DataFrame = {
+    val pl = planes(64, nTables, planesPer)
+    val emb = embeddings(spark, dir)
+    val bucketed = emb
+      .select(col("vec_id"), explode(bucketsOf(col("embedding"), pl)).as("cell"))
+    val a = bucketed.select(col("cell"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("cell"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct() // ids only — pairs collide across tables
+    cands
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .withColumn("sim", round(cosineSim(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   // ---- Random-hyperplane LSH (ANN scale path) -----------------------------
 
   /** Multi-table LSH: L independent tables of k hyperplanes. A candidate

@@ -86,6 +86,37 @@ class CorpusOpsSpec extends SparkSuite {
     assert(dupIds.subsetOf(flagged))
   }
 
+  test("bloom decontamination gate: superset of the exact gate, tiny FP rate, native plan") {
+    // the large-eval-set variant: an eval set too big for a plan literal
+    // rides as a serialized bloom. Conservative by construction — every
+    // exactly-contaminated row flagged, clean rows flagged at ~fpp.
+    // word tokens + 4-gram shingles — the q_decontam shape, where only the
+    // planted duplicates of bench docs overlap (so most rows are CLEAN and
+    // the FP rate is actually measurable; codepoint-level tokens would
+    // contaminate every row and make the test vacuous)
+    val docs = graft.operators.TextOps.documents(spark, dir).limit(400)
+    val seqs = docs.select(col("doc_id").cast("string").as("doc_id"),
+      split(col("text"), " ").as("tokens"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(graft.operators.TextOps.shingleArr(col("text"), 4)).as("s"))
+      .distinct().as[String].collect().toSeq
+    val exact = CorpusOps.decontamGateTokens(seqs, bench, k = 4)
+      .filter(col("contaminated") === 1).select("doc_id").as[String].collect().toSet
+    val bloomed = CorpusOps.decontamGateTokensBloom(seqs, bench, k = 4, fpp = 1e-5)
+      .filter(col("contaminated") === 1).select("doc_id").as[String].collect().toSet
+    assert(exact.subsetOf(bloomed), "bloom gate must never miss a contaminated row")
+    assert(exact.size < 200, "most rows must be clean or the FP test is vacuous")
+    assert(exact.nonEmpty, "planted bench duplicates must be flagged")
+    val fps = bloomed.size - exact.size
+    info(s"bloom gate: ${exact.size} exact + $fps false positives of 400 rows")
+    assert(fps <= 5, s"$fps false positives exceeds the fpp budget")
+    // native short-circuit array probe, not an interpreted exists() lambda
+    val plan = CorpusOps.decontamGateTokensBloom(seqs, bench, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_any_element"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("lambdafunction"), plan)
+  }
+
   test("decontamination broadcasts the benchmark side (no corpus shuffle join)") {
     val p = CorpusOps.contamination(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")

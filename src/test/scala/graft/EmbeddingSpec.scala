@@ -142,6 +142,21 @@ class EmbeddingSpec extends SparkSuite {
     assert(got.intersect(truth).size >= truth.size / 2)
   }
 
+  test("multi-table bucketed near-dup: superset of single-table, recall rises toward ground truth") {
+    val truth = EmbeddingOps.nearDupPairsGroundTruth(spark, dir, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = EmbeddingOps.nearDupPairsBucketed(spark, dir, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = EmbeddingOps.nearDupPairsBucketedMulti(spark, dir, 0.4, nTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi), "table 0 pairs must survive the union")
+    assert(multi.subsetOf(truth), "bucketing can only restrict, never invent")
+    val r1 = single.size.toDouble / truth.size
+    val r4 = multi.size.toDouble / truth.size
+    info(f"near-dup recall: 1 table $r1%.2f -> 4 tables $r4%.2f over ${truth.size} pairs")
+    assert(multi.size > single.size, "more tables must buy recall on this corpus")
+  }
+
   test("IVF-PQ index: exact at full probe/re-rank; narrow probes partition-pruned with recall floor") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
