@@ -94,6 +94,24 @@ object SparkEntry {
     // whenever the true top-k survives the candidate stage — verified
     // recall 1.0 at all test sf (no full-table driver collect anywhere)
     "q_ann_pq" -> ((s, d) => EmbeddingOps.pqTopKRerank(s, d)),
+    // IVF-PQ composed index (FAISS-IVFPQ layout) at the exact configuration:
+    // every cell probed + every candidate exactly re-ranked ≡ brute force
+    // (the q_ann_ivf pattern); production narrows nProbe/rerank over the
+    // same partition-pruned compressed plumbing (EmbeddingSpec)
+    "q_ann_ivfpq" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      EmbeddingOps.buildIvfPqIndex(s, d, idx, nCells = 16, m = 8, kCodes = 256)
+      val queries = EmbeddingOps.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      EmbeddingOps.ivfPqTopK(s, idx, d, queries, k = 5, nProbe = 16,
+        rerank = Int.MaxValue)
+    }),
+    // multi-table SemDeDup cells (the recall dial): pairs sharing a cell in
+    // ANY of 4 plane tables — the oracle recomputes all 16 plane dot signs
+    "q_cos_neardup_multi" -> ((s, d) =>
+      EmbeddingOps.nearDupPairsBucketedMulti(s, d, nTables = 4)),
     // ---- xAPI pipeline ----------------------------------------------------
     // Deterministic end-to-end digest of the batch pipeline on the seeded
     // 2000-row synthetic input: per-(verb, source) row counts + distinct
@@ -225,6 +243,8 @@ object SparkEntry {
     "q_ann_lsh" -> cosTopkOracle,
     "q_ann_ivf" -> cosTopkOracle,
     "q_ann_pq" -> cosTopkOracle,
+    "q_ann_ivfpq" -> cosTopkOracle,
+    "q_cos_neardup_multi" -> nearDupBucketedMultiOracle,
     "q_fingerprint" ->
       """SELECT count(DISTINCT text) AS n_texts,
                 CAST(count(*) AS BIGINT) AS n_docs,
@@ -520,6 +540,30 @@ object SparkEntry {
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(a.v, b.v), 6) AS sim
        FROM b a JOIN b b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"""
+  }
+
+  /** Multi-table variant of [[nearDupBucketedOracle]]: DuckDB recomputes
+    * all 4 tables' 4-bit cells (16 embedded plane-constant dot signs) and
+    * joins pairs sharing ANY table's cell — an OR-join is fine oracle-side
+    * (exactness, not scale, is its job; the engine side stays an
+    * explode + equi-join). */
+  private def nearDupBucketedMultiOracle: String = {
+    val tables = EmbeddingOps.planes(64, nTables = 4,
+      planesPer = EmbeddingOps.NearDupPlanes)
+    val cellCols = tables.zipWithIndex.map { case (pl, t) =>
+      val expr = pl.zipWithIndex.map { case (plane, i) =>
+        val lits = plane.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($expr) AS c$t"
+    }.mkString(", ")
+    val joinCond = tables.indices.map(t => s"a.c$t = b.c$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS (SELECT vec_id, v, $cellCols FROM e)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       FROM b a JOIN b b ON a.vec_id < b.vec_id AND ($joinCond)
        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"""
   }
 
