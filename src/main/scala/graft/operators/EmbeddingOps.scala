@@ -483,8 +483,11 @@ object EmbeddingOps {
                       nCells: Int = 16, m: Int = 8, kCodes: Int = 256): Unit = {
     import spark.implicits._
     val all = embeddings(spark, dir)
-    val cents = trainCentroids(all, nCells)
-    val resSample = strideSample(all, 2048).map { v =>
+    // ONE bounded sample collect feeds both codebooks: the coarse k-means
+    // and the residual PQ books are driver-local fits over the same rows
+    val sample = strideSample(all, 2048)
+    val cents = kmeansLocal(sample, nCells, iters = 2)
+    val resSample = sample.map { v =>
       val c = cents(nearest(v, cents))
       Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
     }
@@ -503,6 +506,11 @@ object EmbeddingOps {
         graft.functions.CentroidResidual.centroidResidual(col("embedding"), cents),
         books))
       .select("vec_id", "cluster", "codes")
+      // cluster the rows by cell BEFORE the partitioned write: without it
+      // every shuffle partition writes a sliver into every cell dir
+      // (nCells × shufflePartitions tiny files — the small-file problem at
+      // any scale); with it each cell dir gets contiguous files
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$indexPath/vectors")
   }
 
