@@ -57,6 +57,9 @@ object SparkEntry {
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     // GPT-3-style temperature mix planner (w_s ∝ tokens^alpha)
     "q_source_weights" -> ((s, d) => CorpusOps.temperatureMix(s, d)),
+    // DSIR-style importance resampling toward the benchmark slice's LM,
+    // drawn by deterministic A-Res keys (reproducible weighted sampling)
+    "q_importance_sample" -> ((s, d) => CorpusOps.importanceSample(s, d)),
     "q_vocab_topk" -> ((s, d) => CorpusOps.vocabTopK(s, d)),
     "q_semantic_dedup" -> ((s, d) => CorpusOps.semanticDedupPairs(s, d)),
     "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
@@ -331,6 +334,26 @@ object SparkEntry {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY 1 ORDER BY n DESC, word LIMIT 20""",
+    "q_importance_sample" ->
+      """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+         src AS (SELECT word, count(*) AS cs FROM wd GROUP BY 1),
+         tot AS (SELECT sum(cs)::DOUBLE AS src_total, count(*)::DOUBLE AS v
+                 FROM src),
+         tgt AS (SELECT word, count(*) AS ct FROM wd
+                 WHERE doc_id % 50 = 0 GROUP BY 1),
+         tt AS (SELECT coalesce(sum(ct), 0)::DOUBLE AS tgt_total FROM tgt),
+         d AS (SELECT wd.doc_id,
+                      round(avg(ln((coalesce(ct, 0) + 1) / (tgt_total + v))
+                                - ln(cs / src_total)), 6) AS lpd
+               FROM wd JOIN src USING (word) LEFT JOIN tgt USING (word)
+               CROSS JOIN tot CROSS JOIN tt
+               GROUP BY 1),
+         wt AS (SELECT doc_id, round(exp(lpd), 6) AS w FROM d)
+         SELECT doc_id, w,
+                round(ln((('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 8))::UINTEGER
+                          + 1) / 4294967296.0) / w, 6) AS key
+         FROM wt ORDER BY key DESC, doc_id LIMIT 20""",
     "q_semantic_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT DISTINCT doc_id, array_to_string(w[k:k+2], ' ') AS s

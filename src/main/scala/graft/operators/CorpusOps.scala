@@ -280,6 +280,49 @@ object CorpusOps {
         lit(0L)))
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): weight each
+    * document by how much more likely it is under a TARGET distribution
+    * (here the benchmark slice's Laplace-smoothed unigram LM) than under
+    * the source corpus LM — `w = exp(avg_occurrence(ln p_t − ln p_s))` —
+    * then draw a deterministic weighted sample without replacement via
+    * Efraimidis–Spirakis A-Res keys: `key = ln(u)/w` with `u` a
+    * hash-derived uniform in (0,1], top-k keys win. No RNG state anywhere,
+    * so the draw is reproducible across runs AND engines (the DuckDB
+    * oracle recomputes the identical sample; every float is rounded to 6
+    * before it can influence an ordering).
+    *
+    * Scale shape: two vocab aggregations + word-keyed shuffle joins (no
+    * forced broadcast — Heaps' law), a per-doc mean, and a global top-k
+    * that plans as TakeOrdered (per-partition heaps + driver merge of k),
+    * never a single-reducer sort. */
+  def importanceSample(spark: SparkSession, dir: String, k: Int = 20,
+                       seed: String = "ws1"): DataFrame = {
+    val wd = documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val src = wd.groupBy("word").agg(count(lit(1)).as("cs"))
+    val tot = src.agg(sum("cs").cast("double").as("src_total"),
+      count(lit(1)).cast("double").as("v"))
+    val tgt = wd.filter(col("doc_id") % 50 === 0)
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    val tt = tgt.agg(coalesce(sum("ct"), lit(0)).cast("double").as("tgt_total"))
+    val lpd = log((coalesce(col("ct"), lit(0)) + 1) / (col("tgt_total") + col("v"))) -
+      log(col("cs") / col("src_total"))
+    val perDoc = wd.join(src, Seq("word"))
+      .join(tgt, Seq("word"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(round(avg(lpd), 6).as("lpd"))
+    val w = round(exp(col("lpd")), 6)
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") + 1) /
+      lit(4294967296.0)
+    perDoc
+      .select(col("doc_id"), w.as("w"), round(log(u) / w, 6).as("key"))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // ---- Stratified source sampling ----------------------------------------
 
   /** Deterministic stratified downsampling by source: each source keeps a

@@ -117,6 +117,26 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("lambdafunction"), plan)
   }
 
+  test("importance resampling: deterministic A-Res draw, target-like docs upweighted") {
+    val s1 = CorpusOps.importanceSample(spark, dir)
+      .as[(Long, Double, Double)].collect()
+    val s2 = CorpusOps.importanceSample(spark, dir)
+      .as[(Long, Double, Double)].collect()
+    assert(s1.toSeq === s2.toSeq, "hash-derived draw must be reproducible")
+    assert(s1.length === 20 && s1.forall(_._2 > 0))
+    assert(s1.map(_._3).toSeq === s1.map(_._3).sortBy(-_).toSeq,
+      "rows must arrive in key order")
+    // DSIR sanity: the benchmark slice DEFINES the target LM, so its own
+    // docs must carry higher importance weights than the rest on average
+    val all = CorpusOps.importanceSample(spark, dir, k = 100000)
+      .as[(Long, Double, Double)].collect()
+    val (bench, rest) = all.partition(_._1 % 50 == 0)
+    val mb = bench.map(_._2).sum / bench.length
+    val mr = rest.map(_._2).sum / rest.length
+    info(f"mean importance weight: bench ${mb}%.4f vs rest ${mr}%.4f")
+    assert(mb > mr, "target-distribution docs must be upweighted")
+  }
+
   test("decontamination broadcasts the benchmark side (no corpus shuffle join)") {
     val p = CorpusOps.contamination(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
