@@ -300,17 +300,20 @@ object CorpusOps {
                        seed: String = "ws1"): DataFrame = {
     val wd = documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-    val src = wd.groupBy("word").agg(count(lit(1)).as("cs"))
-    val tot = src.agg(sum("cs").cast("double").as("src_total"),
-      count(lit(1)).cast("double").as("v"))
-    val tgt = wd.filter(col("doc_id") % 50 === 0)
-      .groupBy("word").agg(count(lit(1)).as("ct"))
-    val tt = tgt.agg(coalesce(sum("ct"), lit(0)).cast("double").as("tgt_total"))
-    val lpd = log((coalesce(col("ct"), lit(0)) + 1) / (col("tgt_total") + col("v"))) -
+    // ONE vocabulary pass carries both LMs (source count + target count per
+    // word) and ONE fold gives all three totals — the split src/tgt version
+    // evaluated the word explode three times (the r2 aggregate+join
+    // re-evaluation trap)
+    val isBench = (col("doc_id") % 50 === 0).cast("long")
+    val vocab = wd.groupBy("word")
+      .agg(count(lit(1)).as("cs"), sum(isBench).as("ct"))
+    val tot = vocab.agg(sum("cs").cast("double").as("src_total"),
+      count(lit(1)).cast("double").as("v"),
+      sum("ct").cast("double").as("tgt_total"))
+    val lpd = log((col("ct") + 1) / (col("tgt_total") + col("v"))) -
       log(col("cs") / col("src_total"))
-    val perDoc = wd.join(src, Seq("word"))
-      .join(tgt, Seq("word"), "left")
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(tt))
+    val perDoc = wd.join(vocab, Seq("word"))
+      .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(round(avg(lpd), 6).as("lpd"))
     val w = round(exp(col("lpd")), 6)
