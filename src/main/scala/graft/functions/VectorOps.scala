@@ -327,13 +327,21 @@ object PqDecodeResidual {
                  books: Array[Array[Array[Double]]],
                  cents: Array[Array[Double]]): ArrayData = {
     val cent = cents(cluster)
+    var dim = 0
+    var s = 0
+    while (s < books.length) { dim += books(s)(0).length; s += 1 }
+    // dimension mismatch fails loudly (the CosineSim rule: silent
+    // truncation produces numerically-valid but WRONG reconstructions)
+    if (dim != cent.length)
+      throw new IllegalArgumentException(
+        s"pq_decode_residual: codebooks decode $dim dims but centroid has ${cent.length}")
     val out = new Array[Any](cent.length)
     var off = 0
-    var s = 0
+    s = 0
     while (s < books.length) {
       val cw = books(s)(codes.getInt(s))
       var i = 0
-      while (i < cw.length && off + i < cent.length) {
+      while (i < cw.length) {
         out(off + i) = cent(off + i) + cw(i)
         i += 1
       }
@@ -351,40 +359,50 @@ object PqDecodeResidual {
       books, cents))
 }
 
-/** Residual against the nearest coarse centroid: v − centroid(argmin) in
-  * ONE pass (argmin + subtract fused) — the index-build-side companion of
-  * [[PqDecodeResidual]]. */
-case class CentroidResidual(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression {
+/** Residual against an ALREADY-ASSIGNED coarse centroid: v − centroid(c).
+  * Binary (vec, cluster) like [[PqDecodeResidual]], so the index build
+  * computes the argmin ONCE for the `cluster` column and reuses it here —
+  * a unary argmin-fused variant would scan the nCells×dim codebook twice
+  * per row. Dimension mismatch fails loudly (the CosineSim rule). */
+case class CentroidResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Double]])
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "centroid_residual"
-  override protected def nullSafeEval(v: Any): Any =
-    CentroidResidual.residual(v.asInstanceOf[ArrayData], centroids)
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    CentroidResidual.residual(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int], centroids)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cents", centroids, "double[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidResidual.residual($c, $ref)")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.CentroidResidual.residual($v, $c, $ref)")
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 object CentroidResidual {
-  def residual(vec: ArrayData, cents: Array[Array[Double]]): ArrayData = {
-    val c = ArgMinCentroid.assign(vec, cents)
-    val cent = cents(c)
+  def residual(vec: ArrayData, cluster: Int,
+               cents: Array[Array[Double]]): ArrayData = {
+    val cent = cents(cluster)
     val n = vec.numElements()
+    if (n != cent.length)
+      throw new IllegalArgumentException(
+        s"centroid_residual: vector has $n dims but centroid has ${cent.length}")
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = vec.getDouble(i) - (if (i < cent.length) cent(i) else 0.0)
+      out(i) = vec.getDouble(i) - cent(i)
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  def centroidResidual(vec: Column, cents: Array[Array[Double]]): Column =
-    ExpressionUtils.column(
-      CentroidResidual(ExpressionUtils.expression(vec), cents))
+  def centroidResidual(vec: Column, cluster: Column,
+                       cents: Array[Array[Double]]): Column =
+    ExpressionUtils.column(CentroidResidual(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(cluster), cents))
 }
 
 object ArgMinCentroid {

@@ -259,13 +259,17 @@ object CorpusOps {
           typedlit(benchShingles)).cast("long"),
         lit(0L)))
 
-  /** Bloom-backed in-stream decontamination gate — the LARGE-eval-set
+  /** Bloom-backed in-stream decontamination gate — the larger-eval-set
     * variant of [[decontamGateTokens]]: when the benchmark shingle set is
-    * too big to ride the plan as a literal (full eval-suite
-    * decontamination is 10⁷–10⁸ shingles), the gate probes a serialized
-    * bloom filter through one native short-circuiting array pass
-    * ([[graft.functions.BloomAnyElement]]). Still stateless and
-    * shuffle-free. Semantics: a conservative SUPERSET of the exact gate —
+    * too big to ride the plan as an array literal, the gate probes a
+    * serialized bloom filter through one native short-circuiting array
+    * pass ([[graft.functions.BloomAnyElement]]). Still stateless and
+    * shuffle-free. The filter itself rides the plan as a byte constant —
+    * compact up to ~10⁶–10⁷ shingles (a 10⁷-item fpp-0.001 filter is
+    * ~18 MB); beyond that, build it from a DataFrame aggregate and ship it
+    * as a broadcast variable rather than a plan literal (torrent broadcast,
+    * no driver-held Seq). Semantics: a conservative SUPERSET of the exact
+    * gate —
     * false positives flag ~fpp extra clean rows (the standard
     * drop-slightly-more trade; CorpusOpsSpec pins superset + FP-rate
     * bounds), never the reverse: a contaminated row cannot slip through. */
@@ -812,17 +816,24 @@ object CorpusOps {
   }
 
   private def dupLabels(spark: SparkSession, dir: String,
-                        threshold: Double): DataFrame =
-    dupLabelCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, threshold), {
-        // bound stale entries — unpersist evicted frames, never just drop
-        // the reference (the block-manager storage would leak for the
-        // application lifetime)
-        if (dupLabelCache.size > 16) invalidateDupLabels()
-        connectedComponents(
-          TextOps.minhashLshPairs(spark, dir, threshold).select("id_a", "id_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+                        threshold: Double): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    dupLabelCache.getOrElseUpdate((appId, dir, threshold), {
+      // bound the cache by evicting ONE entry — dead applications' entries
+      // first, else an arbitrary one — and unpersist it (dropping the
+      // reference alone leaks block-manager storage); wholesale clears
+      // would cold-start every hot entry on the 17th distinct key
+      if (dupLabelCache.size > 16) {
+        val victim = dupLabelCache.keys.find(_._1 != appId)
+          .orElse(dupLabelCache.keys.headOption)
+        victim.flatMap(dupLabelCache.remove).foreach(df =>
+          try { df.unpersist(); () } catch { case _: Exception => () })
+      }
+      connectedComponents(
+        TextOps.minhashLshPairs(spark, dir, threshold).select("id_a", "id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
 
   /** Duplicate clusters over the near-dup pair graph: every document that
     * has at least one near-duplicate, labelled with its cluster

@@ -262,14 +262,34 @@ object EmbeddingOps {
     * later query probes nProbe cells as a PARTITION-PRUNED scan (asserted
     * in EmbeddingSpec) — reading nProbe/nCells of the index bytes instead
     * of filtering a full scan. */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-                    nCells: Int = 16): Unit = {
+  /** Write the coarse codebook as a tiny parquet table (shared by the flat
+    * IVF and IVF-PQ index builders). */
+  private def writeCodebook(spark: SparkSession, path: String,
+                            cents: Array[Array[Double]]): Unit = {
     import spark.implicits._
-    val all = embeddings(spark, dir)
-    val cents = trainCentroids(all, nCells)
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-query probe rows `(qid, qv, cell)` for the nProbe nearest cells,
+    * plus the distinct probed cells (driver-side — queries are
+    * request-sized). Shared by every indexed probe path. */
+  private def probeCells(queries: DataFrame, cents: Array[Array[Double]],
+                         nProbe: Int): (Seq[(Long, Seq[Double], Int)], Seq[Int]) = {
+    val probes = queries.select(col("qid"), col("qv")).collect().toSeq.flatMap { r =>
+      val vec = r.getAs[collection.Seq[Double]]("qv").toArray
+      graft.functions.ArgMinCentroid.ranked(vec, cents).take(nProbe)
+        .map(cell => (r.getLong(0), vec.toSeq, cell))
+    }
+    (probes, probes.map(_._3).distinct)
+  }
+
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    nCells: Int = 16): Unit = {
+    val all = embeddings(spark, dir)
+    val cents = trainCentroids(all, nCells)
+    writeCodebook(spark, s"$indexPath/codebook", cents)
     all.withColumn("cluster",
         graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
       .write.mode("overwrite").partitionBy("cluster")
@@ -290,12 +310,7 @@ object EmbeddingOps {
                      queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     val cents = loadCodebook(spark, indexPath)
-    val probes = queries.select(col("qid"), col("qv")).collect().flatMap { r =>
-      val vec = r.getAs[Seq[Double]]("qv").toArray
-      graft.functions.ArgMinCentroid.ranked(vec, cents).take(nProbe)
-        .map(cell => (r.getLong(0), vec, cell))
-    }.toSeq
-    val cells = probes.map(_._3).distinct
+    val (probes, cells) = probeCells(queries, cents, nProbe)
     val indexed = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cluster").isin(cells: _*)) // static partition pruning
     val q = probes.toDF("qid", "qv", "cluster")
@@ -492,9 +507,7 @@ object EmbeddingOps {
       Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
     }
     val books = pqBooksFromSample(resSample, m, kCodes, iters = 4)
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    writeCodebook(spark, s"$indexPath/codebook", cents)
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toSeq.toDF("subspace", "codeword", "values")
@@ -502,8 +515,10 @@ object EmbeddingOps {
     all
       .withColumn("cluster",
         graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
+      // residual reuses the assigned cluster — the argmin runs ONCE per row
       .withColumn("codes", graft.functions.PqEncode.pqEncode(
-        graft.functions.CentroidResidual.centroidResidual(col("embedding"), cents),
+        graft.functions.CentroidResidual.centroidResidual(
+          col("embedding"), col("cluster"), cents),
         books))
       .select("vec_id", "cluster", "codes")
       // cluster the rows by cell BEFORE the partitioned write: without it
@@ -533,12 +548,7 @@ object EmbeddingOps {
     import spark.implicits._
     val cents = loadCodebook(spark, indexPath)
     val books = loadPqBooks(spark, indexPath)
-    val probes = queries.select(col("qid"), col("qv")).collect().flatMap { r =>
-      val vec = r.getAs[collection.Seq[Double]]("qv").toArray
-      graft.functions.ArgMinCentroid.ranked(vec, cents).take(nProbe)
-        .map(cell => (r.getLong(0), vec.toSeq, cell))
-    }.toSeq
-    val cells = probes.map(_._3).distinct
+    val (probes, cells) = probeCells(queries, cents, nProbe)
     val indexed = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cluster").isin(cells: _*)) // static partition pruning
     val q = probes.toDF("qid", "qv", "cluster")

@@ -44,14 +44,16 @@ object Ldp {
   /** Read only archives not yet in the history ledger, then record them —
     * the `new=True` consumption loop (mixins.py:11-71 + ldp.py:204-212).
     *
-    * The ledger is written only AFTER the archives are fully materialised
+    * The ledger is written only AFTER the archives are fully read once
     * (the reference appends the `read` entry after the archive is fully
     * streamed, ldp.py:240-252) — r2 recorded at plan-build time, so a
     * downstream failure (or a never-run plan) permanently marked unread
-    * archives consumed (ADVICE r2). The returned frame is cache-backed by
-    * the materialisation. Callers that sink the data somewhere durable and
-    * want the ledger write tied to THAT success use
-    * [[readNewWithCommit]]. */
+    * archives consumed (ADVICE r2). The returned frame is NOT cached:
+    * every action re-scans the (immutable) archives, and with
+    * `maxStatements` the limit re-evaluates per action, so a caller doing
+    * several actions — or needing the exact counted subset — should cache
+    * it, or use [[readNewWithCommit]] to own both the caching and the
+    * commit point (tie the ledger write to the durable sink's success). */
   def readNew(spark: SparkSession, dir: String, historyPath: String,
               maxStatements: Option[Int] = None): DataFrame = {
     val (out, commit) = readNewWithCommit(spark, dir, historyPath, maxStatements)
