@@ -376,6 +376,29 @@ class StreamingSpec extends SparkSuite {
     assert(flags === Map("leak" -> 1L, "clean" -> 0L))
   }
 
+  test("bloom decontamination gate runs in-stream: stateless, flags like the exact gate") {
+    // the large-eval-set gate must be as stream-safe as the plan-literal
+    // one: pure projection+filter (no watermark, no state operators), the
+    // serialized filter riding the plan
+    val mem = MemoryStream[InputRow]
+    val benchTokens = (100 until 110).map(_.toString)
+    val bench = benchTokens.sliding(3).map(_.mkString(" ")).toSeq
+    val gated = graft.operators.CorpusOps
+      .decontamGateTokensBloom(mem.toDF(), bench, fpp = 1e-6)
+    val cp = tmp("cpdecontambloom")
+    val q = gated.writeStream.format("memory").queryName("decontam_bloom_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    mem.addData(
+      InputRow("leak", (98 until 108).toArray, 10, "s"), // overlaps the eval run
+      InputRow("clean", (200 until 210).toArray, 10, "s"))
+    q.processAllAvailable()
+    assert(!q.lastProgress.json.contains("stateOperators\":[{"), q.lastProgress.json)
+    q.stop()
+    val flags = spark.table("decontam_bloom_out").select("doc_id", "contaminated")
+      .as[(String, Long)].collect().toMap
+    assert(flags === Map("leak" -> 1L, "clean" -> 0L))
+  }
+
   test("compaction composes with checkpoint resume: restart after fold, still exactly-once") {
     // kill the stream after batches are folded into a compacted segment,
     // then resume from the checkpoint with overlapping + new data: replayed
