@@ -114,6 +114,9 @@ class PlanSpec extends SparkSuite {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = planOf(fn(spark, sf("sf0.001")))
       assert(!p.contains("CartesianProduct"), s"cartesian product in $name:\n$p")
+      // and no interpreted Scala UDF anywhere in a shipped plan — every
+      // per-row extension is a native codegen expression
+      assert(!p.contains("ScalaUDF"), s"Scala UDF in $name:\n$p")
     }
   }
 
