@@ -127,7 +127,7 @@ object Bench {
     // scales, and interleaving exposes every level to the same drift —
     // sequential per-level repeats would bias the ratio
     streamingRun(32, inputPath)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val levels = Seq(2, 8, 32)
     val perRound = (1 to rounds).map { _ =>
       levels.map(c => c -> streamingRun(c, inputPath)).toMap
