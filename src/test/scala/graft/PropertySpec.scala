@@ -127,6 +127,48 @@ class PropertySpec extends SparkSuite {
     assert((0 until 4).map(codes.getInt) === Seq(2, 0, 3, 1))
   }
 
+  test("IVF-PQ residual expressions: residual+centroid recovers v; decodePlus inverts member residuals") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array.tabulate(4) { c =>
+      Array.tabulate(16)(d =>
+        graft.sources.Synth.mix(c * 50 + d, 11L).toDouble / Long.MaxValue)
+    }
+    val books = Array.tabulate(4) { s =>
+      Array.tabulate(4) { cw =>
+        Array.tabulate(4)(d =>
+          graft.sources.Synth.mix(s * 100 + cw * 10 + d, 13L).toDouble / Long.MaxValue)
+      }
+    }
+    val enc = graft.functions.PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), books)
+    check(forAll(Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0)),
+      Gen.chooseNum(0, 3)) { (xs, cell) =>
+      val v = xs.toArray
+      val res = graft.functions.CentroidResidual.residual(
+        new GenericArrayData(v), cell, cents)
+      // (v − c) + c recovers v to float tolerance
+      val back = (0 until 16).forall(i =>
+        math.abs(res.getDouble(i) + cents(cell)(i) - v(i)) < 1e-12)
+      // decodePlus(encode(residual), cell) = centroid + chosen codewords
+      val codes = enc.encodeFast(res)
+      val dec = graft.functions.PqDecodeResidual.decodePlus(codes, cell, books, cents)
+      val composed = (0 until 4).forall(s => (0 until 4).forall(d =>
+        math.abs(dec.getDouble(s * 4 + d) -
+          (cents(cell)(s * 4 + d) + books(s)(codes.getInt(s))(d))) == 0.0))
+      back && composed
+    })
+    // dimension mismatch fails loudly, never pads or truncates
+    intercept[IllegalArgumentException] {
+      graft.functions.CentroidResidual.residual(
+        new GenericArrayData(Array(1.0, 2.0)), 0, cents)
+    }
+    intercept[IllegalArgumentException] {
+      val shortCents = Array(Array(1.0, 2.0)) // 2 dims vs 16-dim codebooks
+      graft.functions.PqDecodeResidual.decodePlus(
+        new GenericArrayData(Array(0, 0, 0, 0)), 0, books, shortCents)
+    }
+  }
+
   test("BPE mergeOnce shrinks or preserves length and never emits the merged pair") {
     val seqGen = Gen.listOf(Gen.chooseNum(0, 5)).map(_.toArray)
     check(forAll(seqGen, Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (s, l, r) =>
