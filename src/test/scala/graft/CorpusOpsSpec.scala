@@ -135,6 +135,11 @@ class CorpusOpsSpec extends SparkSuite {
     val mr = rest.map(_._2).sum / rest.length
     info(f"mean importance weight: bench ${mb}%.4f vs rest ${mr}%.4f")
     assert(mb > mr, "target-distribution docs must be upweighted")
+    // the top-k plans as per-partition heaps + driver merge, never a
+    // global single-reducer sort
+    val plan = CorpusOps.importanceSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("decontamination broadcasts the benchmark side (no corpus shuffle join)") {
