@@ -105,11 +105,11 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
-      // build once per dataset, probe thereafter — that is an index's whole
-      // point, and the test datasets are immutable (the vectors _SUCCESS
-      // marker is written last, so a half-built index is rebuilt)
-      if (!new java.io.File(s"$idx/vectors/_SUCCESS").exists())
-        EmbeddingOps.buildIvfPqIndex(s, d, idx, nCells = 16, m = 8, kCodes = 256)
+      // deterministic path, ALWAYS rebuilt: reusing a leftover index made
+      // the timed query's work depend on host /tmp state (irreproducible
+      // bench times) and could silently serve an index built under old
+      // parameters. The build is part of what this query measures.
+      EmbeddingOps.buildIvfPqIndex(s, d, idx, nCells = 16, m = 8, kCodes = 256)
       val queries = EmbeddingOps.embeddings(s, d).filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       EmbeddingOps.ivfPqTopK(s, idx, d, queries, k = 5, nProbe = 16,

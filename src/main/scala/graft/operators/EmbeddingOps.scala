@@ -504,7 +504,11 @@ object EmbeddingOps {
     val cents = kmeansLocal(sample, nCells, iters = 2)
     val resSample = sample.map { v =>
       val c = cents(nearest(v, cents))
-      Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
+      // same loud-fail rule as the row-path CentroidResidual: silently
+      // zero-padded residuals would train numerically-valid-but-wrong books
+      require(v.length == c.length,
+        s"IVF-PQ build: sample vector has ${v.length} dims, centroid ${c.length}")
+      Array.tabulate(v.length)(i => v(i) - c(i))
     }
     val books = pqBooksFromSample(resSample, m, kCodes, iters = 4)
     writeCodebook(spark, s"$indexPath/codebook", cents)

@@ -71,13 +71,42 @@ object Ldp {
   /** As [[readNew]] but the caller owns the commit point: the ledger
     * records the archives as consumed only when the returned callback is
     * invoked — call it after the downstream write succeeds (exactly the
-    * reference's stream-then-record order, lifted to caller granularity). */
+    * reference's stream-then-record order, lifted to caller granularity).
+    *
+    * With `maxStatements`, only archives whose EVERY row fits inside the
+    * limit are recorded (the reference records per archive after it is
+    * fully streamed, ldp.py:240-252 — a truncated read must not mark the
+    * cut-off archive consumed, or its remaining rows are lost to the
+    * consumption loop forever). A partially-read archive is re-read whole
+    * on the next poll — at-least-once, matching a reference restart. */
   def readNewWithCommit(spark: SparkSession, dir: String, historyPath: String,
                         maxStatements: Option[Int] = None): (DataFrame, () => Unit) = {
     val fresh = History.onlyNew(listArchives(spark, dir),
       History.read(spark, historyPath))
       .collect().map(_.getString(0)).toSeq // archive list: driver-sized metadata
     val out = read(spark, fresh, maxStatements)
-    (out, () => { if (fresh.nonEmpty) History.record(spark, historyPath, fresh); () })
+    val commit = () => {
+      val consumed = maxStatements match {
+        case None => fresh
+        case Some(_) if fresh.isEmpty => fresh
+        case Some(_) =>
+          // per-archive row counts of the LIMITED frame vs the full read:
+          // an archive is consumed iff every one of its rows was included
+          def perFile(df: DataFrame): Map[String, Long] =
+            df.groupBy(input_file_name().as("f")).count()
+              .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          val got = perFile(out)
+          val total = perFile(read(spark, fresh, None))
+          // input_file_name yields URIs; match archives by suffix
+          fresh.filter { path =>
+            val tot = total.collectFirst { case (f, n) if f.endsWith(path) => n }
+            val inc = got.collectFirst { case (f, n) if f.endsWith(path) => n }
+            tot.exists(t => inc.contains(t))
+          }
+      }
+      if (consumed.nonEmpty) History.record(spark, historyPath, consumed)
+      ()
+    }
+    (out, commit)
   }
 }

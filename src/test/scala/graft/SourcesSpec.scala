@@ -80,6 +80,26 @@ class SourcesSpec extends SparkSuite {
       === Seq("""{"id": 4}"""))
   }
 
+  test("LDP maxStatements: a truncated archive is NOT marked consumed (no row loss)") {
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("ldptrunc").toString
+    def gz(name: String, lines: Seq[String]): Unit = {
+      val out = new GZIPOutputStream(new java.io.FileOutputStream(s"$dir/$name"))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    gz("big.gz", (1 to 10).map(i => s"""{"id": $i}"""))
+    val hist = Files.createTempDirectory("ldpth").toString + "/history"
+    // limit cuts the only archive short → the ledger must stay empty, and
+    // the next unlimited poll must deliver ALL rows (reference semantics:
+    // the read entry lands only after an archive is fully streamed)
+    val partial = graft.sources.Ldp.readNew(spark, dir, hist, maxStatements = Some(3))
+    assert(partial.count() === 3)
+    val rest = graft.sources.Ldp.readNew(spark, dir, hist)
+    assert(rest.count() === 10, "truncated archive must be re-readable in full")
+    // now fully consumed → recorded
+    assert(graft.sources.Ldp.readNew(spark, dir, hist).count() === 0)
+  }
+
   test("object-store conf path (S9/S10): s3a/swift settings land in hadoopConfiguration") {
     graft.sources.ObjectStore.configureS3a(spark, "https://s3.example.com", "AK", "SK")
     val c = spark.sparkContext.hadoopConfiguration
