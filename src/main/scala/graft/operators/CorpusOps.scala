@@ -684,7 +684,7 @@ object CorpusOps {
                          jaccardThreshold: Double = 0.5,
                          cosThreshold: Double = 0.0): DataFrame = {
     val emb = EmbeddingOps.embeddings(spark, dir) // cast to array<double>
-    val pairs = TextOps.minhashLshPairs(spark, dir, jaccardThreshold)
+    val pairs = lshPairs(spark, dir, jaccardThreshold) // shared pair graph
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
@@ -807,12 +807,39 @@ object CorpusOps {
     * [[invalidateDupLabels]] after mutating inputs in place. */
   private val dupLabelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+  private val lshPairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
 
-  /** Drop (and unpersist) every cached label frame. */
+  /** Drop (and unpersist) every cached label/pair frame. */
   def invalidateDupLabels(): Unit = {
-    dupLabelCache.values.foreach(df =>
+    (dupLabelCache.values ++ lshPairCache.values).foreach(df =>
       try { df.unpersist(); () } catch { case _: Exception => () })
     dupLabelCache.clear()
+    lshPairCache.clear()
+  }
+
+  /** Evict one entry (dead applications first) with unpersist. */
+  private def evictOne(cache: scala.collection.concurrent.TrieMap[
+      (String, String, Double), DataFrame], appId: String): Unit =
+    if (cache.size > 16) {
+      val victim = cache.keys.find(_._1 != appId).orElse(cache.keys.headOption)
+      victim.flatMap(cache.remove).foreach(df =>
+        try { df.unpersist(); () } catch { case _: Exception => () })
+    }
+
+  /** ONE LSH near-dup pair graph per (application, dir, threshold) — shared
+    * by [[dupClusters]]/[[dupSurvivors]] (via the label cache) AND
+    * [[semanticDedupPairs]]: a pipeline computes its candidate graph once.
+    * The pair frame is pair-sized, persisted; same snapshot-immutability
+    * assumption as the label cache. */
+  private def lshPairs(spark: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    lshPairCache.getOrElseUpdate((appId, dir, threshold), {
+      evictOne(lshPairCache, appId)
+      TextOps.minhashLshPairs(spark, dir, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   private def dupLabels(spark: SparkSession, dir: String,
@@ -823,14 +850,9 @@ object CorpusOps {
       // first, else an arbitrary one — and unpersist it (dropping the
       // reference alone leaks block-manager storage); wholesale clears
       // would cold-start every hot entry on the 17th distinct key
-      if (dupLabelCache.size > 16) {
-        val victim = dupLabelCache.keys.find(_._1 != appId)
-          .orElse(dupLabelCache.keys.headOption)
-        victim.flatMap(dupLabelCache.remove).foreach(df =>
-          try { df.unpersist(); () } catch { case _: Exception => () })
-      }
+      evictOne(dupLabelCache, appId)
       connectedComponents(
-        TextOps.minhashLshPairs(spark, dir, threshold).select("id_a", "id_b"))
+        lshPairs(spark, dir, threshold).select("id_a", "id_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
