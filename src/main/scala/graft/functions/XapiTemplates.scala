@@ -19,6 +19,8 @@ import com.fasterxml.jackson.databind.JsonNode
   *    type-checked and unknown extension IRIs pass through;
   *  - extension models are `coerce_numbers_to_str=True`, so a numeric value
   *    satisfies a declared string field;
+  *  - lax-mode float/int fields accept string-encoded numerics ("3.5" for
+  *    a NonNegativeFloat, "3" for an int) — see [[numOf]];
   *  - `volume` is an int field: lax-mode pydantic accepts 3 or 3.0 but
   *    rejects a number with a fractional part — this single rule is what
   *    rejects 989 of the reference corpus' 3546 `interacted` statements
@@ -48,13 +50,27 @@ object XapiTemplates {
   }
 
   // ---- field type checks (null value handled by the requirement level) ----
-  private def nonNegNum(v: JsonNode): Boolean =
-    v != null && v.isNumber && v.asDouble >= 0
-  private def posInt(v: JsonNode): Boolean = intNum(v) && v.asDouble > 0
+  /** Lax-mode pydantic numerics also accept STRING-encoded numbers ("3.5"
+    * for a float field, "3" — and "3.0", via the int-from-float rule — for
+    * an int field). The decimal-literal regex gate keeps Java's permissive
+    * `parseDouble` from accepting forms pydantic rejects ("3f", hex
+    * floats, "Infinity"). */
+  private val DecimalRe =
+    Pattern.compile("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$")
+  private def numOf(v: JsonNode): Option[Double] =
+    if (v == null) None
+    else if (v.isNumber) Some(v.asDouble)
+    else if (v.isTextual) {
+      val s = v.asText.trim
+      if (DecimalRe.matcher(s).matches()) Some(java.lang.Double.parseDouble(s))
+      else None
+    } else None
+  private def nonNegNum(v: JsonNode): Boolean = numOf(v).exists(_ >= 0)
+  private def posInt(v: JsonNode): Boolean =
+    numOf(v).exists(d => d == Math.floor(d) && !d.isInfinite && d > 0)
   /** Lax-mode pydantic `int`: integral value, fractional part rejected. */
   private def intNum(v: JsonNode): Boolean =
-    v != null && v.isNumber && v.asDouble == Math.floor(v.asDouble) &&
-      !v.asDouble.isInfinite
+    numOf(v).exists(d => d == Math.floor(d) && !d.isInfinite)
   /** Lax-mode pydantic `bool`. */
   private def boolish(v: JsonNode): Boolean =
     v != null && (v.isBoolean ||

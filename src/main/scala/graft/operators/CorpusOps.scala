@@ -827,6 +827,28 @@ object CorpusOps {
         try { df.unpersist(); () } catch { case _: Exception => () })
     }
 
+  /** Serve a cached frame with failure invalidation: the cached frames are
+    * persisted + localCheckpoint-backed, so losing their blocks (executor
+    * loss, memory pressure, a stopped context) would otherwise poison every
+    * later call on the same key until a manual [[invalidateDupLabels]]. A
+    * cache HIT is first probed with a cheap action (the frames are pair- /
+    * label-sized); a probe failure evicts the entry and recomputes once —
+    * only the recompute's own failure propagates. */
+  private def servedFresh(cache: scala.collection.concurrent.TrieMap[
+      (String, String, Double), DataFrame], key: (String, String, Double))(
+      build: => DataFrame): DataFrame =
+    cache.get(key) match {
+      case Some(hit) =>
+        try { hit.count(); hit }
+        catch {
+          case _: Exception =>
+            cache.remove(key)
+            try { hit.unpersist(); () } catch { case _: Exception => () }
+            cache.getOrElseUpdate(key, build)
+        }
+      case None => cache.getOrElseUpdate(key, build)
+    }
+
   /** ONE LSH near-dup pair graph per (application, dir, threshold) — shared
     * by [[dupClusters]]/[[dupSurvivors]] (via the label cache) AND
     * [[semanticDedupPairs]]: a pipeline computes its candidate graph once.
@@ -835,17 +857,17 @@ object CorpusOps {
   private def lshPairs(spark: SparkSession, dir: String,
                        threshold: Double): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    lshPairCache.getOrElseUpdate((appId, dir, threshold), {
+    servedFresh(lshPairCache, (appId, dir, threshold)) {
       evictOne(lshPairCache, appId)
       TextOps.minhashLshPairs(spark, dir, threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   private def dupLabels(spark: SparkSession, dir: String,
                         threshold: Double): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    dupLabelCache.getOrElseUpdate((appId, dir, threshold), {
+    servedFresh(dupLabelCache, (appId, dir, threshold)) {
       // bound the cache by evicting ONE entry — dead applications' entries
       // first, else an arbitrary one — and unpersist it (dropping the
       // reference alone leaks block-manager storage); wholesale clears
@@ -854,7 +876,7 @@ object CorpusOps {
       connectedComponents(
         lshPairs(spark, dir, threshold).select("id_a", "id_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   /** Duplicate clusters over the near-dup pair graph: every document that

@@ -426,14 +426,18 @@ object EmbeddingOps {
     val dot = books.indices.map(s => element_at(col("lut"), slot(s))).reduce(_ + _)
     val vn2 = books.indices.map(s => element_at(n2Col, slot(s))).reduce(_ + _)
     // zero-norm guard (the CosineSim fix applies here too): a zero query
-    // or zero codeword reconstruction must score -1 (ranks last), not NaN
+    // or zero codeword reconstruction must score a finite sentinel, not NaN
     // (which Spark sorts ABOVE every real value in the descending
-    // candidate window — silent recall loss in the re-rank stage)
+    // candidate window — silent recall loss in the re-rank stage). The
+    // sentinel is 0.0 — the SAME value CosineSim.sim gives a zero-norm
+    // vector on the decode path — so pqTopKAdc and pqTopK rank zero-norm
+    // reconstructions identically relative to negatively-correlated
+    // candidates.
     val denom = sqrt(vn2) * col("qnorm")
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        when(denom === 0.0, lit(-1.0)).otherwise(dot / denom).as("asim"))
+        when(denom === 0.0, lit(0.0)).otherwise(dot / denom).as("asim"))
   }
 
   /** ADC PQ top-k: computes cos(q, decode(codes)) via lookup tables — the

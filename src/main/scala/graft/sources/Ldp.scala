@@ -49,11 +49,12 @@ object Ldp {
     * streamed, ldp.py:240-252) — r2 recorded at plan-build time, so a
     * downstream failure (or a never-run plan) permanently marked unread
     * archives consumed (ADVICE r2). The returned frame is NOT cached:
-    * every action re-scans the (immutable) archives, and with
-    * `maxStatements` the limit re-evaluates per action, so a caller doing
-    * several actions — or needing the exact counted subset — should cache
-    * it, or use [[readNewWithCommit]] to own both the caching and the
-    * commit point (tie the ledger write to the durable sink's success). */
+    * every action re-scans the (immutable) archives, and the
+    * `maxStatements` subset is deterministic by construction (sorted
+    * archive order + per-archive cumulative cutoff — see
+    * [[readNewWithCommit]]), so a re-scan always yields the same rows;
+    * callers that must tie the ledger write to a durable sink's success
+    * use [[readNewWithCommit]] and own the commit point. */
   def readNew(spark: SparkSession, dir: String, historyPath: String,
               maxStatements: Option[Int] = None): DataFrame = {
     val (out, commit) = readNewWithCommit(spark, dir, historyPath, maxStatements)
@@ -73,40 +74,63 @@ object Ldp {
     * invoked — call it after the downstream write succeeds (exactly the
     * reference's stream-then-record order, lifted to caller granularity).
     *
-    * With `maxStatements`, only archives whose EVERY row fits inside the
-    * limit are recorded (the reference records per archive after it is
-    * fully streamed, ldp.py:240-252 — a truncated read must not mark the
-    * cut-off archive consumed, or its remaining rows are lost to the
-    * consumption loop forever). A partially-read archive is re-read whole
-    * on the next poll — at-least-once, matching a reference restart. */
+    * With `maxStatements`, the limited read is DETERMINISTIC BY
+    * CONSTRUCTION: archives are taken in sorted-path order up to a
+    * per-archive cumulative-count cutoff, plus the first rows (file order)
+    * of the boundary archive — the reference's stream-archives-in-sequence
+    * order, ldp.py:169-212. r3 instead applied a global `limit` over an
+    * unordered multi-archive scan and re-evaluated it at commit time: a
+    * global limit is not guaranteed to pick the same rows across actions,
+    * so the ledger could mark an archive consumed while the caller's
+    * earlier write action took a DIFFERENT subset — the unwritten rows
+    * then lost to the new=True loop forever (ADVICE r3). Only archives
+    * whose EVERY row fits inside the limit are recorded (ldp.py:240-252 —
+    * a truncated archive must not be marked consumed); the boundary
+    * archive is re-read whole on the next poll — at-least-once, matching
+    * a reference restart. */
   def readNewWithCommit(spark: SparkSession, dir: String, historyPath: String,
                         maxStatements: Option[Int] = None): (DataFrame, () => Unit) = {
     val fresh = History.onlyNew(listArchives(spark, dir),
       History.read(spark, historyPath))
-      .collect().map(_.getString(0)).toSeq // archive list: driver-sized metadata
-    val out = read(spark, fresh, maxStatements)
-    val commit = () => {
-      val consumed = maxStatements match {
-        case None => fresh
-        case Some(_) if fresh.isEmpty => fresh
-        case Some(_) =>
-          // per-archive row counts of the LIMITED frame vs the full read:
-          // an archive is consumed iff every one of its rows was included
-          def perFile(df: DataFrame): Map[String, Long] =
-            df.groupBy(input_file_name().as("f")).count()
-              .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-          val got = perFile(out)
-          val total = perFile(read(spark, fresh, None))
-          // input_file_name yields URIs; match archives by suffix
-          fresh.filter { path =>
-            val tot = total.collectFirst { case (f, n) if f.endsWith(path) => n }
-            val inc = got.collectFirst { case (f, n) if f.endsWith(path) => n }
-            tot.exists(t => inc.contains(t))
-          }
-      }
-      if (consumed.nonEmpty) History.record(spark, historyPath, consumed)
-      ()
+      .collect().map(_.getString(0)).toSeq.sorted // driver-sized metadata
+    maxStatements match {
+      case None =>
+        (read(spark, fresh, None),
+          () => { if (fresh.nonEmpty) History.record(spark, historyPath, fresh); () })
+      case Some(lim) =>
+        // one metadata pass: non-blank rows per archive (driver-sized:
+        // one count per archive). input_file_name yields URIs; match by
+        // path suffix.
+        val counts =
+          if (fresh.isEmpty) Map.empty[String, Long]
+          else read(spark, fresh, None)
+            .groupBy(input_file_name().as("f")).count()
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        def rowsOf(path: String): Long =
+          counts.collectFirst { case (f, n) if f.endsWith(path) => n }
+            .getOrElse(0L)
+        var cum = 0L
+        val full = scala.collection.mutable.ArrayBuffer.empty[String]
+        var boundary: Option[(String, Long)] = None
+        val it = fresh.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val p = it.next()
+          val n = rowsOf(p)
+          if (cum + n <= lim) { full += p; cum += n }
+          else { if (lim - cum > 0) boundary = Some((p, lim - cum)); done = true }
+        }
+        val consumed = full.toSeq
+        val fullDf = read(spark, consumed, None)
+        val out = boundary match {
+          // a single-archive scan is one gzip partition read in file
+          // order, so this limit is the archive's FIRST rem rows — the
+          // same rows every action
+          case Some((p, rem)) => fullDf.unionAll(read(spark, Seq(p), None).limit(rem.toInt))
+          case None => fullDf
+        }
+        (out,
+          () => { if (consumed.nonEmpty) History.record(spark, historyPath, consumed); () })
     }
-    (out, commit)
   }
 }
