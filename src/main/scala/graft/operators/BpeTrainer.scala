@@ -18,10 +18,12 @@ import org.apache.spark.storage.StorageLevel
   *     left-to-right — no shuffle.
   * So a full training run is nMerges small-key shuffles + nMerges narrow
   * passes; at cluster scale the pair-count shuffle is tiny (≤ vocab² keys,
-  * combined map-side) and the rewrite is embarrassingly parallel. Lineage
-  * is kept shallow by persisting each generation and unpersisting the
-  * last — K iterations never replay the chain from the source.
-  */
+  * combined map-side) and the rewrite is embarrassingly parallel. Each
+  * generation is eagerly localCheckpoint-ed (reliable `checkpoint()` on a
+  * real cluster): persist alone keeps the LOGICAL plan growing one nested
+  * level per merge, and at tokenizer-scale merge counts the plan string
+  * alone OOMs the driver — checkpointing truncates plan + lineage so K
+  * iterations never replay the chain and never grow the plan. */
 object BpeTrainer {
 
   /** One learned merge: (left, right) → fresh id, with its corpus count at
@@ -68,14 +70,112 @@ object BpeTrainer {
         case Some((key, cnt)) if cnt >= minCount =>
           val (l, r) = ((key >> 32).toInt, key.toInt)
           val id = nextId
-          val next = current.map(mergeOnce(_, l, r, id))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent
+          // eager localCheckpoint: materializes AND truncates plan+lineage
+          // (persist would leave an ever-deepening logical plan)
+          val next = current.map(mergeOnce(_, l, r, id)).localCheckpoint(true)
           current.unpersist()
           current = next
           merges += Merge(l, r, id, cnt)
           nextId += 1
         case _ => done = true
+      }
+    }
+    (merges.toSeq, current)
+  }
+
+  /** Simultaneous rewrite of a batch of TOKEN-DISJOINT pairs in one greedy
+    * left-to-right pass. Disjointness makes this equal to applying the
+    * pairs' [[mergeOnce]] rewrites sequentially in any order: two disjoint
+    * pairs cannot match overlapping positions (an overlap would need a
+    * shared token at the overlapping slot), and replacing `ab → X` neither
+    * creates nor destroys an adjacency of tokens outside {a,b}. */
+  def mergeBatch(seq: Array[Int], pairMap: Map[Long, Int]): Array[Int] = {
+    if (seq.length < 2 || pairMap.isEmpty) return seq
+    val out = new scala.collection.mutable.ArrayBuffer[Int](seq.length)
+    var i = 0
+    while (i < seq.length) {
+      val id =
+        if (i + 1 < seq.length)
+          pairMap.getOrElse(packPair(seq(i), seq(i + 1)), -1)
+        else -1
+      if (id >= 0) { out += id; i += 2 } else { out += seq(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Batched trainer: learns the SAME merge table as [[train]] in ~k× fewer
+    * Spark rounds (one driver round-trip per merge means a 32k-merge vocab
+    * is 32k jobs on the sequential path — VERDICT r3 #6).
+    *
+    * Per round, the top `batchK + 1` candidates are fetched (count desc,
+    * key asc — the sequential tiebreak) and the batch is the maximal SORTED
+    * PREFIX of pairwise token-disjoint pairs, truncated to those whose
+    * count STRICTLY exceeds the cutoff (the first skipped non-disjoint
+    * candidate, or the fetch-boundary sentinel). That rule makes the batch
+    * provably order-equivalent to sequential merging:
+    *  - disjoint pairs' counts are invariant under each other's merges, so
+    *    each selected pair still holds its recorded count when sequential
+    *    training would reach it;
+    *  - any pair a selected merge CREATES (`(x,Xi)`, `(Xi,y)`, `(Xi,Xj)`,
+    *    `(Xi,Xi)`) is count-bounded by an OLD pair sharing a token with
+    *    that merge — and every such old pair either stopped the prefix (so
+    *    its count IS the cutoff) or sorts at/below the cutoff, so no
+    *    created pair can outrank a batch member that strictly beats the
+    *    cutoff;
+    *  - equal-count ties sort by key, and every unselected old pair with a
+    *    batch member's count sorts after it (or the walk would have
+    *    selected/stopped on it first).
+    * When the strict filter empties the batch (an all-ties round) the
+    * round degrades to the sequential single-merge step, which is always
+    * sound. BpeTrainerSpec asserts table identity against [[train]] across
+    * fixture + fuzz corpora and counts the Spark jobs saved. */
+  def trainBatched(seqs: Dataset[Array[Int]], nMerges: Int,
+                   minCount: Long = 2L, batchK: Int = 16): (Seq[Merge], Dataset[Array[Int]]) = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    var current = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxRow = current.flatMap(s => s.headOption.map(_ => s.max)).toDF("v")
+      .agg(org.apache.spark.sql.functions.max("v")).collect()(0)
+    var nextId = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val want = math.min(batchK, nMerges - merges.length)
+      val cand = current
+        .flatMap(s => (0 until s.length - 1).map(i => packPair(s(i), s(i + 1))))
+        .groupBy("value").count()
+        .filter(org.apache.spark.sql.functions.col("count") >= minCount)
+        .orderBy(org.apache.spark.sql.functions.col("count").desc,
+          org.apache.spark.sql.functions.col("value").asc)
+        .limit(want + 1).as[(Long, Long)].collect()
+      if (cand.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[Int]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var cutoff = Long.MinValue
+        var i = 0
+        var stopped = false
+        while (i < cand.length && !stopped && selected.length < want) {
+          val (key, cnt) = cand(i)
+          val (l, r) = ((key >> 32).toInt, key.toInt)
+          if (used(l) || used(r)) { cutoff = cnt; stopped = true }
+          else { selected += ((key, cnt)); used += l; used += r }
+          i += 1
+        }
+        if (!stopped && i < cand.length) cutoff = cand(i)._2 // fetch boundary
+        var batch = selected.filter(_._2 > cutoff).toSeq
+        if (batch.isEmpty) batch = selected.take(1).toSeq // all-ties round
+        val pairMap = batch.zipWithIndex.map { case ((key, _), j) =>
+          key -> (nextId + j)
+        }.toMap
+        // eager localCheckpoint — see [[train]]: truncates plan + lineage
+        val next = current.map(mergeBatch(_, pairMap)).localCheckpoint(true)
+        current.unpersist()
+        current = next
+        batch.foreach { case (key, cnt) =>
+          merges += Merge((key >> 32).toInt, key.toInt, nextId, cnt)
+          nextId += 1
+        }
       }
     }
     (merges.toSeq, current)

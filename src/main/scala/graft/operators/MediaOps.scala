@@ -5,10 +5,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 /** Real multimodal metadata decode for container formats whose structure is
   * pure byte layout — no codec library required: BMP (dimensions from the
   * 54-byte header), WAV/RIFF (sample rate / channels / bit depth from the
-  * fmt chunk), PNG (IHDR fixed offsets) and JPEG (SOFn marker walk — frame
-  * dimensions precede any entropy-coded data). Only formats whose metadata
-  * sits inside entropy-coded payloads (MP4 sample tables) stay behind the
-  * documented stub in [[TextOps.multimodalMeta]].
+  * fmt chunk), PNG (IHDR fixed offsets), JPEG (SOFn marker walk — frame
+  * dimensions precede any entropy-coded data) and MP4/ISO-BMFF (moov box
+  * tree walk: mvhd duration, trak/tkhd dimensions, stbl/stsz+stts sample
+  * counts — all length-prefixed layout outside the entropy-coded mdat).
+  * What stays codec-bound is decoding PIXELS/FRAMES from entropy-coded
+  * payloads; that (and only that) remains behind the documented stub in
+  * [[TextOps.multimodalMeta]]/[[TextOps.frameSample]].
   *
   * Execution shape is the one a 100 TB media pipeline needs: the payload
   * travels as an opaque binary column, the decode runs partition-batched
@@ -45,6 +48,10 @@ object MediaOps {
     if (off + 4 > b.length) -1L
     else ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
       ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    if (off + 8 > b.length) -1L
+    else (be32(b, off) << 32) | be32(b, off + 4)
 
   private val PngSignature =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -105,6 +112,12 @@ object MediaOps {
           channels > 0)
         MediaMeta(id, "png", w.toInt, h.toInt, -1, channels, depth, n, valid = true)
       else invalid("png")
+    } else if (bytes.length >= 12 && ascii(bytes, 4, 4) == "ftyp") {
+      // MP4/ISO-BMFF: full container metadata lives in sniffMp4; the
+      // generic classifier carries kind + video dimensions
+      val m = sniffMp4(id, bytes)
+      if (m.valid) MediaMeta(id, "mp4", m.width, m.height, -1, -1, -1, n, valid = true)
+      else invalid("mp4")
     } else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
       // JPEG: walk the marker segments to the first SOFn frame header —
       // dimensions live BEFORE any entropy-coded data, so this never
@@ -150,6 +163,132 @@ object MediaOps {
   def decodeMeta(bin: Dataset[(Long, Array[Byte])]): DataFrame = {
     import bin.sparkSession.implicits._
     bin.mapPartitions(_.map { case (id, bytes) => sniff(id, bytes) }).toDF()
+  }
+
+  // ---- MP4 / ISO-BMFF container metadata (box walk, codec-free) ----------
+
+  final case class Mp4Meta(
+      doc_id: Long, duration_ms: Long, timescale: Int, n_tracks: Int,
+      n_samples: Long, width: Int, height: Int, n_bytes: Long, valid: Boolean)
+
+  /** Walk the boxes of one ISO-BMFF range, invoking `f(type, payloadStart,
+    * payloadEnd)` per box. Box header = BE32 size + 4-char type; size==1
+    * means a BE64 largesize follows; size==0 means to-end-of-range. All
+    * cursor math in Long — a crafted 32-bit size near 2³¹ must not wrap
+    * into a negative offset that passes the bounds checks (the WAV/RIFF
+    * lesson). A malformed size stops the walk (the caller quarantines on
+    * missing boxes); a box-count guard bounds adversarial zero-progress
+    * layouts. */
+  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
+      f: (String, Long, Long) => Unit): Unit = {
+    var off = start
+    var guard = 0
+    while (off + 8 <= end && guard < 100000) {
+      guard += 1
+      val sz32 = be32(b, off.toInt)
+      val typ = ascii(b, off.toInt + 4, 4)
+      var hdr = 8L
+      var sz: Long = sz32
+      if (sz32 == 1L) {
+        if (off + 16 > end) return
+        sz = be64(b, off.toInt + 8); hdr = 16L
+      } else if (sz32 == 0L) sz = end - off
+      if (sz < hdr || off + sz > end) return // corrupt size → stop walk
+      f(typ, off + hdr, off + sz)
+      off += sz
+    }
+  }
+
+  /** MP4/ISO-BMFF metadata from the moov box tree — duration (mvhd
+    * timescale + duration, v0 and v1 layouts), track count (trak boxes),
+    * total sample count (stsz sample_count per track, stts entry sum as
+    * the fallback when stsz is absent), and video dimensions (tkhd 16.16
+    * fixed-point width/height, the largest track wins). This is
+    * length-prefixed byte layout all the way down — moov/mvhd/trak/tkhd/
+    * mdia/minf/stbl/stsz/stts sit OUTSIDE the entropy-coded mdat payload,
+    * so no codec is touched (what stays codec-bound is decoding frames,
+    * not counting them). Same quarantine contract as [[sniff]]: malformed
+    * payloads yield `valid=false`, never a task failure. */
+  def sniffMp4(id: Long, bytes: Array[Byte]): Mp4Meta = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    def invalid = Mp4Meta(id, -1L, -1, -1, -1L, -1, -1, n, valid = false)
+    if (bytes == null || bytes.length < 12 || ascii(bytes, 4, 4) != "ftyp")
+      return invalid
+    var timescale = -1L
+    var durTs = -1L
+    var nTracks = 0
+    var nSamples = 0L
+    var w = -1
+    var h = -1
+    walkBoxes(bytes, 0L, bytes.length.toLong) { (t, ps, pe) =>
+      if (t == "moov") walkBoxes(bytes, ps, pe) { (t2, p2s, p2e) =>
+        if (t2 == "mvhd" && p2s < p2e) {
+          val v = bytes(p2s.toInt) & 0xFF
+          // v0: ver+flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+          // v1: ver+flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+          if (v == 0 && p2s + 20 <= p2e) {
+            timescale = be32(bytes, p2s.toInt + 12)
+            durTs = be32(bytes, p2s.toInt + 16)
+          } else if (v == 1 && p2s + 32 <= p2e) {
+            timescale = be32(bytes, p2s.toInt + 20)
+            durTs = be64(bytes, p2s.toInt + 24)
+          }
+        } else if (t2 == "trak") {
+          nTracks += 1
+          var trackSamples = -1L
+          var sttsSamples = -1L
+          walkBoxes(bytes, p2s, p2e) { (t3, p3s, p3e) =>
+            if (t3 == "tkhd" && p3s < p3e) {
+              val v = bytes(p3s.toInt) & 0xFF
+              // width/height are 16.16 fixed point at the end of the box:
+              // v0 payload is 84 bytes (width@76), v1 is 96 (width@88)
+              val wOff = if (v == 1) 88L else 76L
+              if (p3s + wOff + 8 <= p3e) {
+                val tw = (be32(bytes, (p3s + wOff).toInt) >> 16).toInt
+                val th = (be32(bytes, (p3s + wOff + 4).toInt) >> 16).toInt
+                if (tw > 0 && th > 0 && (w <= 0 || tw.toLong * th > w.toLong * h)) {
+                  w = tw; h = th
+                }
+              }
+            } else if (t3 == "mdia") walkBoxes(bytes, p3s, p3e) { (t4, p4s, p4e) =>
+              if (t4 == "minf") walkBoxes(bytes, p4s, p4e) { (t5, p5s, p5e) =>
+                if (t5 == "stbl") walkBoxes(bytes, p5s, p5e) { (t6, p6s, p6e) =>
+                  if (t6 == "stsz" && p6s + 12 <= p6e)
+                    trackSamples = be32(bytes, p6s.toInt + 8)
+                  else if (t6 == "stts" && p6s + 8 <= p6e) {
+                    // sum of per-entry sample counts; entries are
+                    // (count, delta) BE32 pairs after ver+flags + count
+                    val entries = be32(bytes, p6s.toInt + 4)
+                    if (entries >= 0 && p6s + 8 + entries * 8 <= p6e) {
+                      var s = 0L
+                      var i = 0L
+                      while (i < entries) {
+                        s += be32(bytes, (p6s + 8 + i * 8).toInt)
+                        i += 1
+                      }
+                      sttsSamples = s
+                    }
+                  }
+                }
+              }
+            }
+          }
+          if (trackSamples >= 0) nSamples += trackSamples
+          else if (sttsSamples >= 0) nSamples += sttsSamples
+        }
+      }
+    }
+    if (timescale > 0 && durTs >= 0 && nTracks > 0)
+      Mp4Meta(id, durTs * 1000L / timescale, timescale.toInt, nTracks,
+        nSamples, w, h, n, valid = true)
+    else invalid
+  }
+
+  /** Partition-batched MP4 metadata decode — same execution shape as
+    * [[decodeMeta]]. */
+  def decodeMp4Meta(bin: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import bin.sparkSession.implicits._
+    bin.mapPartitions(_.map { case (id, bytes) => sniffMp4(id, bytes) }).toDF()
   }
 
   // ---- Real pixel ops on uncompressed BMP (raw BGR byte math) ------------

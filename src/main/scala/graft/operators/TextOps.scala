@@ -240,10 +240,11 @@ object TextOps {
     * typed metadata extracted by a batched per-partition decode. The decode
     * HERE is a STUB (deterministic fake, so the DuckDB oracle can recompute
     * it); real header-layout decode for BMP/WAV/PNG/JPEG lives in
-    * [[MediaOps.sniff]] — only formats whose metadata sits inside
-    * entropy-coded payloads (MP4 sample tables) remain codec-bound. The
-    * Spark-side plumbing (schema, binary transport, partition-batched
-    * decode shape) is shared and real. */
+    * [[MediaOps.sniff]] and MP4/ISO-BMFF container metadata (duration,
+    * tracks, sample counts, dimensions) in [[MediaOps.sniffMp4]] — only
+    * decoding actual pixels/frames from entropy-coded payloads remains
+    * codec-bound. The Spark-side plumbing (schema, binary transport,
+    * partition-batched decode shape) is shared and real. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = documents(spark, dir)

@@ -57,4 +57,99 @@ class BpeTrainerSpec extends SparkSuite {
     assert(merges.isEmpty)
     assert(out.collect().map(_.toSeq).toSet === Set(Seq(1, 2), Seq(3, 4)))
   }
+
+  // ---- Batched trainer (k disjoint merges per round) -----------------------
+
+  test("mergeBatch over disjoint pairs equals sequential mergeOnce in any order") {
+    val seq = Array(1, 2, 3, 4, 1, 2, 4, 3, 2, 1)
+    val pairMap = Map((1L << 32 | 2L) -> 9, (3L << 32 | 4L) -> 10)
+    val batched = BpeTrainer.mergeBatch(seq, pairMap)
+    val seqA = BpeTrainer.mergeOnce(BpeTrainer.mergeOnce(seq, 1, 2, 9), 3, 4, 10)
+    val seqB = BpeTrainer.mergeOnce(BpeTrainer.mergeOnce(seq, 3, 4, 10), 1, 2, 9)
+    assert(batched.sameElements(seqA) && batched.sameElements(seqB))
+  }
+
+  // count Spark jobs a trainer fires (listener delivery is async: poll
+  // until the count is stable)
+  private def countJobs(body: => Unit): Long = {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = -1L
+      var spins = 0
+      while (counter.get() != last && spins < 50) {
+        last = counter.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    counter.get()
+  }
+
+  test("batched training learns the IDENTICAL merge table with >=5x fewer jobs") {
+    // fixture with many token-disjoint frequent pairs at distinct counts —
+    // the shape where batching pays (mid/late-stage BPE and multi-domain
+    // corpora look like this: frequent pairs spread across many tokens).
+    // 40 motifs, motif i = (2i, 2i+1) occurring (1000 - i) times as its own
+    // row, so counts are distinct and supports disjoint.
+    val corpus = (0 until 40).flatMap(i =>
+      Seq.fill(1000 - i)(Array(2 * i, 2 * i + 1))).toDS()
+      .repartition(8).persist()
+    corpus.count()
+    var seqResult: (Seq[BpeTrainer.Merge], _) = null
+    var batResult: (Seq[BpeTrainer.Merge], org.apache.spark.sql.Dataset[Array[Int]]) = null
+    val seqJobs = countJobs { seqResult = BpeTrainer.train(corpus, nMerges = 40) }
+    val batJobs = countJobs { batResult = BpeTrainer.trainBatched(corpus, nMerges = 40) }
+    assert(seqResult._1.length === 40, "fixture corpus supports 40 merges")
+    // identical table: same pairs, same fresh ids, same recorded counts
+    assert(batResult._1 === seqResult._1)
+    assert(seqJobs >= 5 * batJobs,
+      s"sequential $seqJobs jobs vs batched $batJobs — expected >=5x reduction")
+    // and the rewritten corpus agrees with encode-from-raw
+    val direct = batResult._2.collect().map(_.mkString(",")).sorted
+    val re = BpeTrainer.encode(corpus, batResult._1.toSeq)
+      .collect().map(_.mkString(",")).sorted
+    assert(direct === re)
+    corpus.unpersist()
+    ()
+  }
+
+  test("batched == sequential on the synth token corpus (tie-heavy regime)") {
+    // tie-dense counts truncate batches (the strict-cutoff rule is what
+    // keeps the table identical), so the reduction here is smaller — the
+    // guarantee that matters is identity, plus jobs strictly saved
+    val corpus = graft.sources.Synth.inputTable(spark, 300)
+      .select("tokens").as[Array[Int]].persist()
+    corpus.count()
+    var seqResult: (Seq[BpeTrainer.Merge], _) = null
+    var batResult: (Seq[BpeTrainer.Merge], _) = null
+    val seqJobs = countJobs { seqResult = BpeTrainer.train(corpus, nMerges = 40) }
+    val batJobs = countJobs { batResult = BpeTrainer.trainBatched(corpus, nMerges = 40) }
+    assert(batResult._1 === seqResult._1)
+    assert(batJobs < seqJobs)
+    corpus.unpersist()
+    ()
+  }
+
+  test("batched == sequential across fuzzed corpora (ties, runs, tiny vocab)") {
+    // small vocab + repeated runs maximise tie/overlap pressure — the cases
+    // where an unsound batch rule would diverge from the sequential oracle
+    val rnd = new scala.util.Random(20260817)
+    (1 to 4).foreach { trial =>
+      val vocab = 4 + rnd.nextInt(8)
+      val corpus = Seq.fill(60)(
+        Array.fill(8 + rnd.nextInt(40))(rnd.nextInt(vocab))).toDS().persist()
+      corpus.count()
+      val (seqM, _) = BpeTrainer.train(corpus, nMerges = 15)
+      val (batM, _) = BpeTrainer.trainBatched(corpus, nMerges = 15, batchK = 8)
+      assert(batM === seqM, s"trial $trial (vocab $vocab) diverged")
+      corpus.unpersist()
+      ()
+    }
+  }
 }

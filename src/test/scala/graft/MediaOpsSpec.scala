@@ -247,4 +247,158 @@ class MediaOpsSpec extends SparkSuite {
       assert(out.n_bytes === len.toLong)
     }
   }
+
+  // ---- MP4 / ISO-BMFF (moov box tree walk) --------------------------------
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val b = ByteBuffer.allocate(8 + body.length)
+    b.putInt(8 + body.length); b.put(typ.getBytes); b.put(body)
+    b.array()
+  }
+  private def be32a(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def be64a(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+
+  /** Full-size mvhd v0 payload (100 bytes per ISO 14496-12 §8.2.2). */
+  private def mvhd(timescale: Int, duration: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(100)
+    b.putInt(0)                        // version 0 + flags
+    b.putInt(0).putInt(0)              // ctime, mtime
+    b.putInt(timescale); b.putInt(duration.toInt)
+    b.putInt(0x00010000)               // rate 1.0
+    b.putShort(0x0100.toShort)         // volume 1.0
+    b.put(new Array[Byte](10))         // reserved
+    b.put(new Array[Byte](36))         // matrix
+    b.put(new Array[Byte](24))         // pre_defined
+    b.putInt(3)                        // next_track_ID
+    b.array()
+  }
+  /** mvhd v1: 64-bit ctime/mtime/duration — timescale@20, duration@24. */
+  private def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(112)
+    b.put(1.toByte).put(new Array[Byte](3)) // version 1 + flags
+    b.putLong(0L).putLong(0L)               // ctime, mtime (64-bit)
+    b.putInt(timescale); b.putLong(duration)
+    b.array()                               // tail zeros: rate/volume/matrix
+  }
+  /** tkhd v0 payload (84 bytes): 16.16 width@76, height@80. */
+  private def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(84)
+    b.putInt(0)                         // version+flags
+    b.putInt(0).putInt(0)               // ctime, mtime
+    b.putInt(trackId); b.putInt(0); b.putInt(0) // id, reserved, duration
+    b.put(new Array[Byte](8))           // reserved
+    b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/resv
+    b.put(new Array[Byte](36))          // matrix
+    b.putInt(w << 16); b.putInt(h << 16)
+    b.array()
+  }
+  /** tkhd v1 payload (96 bytes): width@88, height@92. */
+  private def tkhdV1(trackId: Int, w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(96)
+    b.put(1.toByte).put(new Array[Byte](3))
+    b.putLong(0L).putLong(0L)
+    b.putInt(trackId); b.putInt(0); b.putLong(0L)
+    b.put(new Array[Byte](8))
+    b.putShort(0).putShort(0).putShort(0).putShort(0)
+    b.put(new Array[Byte](36))
+    b.putInt(w << 16); b.putInt(h << 16)
+    b.array()
+  }
+  private def stsz(sampleCount: Int): Array[Byte] =
+    be32a(0) ++ be32a(0) ++ be32a(sampleCount)
+  private def stts(entries: (Int, Int)*): Array[Byte] =
+    be32a(0) ++ be32a(entries.length.toLong) ++
+      entries.flatMap { case (c, d) => be32a(c.toLong) ++ be32a(d.toLong) }
+  private def ftyp: Array[Byte] =
+    box("ftyp", "isom".getBytes, be32a(512), "isomiso2mp41".getBytes)
+  private def trak(tk: Array[Byte], stblBoxes: Array[Byte]*): Array[Byte] =
+    box("trak", box("tkhd", tk),
+      box("mdia", box("minf", box("stbl", stblBoxes.flatten.toArray))))
+
+  test("MP4: moov box walk decodes duration, tracks, samples, dimensions") {
+    val file = ftyp ++ box("moov",
+      box("mvhd", mvhd(timescale = 1000, duration = 5000)),
+      trak(tkhd(1, 640, 480), box("stsz", stsz(150)), box("stts", stts(150 -> 400))),
+      trak(tkhd(2, 0, 0), box("stsz", stsz(215)))
+    ) ++ box("mdat", Array.fill(32)(0.toByte))
+    val m = MediaOps.sniffMp4(1L, file)
+    assert(m.valid && m.duration_ms === 5000L && m.timescale === 1000)
+    assert(m.n_tracks === 2 && m.n_samples === 365L)
+    assert(m.width === 640 && m.height === 480)
+    // the generic classifier reports kind=mp4 with the video dimensions
+    val g = MediaOps.sniff(1L, file)
+    assert(g.kind === "mp4" && g.valid && g.width === 640 && g.height === 480)
+  }
+
+  test("MP4: v1 headers, 64-bit largesize box, stts fallback when stsz absent") {
+    // v1 mvhd/tkhd layouts (64-bit times), moov carried in a largesize box
+    val moovBody = box("mvhd", mvhdV1(90000, 270000L)) ++
+      trak(tkhdV1(1, 1920, 1080), box("stts", stts(24 -> 3750, 6 -> 3000)))
+    val largeMoov = {
+      val b = ByteBuffer.allocate(16 + moovBody.length)
+      b.putInt(1)                       // size==1 → largesize follows
+      b.put("moov".getBytes)
+      b.putLong(16L + moovBody.length)
+      b.put(moovBody)
+      b.array()
+    }
+    val m = MediaOps.sniffMp4(2L, ftyp ++ largeMoov)
+    assert(m.valid && m.duration_ms === 3000L && m.n_tracks === 1)
+    assert(m.n_samples === 30L, "stts entry sum is the fallback sample count")
+    assert(m.width === 1920 && m.height === 1080)
+  }
+
+  test("MP4: distributed decode with quarantine for non-BMFF payloads") {
+    val good = ftyp ++ box("moov", box("mvhd", mvhd(600, 1200)),
+      trak(tkhd(1, 320, 240), box("stsz", stsz(10))))
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> good,
+      2L -> "not video".getBytes,
+      3L -> ftyp, // ftyp but no moov → quarantined mp4
+      4L -> wav(8000, 1, 8, 4))
+    val out = MediaOps.decodeMp4Meta(rows.toDS().repartition(2))
+      .as[MediaOps.Mp4Meta].collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).valid && out(1L).duration_ms === 2000L && out(1L).n_samples === 10L)
+    assert(!out(2L).valid && !out(3L).valid && !out(4L).valid)
+    assert(out.size === 4)
+  }
+
+  test("MP4 adversarial bytes: size wraps, zero sizes, truncations never throw") {
+    val good = ftyp ++ box("moov", box("mvhd", mvhd(1000, 1000)),
+      trak(tkhd(1, 64, 64), box("stsz", stsz(5))))
+    // declared box size near 2^31: Long cursor math must not wrap
+    val evil = good.clone()
+    ByteBuffer.wrap(evil).putInt(ftyp.length, 0x7FFFFFF0)
+    assert(!MediaOps.sniffMp4(1L, evil).valid)
+    // size == 0 (to-end-of-file) on the moov box still decodes
+    val toEnd = good.clone()
+    ByteBuffer.wrap(toEnd).putInt(ftyp.length, 0)
+    assert(MediaOps.sniffMp4(2L, toEnd).valid)
+    // size smaller than its own header stops the walk (zero-progress guard)
+    val tiny = good.clone()
+    ByteBuffer.wrap(tiny).putInt(ftyp.length, 4)
+    assert(!MediaOps.sniffMp4(3L, tiny).valid)
+    // truncations at every prefix length classify, never throw
+    (0 to good.length by 7).foreach { k =>
+      MediaOps.sniffMp4(4L, good.take(k))
+    }
+    // stts entry count lying about the payload size must not over-read
+    val lyingStts = ftyp ++ box("moov", box("mvhd", mvhd(1000, 1000)),
+      trak(tkhd(1, 8, 8), box("stts", be32a(0) ++ be32a(1000000))))
+    val ls = MediaOps.sniffMp4(5L, lyingStts)
+    assert(ls.valid && ls.n_samples === 0L, "oversized stts ignored, not read")
+    // fuzz: random bytes with a planted ftyp prefix never throw
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { i =>
+      val len = 12 + rnd.nextInt(120)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      System.arraycopy(ftyp, 0, bytes, 0, math.min(ftyp.length, len))
+      val out = MediaOps.sniffMp4(i.toLong, bytes)
+      assert(out.n_bytes === len.toLong)
+    }
+  }
 }
