@@ -142,16 +142,26 @@ object TextOps {
       documents(spark, dir).select(col("doc_id"), shingleArr(col("text"), k).as("sh")),
       threshold)
 
-  /** LSH band + verify over any `(doc_id, sh: array<string>)` frame — shared
-    * by the text path above and the token-table path
-    * ([[CorpusOps.tokenNearDupPairs]]). */
-  def minhashLshPairsOn(docsWithShingles: DataFrame, threshold: Double): DataFrame = {
+  /** LSH band-bucket rows `(doc_id, band, bkey)` for any `(doc_id,
+    * sh: array<string>)` frame — the ONE banding definition, shared by the
+    * batch pair path below and the incremental dedup index
+    * ([[graft.streaming.IncrementalDedup]]): two band layouts that drift
+    * apart would silently split the candidate space. */
+  def bandBuckets(docsWithShingles: DataFrame): DataFrame = {
     val docs = docsWithShingles.withColumn("sig", minhashSig(col("sh")))
     val bandCols = (0 until Bands).map { b =>
       xxhash64(concat_ws("_", lit(b), slice(col("sig"), b * Rows + 1, Rows)))
     }
-    val banded = docs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+    docs.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bkey")
+  }
+
+  /** LSH band + verify over any `(doc_id, sh: array<string>)` frame — shared
+    * by the text path above and the token-table path
+    * ([[CorpusOps.tokenNearDupPairs]]). */
+  def minhashLshPairsOn(docsWithShingles: DataFrame, threshold: Double): DataFrame = {
+    val docs = docsWithShingles
+    val banded = bandBuckets(docsWithShingles)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
