@@ -42,6 +42,15 @@ object StageProfile {
     time("4 +convert (map path)")(Pipeline.validateConvert(input))
     time("5 +batch dedup")(Pipeline.validateConvert(input).dropDuplicates("id"))
     time("6 full batch pipeline")(Pipeline.run(input))
+    // count() prunes the convert projection (nothing consumes xapi), so the
+    // lines above only measure the FILTER side; these materialize the
+    // payload columns the sink actually writes
+    def mat(df: DataFrame): DataFrame =
+      df.agg(sum(xxhash64(col("xapi"))).as("h"), count(lit(1)).as("n"))
+    time("4m convert materialized")(mat(Pipeline.validateConvert(input)))
+    val nValidate = Pipeline.validateConvert(input).queryExecution.executedPlan
+      .toString.sliding("edx_row_validate".length).count(_ == "edx_row_validate")
+    println(s"edx_row_validate occurrences in physical plan: $nValidate")
     spark.stop()
   }
 

@@ -59,7 +59,15 @@ object EdxRowValidate {
     StructField("agent", StringType, nullable = true),
     StructField("page", StringType, nullable = true),
     StructField("user_id", StringType, nullable = true),
-    StructField("course_id", StringType, nullable = true)))
+    StructField("course_id", StringType, nullable = true),
+    // payload fields the convert stage consumes, extracted from the SAME
+    // parsed node the payload validation walked — convert's former
+    // from_json(event, videoPayload/enrollmentPayload) re-parses are gone
+    StructField("event_video_id", StringType, nullable = true),
+    StructField("event_current_time", DoubleType, nullable = true),
+    StructField("event_old_time", DoubleType, nullable = true),
+    StructField("event_new_time", DoubleType, nullable = true),
+    StructField("event_pl_course_id", StringType, nullable = true)))
 
   def apply(raw: Column): Column =
     ExpressionUtils.column(EdxRowValidate(ExpressionUtils.expression(raw)))

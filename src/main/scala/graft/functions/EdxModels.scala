@@ -28,7 +28,19 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object EdxModels {
 
-  private val mapper = new ObjectMapper()
+  /** Shared tree mapper, tuned for the hot path: field-name interning OFF
+    * (String.intern is a global-table synchronized call per key — measured
+    * win on high-field-count envelopes; canonicalization still dedups via
+    * the factory's symbol table) and the FDP fast double parser ON. Output
+    * trees are identical — ParseProfile measures the throughput. */
+  private val mapper = {
+    // the concrete JsonFactoryBuilder (the generic TSFBuilder wildcards
+    // defeat Scala's chaining)
+    val b = new com.fasterxml.jackson.core.JsonFactoryBuilder()
+    b.disable(com.fasterxml.jackson.core.JsonFactory.Feature.INTERN_FIELD_NAMES)
+    b.enable(com.fasterxml.jackson.core.StreamReadFeature.USE_FAST_DOUBLE_PARSER)
+    new ObjectMapper(b.build())
+  }
 
   /** Envelope fields a rule may constrain beyond the payload. */
   final case class Ctx(event: String, name: String, page: String,
@@ -525,7 +537,20 @@ object EdxModels {
     if (model == null || source == null) return false
     val rule = rules.getOrElse((source, model), null)
     if (rule == null) return false
+    validRule(rule, source, ctx,
+      if (needsNode(rule)) parse(ctx.event) else null)
+  }
 
+  /** Does this rule's payload check need the parsed event node? */
+  private def needsNode(rule: Rule): Boolean = rule.payload match {
+    case JsonObj(_) | JsonArr(_) => true
+    case _ => false
+  }
+
+  /** [[valid]] with the payload node parsed by the CALLER — the verdict
+    * path parses it once and shares it with the convert-field extraction. */
+  private def validRule(rule: Rule, source: String, ctx: Ctx,
+                        node: JsonNode): Boolean = {
     // envelope constraints
     val pageOk = rule.page match {
       case PageNull => ctx.page == null
@@ -546,13 +571,10 @@ object EdxModels {
       case NoEvent => true
       case AnyStr => ctx.event != null
       case LiteralStr(v) => ctx.event == v
-      case JsonObj(p) =>
-        val n = parse(ctx.event)
-        n != null && n.isObject && p(n)
+      case JsonObj(p) => node != null && node.isObject && p(node)
       case JsonArr(each) =>
-        val n = parse(ctx.event)
-        n != null && n.isArray && {
-          val it = n.elements(); var ok = true
+        node != null && node.isArray && {
+          val it = node.elements(); var ok = true
           while (ok && it.hasNext) ok = each(it.next())
           ok
         }
@@ -572,9 +594,65 @@ object EdxModels {
   /** Spark-cast-compatible-enough timestamp parse for the envelope `time`
     * field → epoch micros, or [[NoTs]]. Accepts ISO-8601 with offset
     * (the tracking-log wire format), ISO local (UTC), and the
-    * space-separated SQL form. */
+    * space-separated SQL form.
+    *
+    * The wire layout `yyyy-MM-ddTHH:mm:ss[.f{1,6}][Z|±HH:MM]` takes a
+    * manual digit-scan fast path: `OffsetDateTime.parse` costs ~1.2 µs of
+    * the verdict's ~8 µs row budget (measured, graft.ParseProfile) — the
+    * formatter infrastructure, not the arithmetic. The fast path feeds
+    * `LocalDateTime.of` (which still validates month/day ranges) and falls
+    * back to the formatter chain on ANY shape surprise, so accepted inputs
+    * and produced micros are unchanged (PropertySpec fuzzes the
+    * equivalence). */
   def parseTsMicros(s: String): Long = {
     if (s == null || s.isEmpty) return NoTs
+    val fast = parseTsFast(s)
+    if (fast != NoTs) return fast
+    parseTsSlow(s)
+  }
+
+  /** Digit-scan fast path; NoTs = "not this shape, use the formatters". */
+  private def parseTsFast(s: String): Long = {
+    val len = s.length
+    if (len < 19 || s.charAt(4) != '-' || s.charAt(7) != '-' ||
+        s.charAt(10) != 'T' || s.charAt(13) != ':' || s.charAt(16) != ':')
+      return NoTs
+    def d2(i: Int): Int = {
+      val a = s.charAt(i) - '0'; val b = s.charAt(i + 1) - '0'
+      if (a < 0 || a > 9 || b < 0 || b > 9) -1 else a * 10 + b
+    }
+    val y = { val hi = d2(0); val lo = d2(2); if (hi < 0 || lo < 0) return NoTs; hi * 100 + lo }
+    val mo = d2(5); val day = d2(8); val h = d2(11); val mi = d2(14); val se = d2(17)
+    if (mo < 0 || day < 0 || h < 0 || mi < 0 || se < 0) return NoTs
+    var i = 19
+    var micros = 0L
+    if (i < len && s.charAt(i) == '.') {
+      i += 1
+      val fs = i
+      var f = 0L
+      while (i < len && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+        f = f * 10 + (s.charAt(i) - '0'); i += 1
+      }
+      val nd = i - fs
+      if (nd < 1 || nd > 6) return NoTs
+      micros = f * math.pow(10, 6 - nd).toLong
+    }
+    var offSec = 0
+    if (i == len) offSec = 0 // local, treated as UTC (formatter path parity)
+    else if (i == len - 1 && s.charAt(i) == 'Z') offSec = 0
+    else if (i == len - 6 && (s.charAt(i) == '+' || s.charAt(i) == '-') &&
+        s.charAt(i + 3) == ':') {
+      val oh = d2(i + 1); val om = d2(i + 4)
+      if (oh < 0 || om < 0) return NoTs
+      offSec = (oh * 3600 + om * 60) * (if (s.charAt(i) == '+') 1 else -1)
+    } else return NoTs
+    try {
+      val ldt = java.time.LocalDateTime.of(y, mo, day, h, mi, se)
+      (ldt.toEpochSecond(java.time.ZoneOffset.UTC) - offSec) * 1000000L + micros
+    } catch { case _: Exception => NoTs } // out-of-range date → formatters decide
+  }
+
+  private def parseTsSlow(s: String): Long = {
     try {
       val odt = java.time.OffsetDateTime.parse(s)
       odt.toEpochSecond * 1000000L + odt.getNano / 1000L
@@ -609,7 +687,12 @@ object EdxModels {
                            time: String = null, event: String = null,
                            eventType: String = null, session: String = null,
                            agent: String = null, page: String = null,
-                           userId: String = null, courseId: String = null)
+                           userId: String = null, courseId: String = null,
+                           evVideoId: String = null,
+                           evCurrentTime: java.lang.Double = null,
+                           evOldTime: java.lang.Double = null,
+                           evNewTime: java.lang.Double = null,
+                           evCourseId: String = null)
 
   /** One-parse row verdict. The entire validate stage — envelope presence +
     * formats, selector, per-model payload and envelope rules, event-time
@@ -639,11 +722,27 @@ object EdxModels {
       if (src == "server" && typ == path) "server"
       else if (rules.contains((src, typ))) typ
       else null
-    def fields(status: String, model: String) = Verdict(status, model, ts,
-      time = time, event = asString(g(root, "event")), eventType = typ,
-      session = asString(g(root, "session")), agent = asString(g(root, "agent")),
-      page = asString(g(root, "page")), userId = asString(g(ctxNode, "user_id")),
-      courseId = asString(g(ctxNode, "course_id")))
+    // payload-field extraction rides the SAME parsed node the payload
+    // validation consumes (one parse feeds both) — the convert stage's two
+    // from_json(event) re-parses per row are gone. Defined for validated
+    // rows: on a type-broken payload the row never reaches convert, so the
+    // from_json row-level-null nuance cannot be observed downstream.
+    def pStr(node: JsonNode, f: String): String =
+      if (node == null || !node.isObject) null else asString(g(node, f))
+    def pDbl(node: JsonNode, f: String): java.lang.Double =
+      if (node == null || !node.isObject) null
+      else { val v = g(node, f); if (v == null || !v.isNumber) null else v.asDouble() }
+    def fields(status: String, model: String, node: JsonNode = null) =
+      Verdict(status, model, ts,
+        time = time, event = asString(g(root, "event")), eventType = typ,
+        session = asString(g(root, "session")), agent = asString(g(root, "agent")),
+        page = asString(g(root, "page")), userId = asString(g(ctxNode, "user_id")),
+        courseId = asString(g(ctxNode, "course_id")),
+        evVideoId = pStr(node, "id"),
+        evCurrentTime = pDbl(node, "currentTime"),
+        evOldTime = pDbl(node, "old_time"),
+        evNewTime = pDbl(node, "new_time"),
+        evCourseId = pStr(node, "course_id"))
     if (model == null) return fields(StatusUnknown, null)
 
     // envelope FORMAT constraints (base.py:160-169, BaseContextField:89-94)
@@ -665,8 +764,11 @@ object EdxModels {
       page = asString(g(root, "page")),
       session = asString(g(root, "session")),
       mode = asString(g(ctxNode, "mode")))
-    if (!formatOk || !valid(model, src, ctx)) fields(StatusInvalidModel, model)
-    else fields(StatusOk, model)
+    val rule = rules.getOrElse((src, model), null)
+    val node = if (rule != null && needsNode(rule)) parse(ctx.event) else null
+    if (!formatOk || rule == null || !validRule(rule, src, ctx, node))
+      fields(StatusInvalidModel, model, node)
+    else fields(StatusOk, model, node)
   }
 
   /** Static entry point for generated code: verdict as an InternalRow
@@ -681,7 +783,9 @@ object EdxModels {
       u(v.status), u(v.model),
       if (v.tsMicros == NoTs) null else java.lang.Long.valueOf(v.tsMicros),
       u(v.time), u(v.event), u(v.eventType), u(v.session), u(v.agent),
-      u(v.page), u(v.userId), u(v.courseId)))
+      u(v.page), u(v.userId), u(v.courseId),
+      u(v.evVideoId), v.evCurrentTime, v.evOldTime, v.evNewTime,
+      u(v.evCourseId)))
   }
 
 }

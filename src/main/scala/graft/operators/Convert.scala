@@ -96,14 +96,22 @@ object Convert {
       lit("Agent").as("objectType"))
     val timestamp = e("time")
 
-    val video = from_json(e("event"), Schemas.videoPayload)
-    val enr = from_json(e("event"), Schemas.enrollmentPayload)
+    // payload fields ride the verdict struct — extracted from the SAME
+    // Jackson parse the payload validation walked (EdxModels.verdict), so
+    // the former two from_json(event, …) re-parses per row are gone
+    def video(f: String) = f match {
+      case "id" => e("event_video_id")
+      case "currentTime" => e("event_current_time")
+      case "old_time" => e("event_old_time")
+      case "new_time" => e("event_new_time")
+    }
+    val enrCourseId = e("event_pl_course_id")
 
     // object ids
     val serverObjId = concat(lit(urlClean), e("event_type"))
     val pageObjId = e("page")
     val courseObjId = concat(lit(urlClean), lit("/courses/"),
-      regexp_replace(enr("course_id"), "^/+|/+$", ""), lit("/info"))
+      regexp_replace(enrCourseId, "^/+|/+$", ""), lit("/info"))
     val videoObjId = concat(lit(urlClean), lit("/xblock/block-v1:"),
       e("course_id"), lit("-course-v1:+type@video+block@"), video("id"))
 

@@ -169,6 +169,54 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("timestamp fast path equals the formatter chain on every shape (fuzz)") {
+    import graft.functions.EdxModels
+    // formatter-chain reference reimplemented here: the production
+    // parseTsMicros now tries the digit-scan fast path first, and this
+    // property is exactly the claim that the fast path changed nothing
+    def slow(s: String): Long = {
+      if (s == null || s.isEmpty) return EdxModels.NoTs
+      try {
+        val odt = java.time.OffsetDateTime.parse(s)
+        odt.toEpochSecond * 1000000L + odt.getNano / 1000L
+      } catch { case _: Exception =>
+        try {
+          val ldt = java.time.LocalDateTime.parse(s)
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+        } catch { case _: Exception =>
+          try {
+            val t = java.sql.Timestamp.valueOf(s)
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          } catch { case _: Exception => EdxModels.NoTs }
+        }
+      }
+    }
+    // structured generator around the wire shapes + targeted mutations
+    val frac = Gen.oneOf(Gen.const(""), Gen.chooseNum(0, 999999).map(f => s".$f"),
+      Gen.chooseNum(0, 999999999).map(f => s".$f"))
+    val off = Gen.oneOf("", "Z", "+00:00", "+02:00", "-05:30", "+0200", "junk")
+    val shaped = for {
+      y <- Gen.chooseNum(1, 9999); mo <- Gen.chooseNum(0, 13)
+      d <- Gen.chooseNum(0, 32); h <- Gen.chooseNum(0, 24)
+      mi <- Gen.chooseNum(0, 60); se <- Gen.chooseNum(0, 61)
+      f <- frac; o <- off
+      sep <- Gen.oneOf("T", " ", "x")
+    } yield f"$y%04d-$mo%02d-$d%02d$sep$h%02d:$mi%02d:$se%02d$f$o"
+    val garbage = Gen.alphaNumStr
+    check(forAll(Gen.oneOf(shaped, garbage)) { s =>
+      EdxModels.parseTsMicros(s) == slow(s)
+    })
+    // the exact wire format, heavily
+    check(forAll(Gen.chooseNum(0L, 4102444800L), Gen.chooseNum(0, 999999)) { (sec, us) =>
+      val iso = java.time.Instant.ofEpochSecond(sec, us * 1000L)
+        .atOffset(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'"))
+      EdxModels.parseTsMicros(iso) == slow(iso) &&
+        EdxModels.parseTsMicros(iso) == sec * 1000000L + us
+    })
+  }
+
   test("BPE mergeOnce shrinks or preserves length and never emits the merged pair") {
     val seqGen = Gen.listOf(Gen.chooseNum(0, 5)).map(_.toArray)
     check(forAll(seqGen, Gen.chooseNum(0, 5), Gen.chooseNum(0, 5)) { (s, l, r) =>
