@@ -133,6 +133,8 @@ object Bench {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable =>
+        // flag it: a fast failure must not read as a fast cold success
+        failed += s"cold:$name"
         System.err.println(s"cold bench query $name FAILED: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -237,7 +239,9 @@ object Bench {
     // baseline for future rounds, so a run whose scaling gate is below the
     // north rule (or unmeasurable) must never replace it — the r3 driver
     // run overwrote the contract with a 0.776 single-survivor artifact.
-    if (eff28 >= 0.8 && quietRounds.size >= 3)
+    // eff832 > 0 too: a contract whose 8→32 line is the -1 sentinel is an
+    // unmeasurable run and must not become the comparison baseline either
+    if (eff28 >= 0.8 && quietRounds.size >= 3 && eff832 > 0 && failed.isEmpty)
       Files.write(Paths.get("BENCH_CONTRACT.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     else

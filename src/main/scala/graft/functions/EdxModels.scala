@@ -643,7 +643,11 @@ object EdxModels {
     else if (i == len - 6 && (s.charAt(i) == '+' || s.charAt(i) == '-') &&
         s.charAt(i + 3) == ':') {
       val oh = d2(i + 1); val om = d2(i + 4)
-      if (oh < 0 || om < 0) return NoTs
+      // ZoneOffset's domain: minutes < 60, total within ±18:00 — an
+      // out-of-range offset must fall through to the formatters (which
+      // reject it → NoTs), not compute a fabricated epoch
+      if (oh < 0 || om < 0 || om > 59 || oh * 3600 + om * 60 > 18 * 3600)
+        return NoTs
       offSec = (oh * 3600 + om * 60) * (if (s.charAt(i) == '+') 1 else -1)
     } else return NoTs
     try {
@@ -765,9 +769,11 @@ object EdxModels {
       session = asString(g(root, "session")),
       mode = asString(g(ctxNode, "mode")))
     val rule = rules.getOrElse((src, model), null)
-    val node = if (rule != null && needsNode(rule)) parse(ctx.event) else null
-    if (!formatOk || rule == null || !validRule(rule, src, ctx, node))
-      fields(StatusInvalidModel, model, node)
+    // short-circuit BEFORE the payload parse: format-invalid rows must not
+    // pay a Jackson parse they previously skipped (review r4 #6)
+    if (!formatOk || rule == null) return fields(StatusInvalidModel, model)
+    val node = if (needsNode(rule)) parse(ctx.event) else null
+    if (!validRule(rule, src, ctx, node)) fields(StatusInvalidModel, model, node)
     else fields(StatusOk, model, node)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed byte-pair-encoding trainer over token sequences — the
@@ -45,26 +45,44 @@ object BpeTrainer {
     out.toArray
   }
 
+  /** First fresh id: one past the corpus max token — merged ids can never
+    * collide with an existing token. Shared by both trainers (a drifting
+    * copy of the seeding rule would silently change one table). */
+  private def seedNextId(current: Dataset[Array[Int]]): Int = {
+    import current.sparkSession.implicits._
+    val maxRow = current.flatMap(s => s.headOption.map(_ => s.max)).toDF("v")
+      .agg(org.apache.spark.sql.functions.max("v")).collect()(0)
+    if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
+  }
+
+  /** Corpus-wide adjacent-pair counts (packed 64-bit keys), sorted by the
+    * deterministic tiebreak (count desc, key asc) — the per-round shuffle
+    * both trainers share. */
+  private def rankedPairCounts(current: Dataset[Array[Int]]): DataFrame = {
+    import current.sparkSession.implicits._
+    current
+      .flatMap(s => (0 until s.length - 1).map(i => packPair(s(i), s(i + 1))))
+      .groupBy("value").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("value").asc)
+  }
+
   /** Train `nMerges` merges. Returns the learned merge table (in order) and
     * the final rewritten corpus. `minCount` stops early when no pair
-    * clears it (degenerate corpora). Fresh ids start one past the corpus
-    * max so they can never collide with an existing token. */
+    * clears it (degenerate corpora). Kept as an independent loop rather
+    * than `trainBatched(batchK = 1)` on purpose: this is the oracle the
+    * batched trainer's equivalence is fuzz-tested against, and an oracle
+    * that delegates to the code under test proves nothing. */
   def train(seqs: Dataset[Array[Int]], nMerges: Int,
             minCount: Long = 2L): (Seq[Merge], Dataset[Array[Int]]) = {
     val spark = seqs.sparkSession
     import spark.implicits._
     var current = seqs.persist(StorageLevel.MEMORY_AND_DISK)
-    val maxRow = current.flatMap(s => s.headOption.map(_ => s.max)).toDF("v")
-      .agg(org.apache.spark.sql.functions.max("v")).collect()(0)
-    var nextId = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
+    var nextId = seedNextId(current)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < nMerges && !done) {
-      val winner = current
-        .flatMap(s => (0 until s.length - 1).map(i => packPair(s(i), s(i + 1))))
-        .groupBy("value").count()
-        .orderBy(org.apache.spark.sql.functions.col("count").desc,
-          org.apache.spark.sql.functions.col("value").asc)
+      val winner = rankedPairCounts(current)
         .limit(1).as[(Long, Long)].collect().headOption
       winner match {
         case Some((key, cnt)) if cnt >= minCount =>
@@ -134,19 +152,13 @@ object BpeTrainer {
     val spark = seqs.sparkSession
     import spark.implicits._
     var current = seqs.persist(StorageLevel.MEMORY_AND_DISK)
-    val maxRow = current.flatMap(s => s.headOption.map(_ => s.max)).toDF("v")
-      .agg(org.apache.spark.sql.functions.max("v")).collect()(0)
-    var nextId = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
+    var nextId = seedNextId(current)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < nMerges && !done) {
       val want = math.min(batchK, nMerges - merges.length)
-      val cand = current
-        .flatMap(s => (0 until s.length - 1).map(i => packPair(s(i), s(i + 1))))
-        .groupBy("value").count()
+      val cand = rankedPairCounts(current)
         .filter(org.apache.spark.sql.functions.col("count") >= minCount)
-        .orderBy(org.apache.spark.sql.functions.col("count").desc,
-          org.apache.spark.sql.functions.col("value").asc)
         .limit(want + 1).as[(Long, Long)].collect()
       if (cand.isEmpty) done = true
       else {

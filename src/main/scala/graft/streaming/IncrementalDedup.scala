@@ -37,19 +37,37 @@ import graft.operators.{CorpusOps, TextOps}
   * semantics. Upstream must feed each doc_id exactly once (the streaming
   * tier's exact dedup / `dropDuplicatesWithinWatermark` gate does this).
   *
-  * State tables are (doc_id, band, bkey) longs, (doc_id, shingles) and
-  * (doc_id, rep) longs — the band index and label table shuffle-partitioned
-  * and eagerly localCheckpoint-ed each batch (truncates the per-batch plan
-  * growth; on a cluster these become lake tables / reliable checkpoints,
-  * same call shape). The shingle store is the one corpus-proportional
-  * column; it is only ever READ through an id equi-join against candidate
-  * ids, so a lake-resident copy joins partition-pruned at scale.
+  * State: the band index (doc_id, band, bkey) and shingle store (doc_id,
+  * sh) are APPEND-ONLY delta vectors — each batch contributes one eagerly
+  * checkpointed leaf, so maintaining them costs O(batch), never a rewrite
+  * of accumulated state; a read is the union of materialized leaves (at
+  * cluster scale: parquet appends to a lake table). The label table
+  * (doc_id, rep) is the one in-place-mutating state — label-sized,
+  * rewritten only on batches that produce pairs, replaced generations
+  * unpersisted. The shingle store is the one corpus-proportional column;
+  * it is only ever READ through an id equi-join against candidate ids, so
+  * a lake-resident copy joins partition-pruned at scale.
   */
 class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
 
-  private var bandsState: Option[DataFrame] = None    // (doc_id, band, bkey)
-  private var shinglesState: Option[DataFrame] = None // (doc_id, sh)
+  // Band index and shingle store are APPEND-ONLY: state is a vector of
+  // per-batch checkpointed deltas, and a read is their union — each leaf is
+  // already materialized, so appending a batch costs O(batch), never a
+  // rewrite of the accumulated corpus state (the first cut re-checkpointed
+  // union(old, new) every batch — O(corpus) per microbatch, review r4 #4).
+  // On a cluster these vectors ARE lake-table appends (one parquet append
+  // per batch; compaction is the lake's background concern, cf.
+  // [[LakeSink.compactInPlace]]'s tiered policy).
+  private var bandDeltas: Vector[DataFrame] = Vector.empty  // (doc_id, band, bkey)
+  private var shingleDeltas: Vector[DataFrame] = Vector.empty // (doc_id, sh)
+  // The label table is the one state that mutates in place (reps re-point
+  // on merges); it is label-sized, rewritten only on batches that produce
+  // pairs, and the replaced generation is unpersisted. At scale this
+  // becomes a merge-on-read delta in the lake.
   private var labelsState: Option[DataFrame] = None   // (doc_id, rep)
+
+  private def bandsState: Option[DataFrame] = bandDeltas.reduceOption(_ union _)
+  private def shinglesState: Option[DataFrame] = shingleDeltas.reduceOption(_ union _)
 
   import IncrementalDedup.BatchStats
 
@@ -140,7 +158,10 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
           case None =>
             comp.select(col("node").as("doc_id"), col("new_rep").as("rep"))
         }
+        val prev = labelsState
         labelsState = Some(nextLabels.localCheckpoint(true))
+        // the replaced generation's checkpoint blocks are dead — drop them
+        prev.foreach(p => try { p.unpersist(); () } catch { case _: Exception => () })
       }
     } else if (labelsState.isEmpty && nNew > 0) {
       // schema-stable empty label table so `labels` is callable after any
@@ -149,11 +170,11 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
         col("doc_id").as("rep")).limit(0).localCheckpoint(true))
     }
 
-    // append the batch to the persistent index + shingle store
-    bandsState = Some(bandsState.fold(newBands)(_.union(newBands))
-      .localCheckpoint(true))
-    shinglesState = Some(shinglesState.fold(newShingles)(_.union(newShingles))
-      .localCheckpoint(true))
+    // append the batch's (already checkpointed) deltas — O(batch)
+    if (nNew > 0) {
+      bandDeltas :+= newBands
+      shingleDeltas :+= newShingles
+    }
     BatchStats(nNew, nCands, nVerified, nNodes, nTouched, rounds)
   }
 }

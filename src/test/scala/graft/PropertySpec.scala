@@ -194,7 +194,15 @@ class PropertySpec extends SparkSuite {
     // structured generator around the wire shapes + targeted mutations
     val frac = Gen.oneOf(Gen.const(""), Gen.chooseNum(0, 999999).map(f => s".$f"),
       Gen.chooseNum(0, 999999999).map(f => s".$f"))
-    val off = Gen.oneOf("", "Z", "+00:00", "+02:00", "-05:30", "+0200", "junk")
+    // includes OUT-OF-RANGE colon-form offsets (+19:00, +05:99): the fast
+    // path must fall back to the formatters, which reject them (review r4
+    // #1 — the first generator only emitted in-range offsets and missed a
+    // fabricated-epoch acceptance)
+    val off = Gen.oneOf(Gen.oneOf("", "Z", "+0200", "junk"),
+      for {
+        sign <- Gen.oneOf("+", "-")
+        oh <- Gen.chooseNum(0, 99); om <- Gen.chooseNum(0, 99)
+      } yield f"$sign$oh%02d:$om%02d")
     val shaped = for {
       y <- Gen.chooseNum(1, 9999); mo <- Gen.chooseNum(0, 13)
       d <- Gen.chooseNum(0, 32); h <- Gen.chooseNum(0, 24)
