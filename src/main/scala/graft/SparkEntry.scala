@@ -47,6 +47,9 @@ object SparkEntry {
     // invariant oracle: purity + injectivity ⇔ n_distinct_fp == n_texts
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintCheck(s, d)),
     "q_mm_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
+    // r4: REAL MP4 box-walk round trip — deterministic containers built and
+    // decoded in one narrow pass, closed-form oracle incl. quarantined rows
+    "q_mp4_meta" -> ((s, d) => graft.operators.MediaOps.mp4MetaQuery(s, d)),
     "q_frame_sample" -> ((s, d) => TextOps.frameSample(s, d)
       .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx", "byte_offset")),
     // ---- corpus-preparation ops (CorpusOps) ------------------------------
@@ -65,6 +68,11 @@ object SparkEntry {
     "q_quality_quantiles" -> ((s, d) => CorpusOps.qualityQuantiles(s, d)),
     "q_unigram_logprob" -> ((s, d) => CorpusOps.unigramLogProb(s, d)),
     "q_dup_clusters" -> ((s, d) => CorpusOps.dupClusters(s, d)),
+    // r4: the STREAMING incremental maintenance path replayed over the
+    // same table in 3 microbatches — must converge to the identical labels
+    // (same recursive-CTE oracle as q_dup_clusters)
+    "q_dup_clusters_incremental" ->
+      ((s, d) => graft.streaming.IncrementalDedup.replayClusters(s, d)),
     "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
     // capstone: quality filter → near-dup survivor dedup → stratified
     // sample → packed training chunks, one composed pipeline
@@ -385,7 +393,38 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.9), 6) AS p90,
                 max(n_chars) AS mx
          FROM documents GROUP BY 1""",
+    // the synthesized container's metadata is closed-form in doc_id, so the
+    // oracle recomputes what the box walk must decode — incl. the
+    // quarantined every-17th truncated container
+    "q_mp4_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN -1
+                     ELSE (doc_id % 120 + 1) * 500 END AS duration_ms,
+                CASE WHEN doc_id % 17 = 0 THEN -1 ELSE 1000 END AS timescale,
+                CASE WHEN doc_id % 17 = 0 THEN -1
+                     ELSE 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                END AS n_tracks,
+                CASE WHEN doc_id % 17 = 0 THEN -1
+                     ELSE (doc_id % 50 + 10) +
+                          CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 2 ELSE 0 END
+                END AS n_samples,
+                CASE WHEN doc_id % 17 = 0 THEN -1
+                     ELSE 160 + (doc_id % 8) * 40 END AS width,
+                CASE WHEN doc_id % 17 = 0 THEN -1
+                     ELSE 90 + (doc_id % 8) * 30 END AS height,
+                doc_id % 17 <> 0 AS valid
+         FROM documents""",
     "q_dup_clusters" ->
+      s"""WITH RECURSIVE $dupPairsCte,
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1""",
+    // incremental replay must converge to the identical batch answer
+    "q_dup_clusters_incremental" ->
       s"""WITH RECURSIVE $dupPairsCte,
          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),

@@ -291,6 +291,67 @@ object MediaOps {
     bin.mapPartitions(_.map { case (id, bytes) => sniffMp4(id, bytes) }).toDF()
   }
 
+  // ---- Deterministic MP4 synthesis (oracle-gated round trip) -------------
+
+  private def mkBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val b = java.nio.ByteBuffer.allocate(8 + body.length)
+    b.putInt(8 + body.length); b.put(typ.getBytes("US-ASCII")); b.put(body)
+    b.array()
+  }
+  private def i32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+
+  /** Deterministic ISO-BMFF bytes for doc `id` — closed-form metadata so a
+    * SQL oracle can recompute what [[sniffMp4]] must decode
+    * (`q_mp4_meta`): timescale 1000, duration (id%120+1)*500 ticks, a
+    * video track of (160+(id%8)*40)×(90+(id%8)*30) with (id%50+10)
+    * samples, plus a dimension-less second track of (id%7+2) samples when
+    * id%3==0. Every 17th doc is a truncated container (ftyp prefix only) —
+    * the quarantine path must hold inside the driver gate too, not just in
+    * the spec fuzz. */
+  def synthMp4(id: Long): Array[Byte] = {
+    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), i32(512),
+      "isomiso2".getBytes("US-ASCII"))
+    if (id % 17 == 0) return ftyp.take(10) // corrupt: quarantined
+    def mvhd(timescale: Int, dur: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0); b.putInt(0); b.putInt(0) // v0+flags, ctime, mtime
+      b.putInt(timescale); b.putInt(dur.toInt)
+      b.array() // rate/volume/matrix/next-id may stay zero for the walk
+    }
+    def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(12); b.putInt(trackId)
+      b.position(76); b.putInt(w << 16); b.putInt(h << 16)
+      b.array()
+    }
+    def stsz(n: Long): Array[Byte] = i32(0) ++ i32(0) ++ i32(n)
+    def trak(tk: Array[Byte], samples: Long): Array[Byte] =
+      mkBox("trak", mkBox("tkhd", tk),
+        mkBox("mdia", mkBox("minf", mkBox("stbl", mkBox("stsz", stsz(samples))))))
+    val w = 160 + (id % 8).toInt * 40
+    val h = 90 + (id % 8).toInt * 30
+    val t1 = trak(tkhd(1, w, h), id % 50 + 10)
+    val tracks =
+      if (id % 3 == 0) t1 ++ trak(tkhd(2, 0, 0), id % 7 + 2) else t1
+    ftyp ++ mkBox("moov", mkBox("mvhd", mvhd(1000, (id % 120 + 1) * 500L)),
+      tracks) ++ mkBox("mdat", Array.fill(8)(0.toByte))
+  }
+
+  /** `q_mp4_meta`: synthesize the deterministic container per document,
+    * box-walk it back, emit the closed-form-checkable fields. The bytes
+    * are built and decoded inside ONE mapPartitions pass — binary payloads
+    * never shuffle. */
+  def mp4MetaQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.documents(spark, dir).select("doc_id").as[Long]
+      .mapPartitions(_.map(id => sniffMp4(id, synthMp4(id))))
+      .toDF()
+      .select("doc_id", "duration_ms", "timescale", "n_tracks", "n_samples",
+        "width", "height", "valid")
+  }
+
   // ---- Real pixel ops on uncompressed BMP (raw BGR byte math) ------------
 
   private def bmpGeometry(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {

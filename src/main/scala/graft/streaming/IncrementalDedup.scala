@@ -69,6 +69,20 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
   private def bandsState: Option[DataFrame] = bandDeltas.reduceOption(_ union _)
   private def shinglesState: Option[DataFrame] = shingleDeltas.reduceOption(_ union _)
 
+  /** Bound the union-plan width for long-lived in-memory sessions: past 64
+    * leaves, fold the delta vectors into one checkpointed frame and free
+    * the old blocks — amortized O(corpus/64) per batch, plan width ≤ 64.
+    * (The lake-table deployment doesn't need this: there the "union" is a
+    * file listing and compaction is the sink's tiered background job.) */
+  private def compactIfWide(): Unit = if (bandDeltas.size >= 64) {
+    val b = bandDeltas.reduce(_ union _).localCheckpoint(true)
+    val s = shingleDeltas.reduce(_ union _).localCheckpoint(true)
+    (bandDeltas ++ shingleDeltas).foreach(df =>
+      try { df.unpersist(); () } catch { case _: Exception => () })
+    bandDeltas = Vector(b)
+    shingleDeltas = Vector(s)
+  }
+
   import IncrementalDedup.BatchStats
 
   /** Current labels `(doc_id, rep)` — same shape + semantics as
@@ -174,6 +188,7 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     if (nNew > 0) {
       bandDeltas :+= newBands
       shingleDeltas :+= newShingles
+      compactIfWide()
     }
     BatchStats(nNew, nCands, nVerified, nNodes, nTouched, rounds)
   }
@@ -185,4 +200,23 @@ object IncrementalDedup {
   final case class BatchStats(
       nNewDocs: Long, nCandidatePairs: Long, nVerifiedPairs: Long,
       nGraphNodes: Long, nTouchedReps: Long, ccRounds: Int)
+
+  /** Batch-shaped driver for the ORACLE GATE (`q_dup_clusters_incremental`):
+    * replays the documents table as `nChunks` microbatches (doc_id mod
+    * chunking — arrival order must not matter) through a fresh
+    * [[IncrementalDedup]] and returns the final labels. The DuckDB oracle
+    * is the SAME recursive-CTE connected-components query that checks
+    * [[graft.operators.CorpusOps.dupClusters]]: the hard correctness signal
+    * that incremental maintenance converges to exactly the batch answer on
+    * real data, not just the spec fixture. */
+  def replayClusters(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     threshold: Double = 0.5, nChunks: Int = 3): DataFrame = {
+    val docs = graft.operators.TextOps.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val inc = new IncrementalDedup(threshold)
+    (0 until nChunks).foreach { c =>
+      inc.addBatch(docs.filter(pmod(col("doc_id"), lit(nChunks)) === c))
+    }
+    inc.labels
+  }
 }

@@ -366,6 +366,32 @@ class MediaOpsSpec extends SparkSuite {
     assert(out.size === 4)
   }
 
+  test("synthMp4 round-trips its closed-form metadata (the q_mp4_meta contract)") {
+    (0L until 200L).foreach { id =>
+      val m = MediaOps.sniffMp4(id, MediaOps.synthMp4(id))
+      if (id % 17 == 0) assert(!m.valid, s"id $id should be quarantined")
+      else {
+        assert(m.valid, s"id $id should decode")
+        assert(m.duration_ms === (id % 120 + 1) * 500)
+        assert(m.timescale === 1000)
+        assert(m.n_tracks === (if (id % 3 == 0) 2 else 1))
+        assert(m.n_samples ===
+          (id % 50 + 10) + (if (id % 3 == 0) id % 7 + 2 else 0L))
+        assert(m.width === 160 + (id % 8).toInt * 40)
+        assert(m.height === 90 + (id % 8).toInt * 30)
+      }
+    }
+    // cross-check the main-code builder against this spec's INDEPENDENT
+    // box builders: same logical container, same decoded metadata
+    val independent = ftyp ++ box("moov",
+      box("mvhd", mvhd(1000, (5L % 120 + 1) * 500)),
+      trak(tkhd(1, 160 + 5 * 40, 90 + 5 * 30), box("stsz", stsz((5 % 50 + 10).toInt))))
+    val a = MediaOps.sniffMp4(5L, MediaOps.synthMp4(5L))
+    val b = MediaOps.sniffMp4(5L, independent)
+    assert((a.duration_ms, a.timescale, a.n_tracks, a.n_samples, a.width, a.height) ===
+      ((b.duration_ms, b.timescale, b.n_tracks, b.n_samples, b.width, b.height)))
+  }
+
   test("MP4 adversarial bytes: size wraps, zero sizes, truncations never throw") {
     val good = ftyp ++ box("moov", box("mvhd", mvhd(1000, 1000)),
       trak(tkhd(1, 64, 64), box("stsz", stsz(5))))
