@@ -57,6 +57,12 @@ object SparkEntry {
     "q_seq_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q_pseudonymize" -> ((s, d) => CorpusOps.pseudonymize(s, d)),
     "q_decontam" -> ((s, d) => CorpusOps.contamination(s, d)),
+    // r4: overlap-FRACTION contamination (the policy metric real
+    // decontamination thresholds on; integer-exact keep boundary)
+    "q_contam_overlap" -> ((s, d) => CorpusOps.contaminationOverlap(s, d)),
+    // r4: overlapping sliding-window chunking (RAG/embedding prep) —
+    // shuffle-free narrow explode, closed-form oracle
+    "q_chunk_overlap" -> ((s, d) => CorpusOps.chunkDocs(s, d)),
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     // GPT-3-style temperature mix planner (w_s ∝ tokens^alpha)
     "q_source_weights" -> ((s, d) => CorpusOps.temperatureMix(s, d)),
@@ -100,6 +106,27 @@ object SparkEntry {
     // nProbe = nCells probes every cell → exact by construction; production
     // uses nProbe << nCells (the equi-join plumbing is identical)
     "q_ann_ivf" -> ((s, d) => EmbeddingOps.ivfTopK(s, d, nProbe = 16, nCells = 16)),
+    // r4: STREAMING index maintenance — the index is trained on the first
+    // third of the corpus only, the rest arrives as two appended batches
+    // assigned to the frozen centroids (no retraining, no rewrites); the
+    // full-probe config is exact regardless of cell assignment, so the
+    // brute-force oracle verifies every appended vector is present exactly
+    // once and the probe machinery reads the appended files correctly
+    "q_ann_ivf_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfinc-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = EmbeddingOps.embeddings(s, d)
+      // deterministic path, ALWAYS rebuilt (the q_ann_ivfpq rationale);
+      // STATIC overwrite clears any earlier appends atomically
+      EmbeddingOps.buildIvfIndexOn(s, emb.filter(col("vec_id") % 3 === 0),
+        idx, nCells = 16)
+      EmbeddingOps.appendToIvfIndex(s, idx, emb.filter(col("vec_id") % 3 === 1))
+      EmbeddingOps.appendToIvfIndex(s, idx, emb.filter(col("vec_id") % 3 === 2))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      EmbeddingOps.ivfTopKIndexed(s, idx, queries, k = 5, nProbe = 16)
+    }),
     // PQ compressed candidate scan (trained bounded codebooks, ADC lookup
     // scoring) + exact re-rank of the top 64 per query: equals brute force
     // whenever the true top-k survives the candidate stage — verified
@@ -257,6 +284,9 @@ object SparkEntry {
     // by construction (every cell probed through the same equi-join)
     "q_ann_lsh" -> cosTopkOracle,
     "q_ann_ivf" -> cosTopkOracle,
+    // full-probe config ≡ brute force even with frozen chunk-0 centroids —
+    // the oracle proves the appends landed exactly once
+    "q_ann_ivf_incremental" -> cosTopkOracle,
     "q_ann_pq" -> cosTopkOracle,
     "q_ann_ivfpq" -> cosTopkOracle,
     "q_cos_neardup_multi" -> nearDupBucketedMultiOracle,
@@ -324,6 +354,31 @@ object SparkEntry {
          bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
          SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
          FROM sh JOIN bench USING (s) WHERE sh.doc_id % 50 <> 0 GROUP BY 1""",
+    // overlap fraction: LEFT join the broadcastable bench shingle set, the
+    // keep boundary integer-exact (5·hits ≥ shingles ⇔ frac ≥ 0.2)
+    "q_contam_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[k:k+3], ' ') AS s
+                FROM w, unnest(generate_series(1, len(ws) - 3)) t(k)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         SELECT sh.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hits,
+                round(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                        / count(*), 6) AS overlap_frac,
+                sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) * 5 >= count(*)
+                  AS contaminated
+         FROM sh LEFT JOIN bench b ON sh.s = b.s
+         WHERE sh.doc_id % 50 <> 0 GROUP BY 1""",
+    // chunk grid is closed-form in the token count: starts every 48 tokens
+    // while inside the document, windows truncate at the end
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                    FROM documents)
+         SELECT doc_id, CAST(k // 48 AS BIGINT) AS chunk_idx,
+                CAST(k AS BIGINT) AS start_tok,
+                CAST(least(k + 64, n) AS BIGINT) AS end_tok
+         FROM t, unnest(generate_series(0, n - 1, 48)) s(k)""",
     "q_source_sample" ->
       """SELECT source, count(*) AS n_total,
                 CAST(sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINTEGER % 20

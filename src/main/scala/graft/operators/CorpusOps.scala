@@ -151,6 +151,57 @@ object CorpusOps {
       .agg(countDistinct(col("s")).as("n_hits"))
   }
 
+  /** Overlap-FRACTION contamination scoring — the GPT-3/Pile-style
+    * "dirtiness" metric ([[contamination]] reports the raw hit count; real
+    * decontamination policies threshold on the *fraction* of a document's
+    * n-grams that appear in the eval set). Per training document: distinct
+    * k-word shingles, how many of them occur anywhere in the benchmark
+    * slice, their ratio, and the policy flag.
+    *
+    * Scale shape is identical to [[contamination]]: the eval side is tiny
+    * (thousands of docs vs a trillion-token corpus) so it collapses to a
+    * broadcast distinct-shingle set; the training side pays one
+    * (doc_id, shingle) distinct + one doc_id groupBy, both with map-side
+    * combine, and never joins back to itself. The threshold compare is
+    * integer-exact (`5·hits ≥ shingles`, not a float ≥ 0.2) so the keep
+    * boundary cannot drift between engines — the [[qualityScore]]
+    * sign-of-z lesson applied here. */
+  def contaminationOverlap(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), k)).as("s"))
+    val bench = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 50 =!= 0).distinct()
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0)).cast("long").as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("overlap_frac"),
+        (col("n_hits") * 5 >= col("n_shingles")).as("contaminated"))
+  }
+
+  /** Sliding-window chunk materialisation — the overlapping-window prep for
+    * embedding/RAG-style indexes (distinct from [[packSequences]], which
+    * concatenates documents into gap-free training chunks): every document
+    * becomes windows of `width` tokens starting every `stride` tokens, the
+    * trailing windows truncating at the document end.
+    *
+    * Pure narrow projection: the chunk table explodes from a per-row
+    * `sequence()` — no shuffle, no state, whole-stage codegen end to end —
+    * so at 100 TB it pipelines directly into the embedding stage or the
+    * chunk writer with zero exchange. */
+  def chunkDocs(spark: SparkSession, dir: String, width: Int = 64,
+                stride: Int = 48): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(col("col") + width, col("n_tok")).as("end_tok"))
+
   // ---- Cross-document exact-substring (span) duplication -----------------
 
   /** Span-level duplication audit — the exact-substring signal ("repeated

@@ -286,13 +286,41 @@ object EmbeddingOps {
   }
 
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-                    nCells: Int = 16): Unit = {
-    val all = embeddings(spark, dir)
-    val cents = trainCentroids(all, nCells)
+                    nCells: Int = 16): Unit =
+    buildIvfIndexOn(spark, embeddings(spark, dir), indexPath, nCells)
+
+  /** Build over an explicit vector frame (the streaming tier trains on the
+    * history prefix, then [[appendToIvfIndex]] absorbs later batches).
+    * `overwrite` is STATIC partition overwrite — the whole vectors dir is
+    * replaced, so a rebuild atomically clears every earlier append. */
+  def buildIvfIndexOn(spark: SparkSession, vectors: DataFrame,
+                      indexPath: String, nCells: Int = 16): Unit = {
+    val cents = trainCentroids(vectors, nCells)
     writeCodebook(spark, s"$indexPath/codebook", cents)
-    all.withColumn("cluster",
+    vectors.withColumn("cluster",
         graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
       .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexPath/vectors")
+  }
+
+  /** Streaming-tier IVF maintenance: absorb a batch of new vectors into an
+    * EXISTING index without retraining — each vector is assigned to its
+    * nearest CURRENT centroid and appended as new files under that cell's
+    * partition directory. Cell assignment stays immutable, so probes remain
+    * partition-prunable and already-written files are never rewritten (on a
+    * lake deployment this is exactly the streaming sink's append; small
+    * files graduate through the sink's tiered compaction). Centroid drift
+    * is absorbed by periodic full rebuilds ([[buildIvfIndexOn]] over the
+    * accumulated corpus) — never per batch, which would reshuffle every
+    * historical vector's cell. Recall under drift degrades gracefully: a
+    * vector near a stale boundary is still found by multi-cell probing
+    * (`nProbe` > 1), the same dial RECALL.md commits for the batch index. */
+  def appendToIvfIndex(spark: SparkSession, indexPath: String,
+                       batch: DataFrame): Unit = {
+    val cents = loadCodebook(spark, indexPath)
+    batch.withColumn("cluster",
+        graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
+      .write.mode("append").partitionBy("cluster")
       .parquet(s"$indexPath/vectors")
   }
 

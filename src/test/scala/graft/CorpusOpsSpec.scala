@@ -142,6 +142,51 @@ class CorpusOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("overlap-fraction contamination agrees with the hit-count pass; boundary is integer-exact") {
+    val hits = CorpusOps.contamination(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val ov = CorpusOps.contaminationOverlap(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(ov.nonEmpty)
+    ov.foreach { case (id, nSh, nHits, frac, flag) =>
+      assert(nHits <= nSh)
+      // same distinct-hit count as the membership pass (0 when absent there)
+      assert(nHits === hits.getOrElse(id, 0L), s"doc $id")
+      assert(math.abs(frac - nHits.toDouble / nSh) < 1e-6)
+      // the flag is the integer comparison, not a float threshold
+      assert(flag === (nHits * 5 >= nSh))
+    }
+    // every doc with zero hits must still be present (LEFT join, not inner)
+    assert(ov.count(_._3 == 0) > 0)
+  }
+
+  test("sliding-window chunking tiles every document gap-free and shuffle-free") {
+    val df = CorpusOps.chunkDocs(spark, dir, width = 64, stride = 48)
+    // narrow projection end to end: no exchange anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    val nTok = graft.operators.TextOps.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rows = df.as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length === nTok.size) // every doc chunks
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L) // first chunk starts at 0
+      assert(sorted.last._4 === nTok(id)) // last chunk reaches the end
+      sorted.zipWithIndex.foreach { case ((_, idx, start, end), i) =>
+        assert(idx === i.toLong)
+        assert(start === 48L * i) // the stride grid
+        assert(end - start <= 64 && end > start)
+      }
+      // width > stride ⇒ consecutive chunks overlap, never gap
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 < a._4, s"gap in doc $id")
+        case _ =>
+      }
+    }
+  }
+
   test("decontamination broadcasts the benchmark side (no corpus shuffle join)") {
     val p = CorpusOps.contamination(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")

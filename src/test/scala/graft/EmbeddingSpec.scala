@@ -142,6 +142,33 @@ class EmbeddingSpec extends SparkSuite {
     assert(got.intersect(truth).size >= truth.size / 2)
   }
 
+  test("incremental IVF append: frozen centroids absorb batches, full-probe stays exact") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val emb = EmbeddingOps.embeddings(spark, dir)
+    EmbeddingOps.buildIvfIndexOn(spark, emb.filter(col("vec_id") % 3 === 0),
+      idx, nCells = 16)
+    val cents0 = EmbeddingOps.loadCodebook(spark, idx)
+    EmbeddingOps.appendToIvfIndex(spark, idx, emb.filter(col("vec_id") % 3 === 1))
+    EmbeddingOps.appendToIvfIndex(spark, idx, emb.filter(col("vec_id") % 3 === 2))
+    // appends never retrain: the codebook is byte-identical
+    assert(EmbeddingOps.loadCodebook(spark, idx).map(_.toSeq).toSeq
+      === cents0.map(_.toSeq).toSeq)
+    // every vector present exactly once after the two appends
+    val ids = spark.read.parquet(s"$idx/vectors").select("vec_id")
+      .as[Long].collect().sorted
+    val all = emb.select("vec_id").as[Long].collect().sorted
+    assert(ids.toSeq === all.toSeq)
+    // full-probe over the appended index ≡ brute force (the oracle config)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = EmbeddingOps.ivfTopKIndexed(spark, idx, queries, k = 5, nProbe = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val truth = EmbeddingOps.bruteTopK(spark, dir, 10, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === truth)
+  }
+
   test("multi-table bucketed near-dup: superset of single-table, recall rises toward ground truth") {
     val truth = EmbeddingOps.nearDupPairsGroundTruth(spark, dir, 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
