@@ -34,6 +34,13 @@ object SparkEntry {
     "q_tumbling_counts" -> ((s, d) => EventOps.tumblingCounts(s, d)),
     "q_sliding_counts" -> ((s, d) => EventOps.slidingCounts(s, d)),
     "q_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    // r4 CEP: time-bounded ordered funnel (view→click→purchase, each ≤12h)
+    // as a one-exchange windowed state machine; streaming twin = Funnel
+    "q_cep_funnel" -> ((s, d) => EventOps.cepFunnel(s, d)),
+    // r4: as-of attribution join (click → latest view at-or-before), the
+    // union+last-ignoreNulls trick — no join operator, verified vs DuckDB's
+    // native ASOF JOIN
+    "q_asof_join" -> ((s, d) => EventOps.asofAttribution(s, d)),
     // ---- training-data text ops -----------------------------------------
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -227,6 +234,44 @@ object SparkEntry {
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                 count(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    // the same windowed state machine, expressed in DuckDB's window dialect;
+    // strictly-preceding frames (1 PRECEDING) keep the pattern ordered
+    "q_cep_funnel" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type='view' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+           FROM events),
+         o2 AS (
+           SELECT *, event_type='click' AND last_view IS NOT NULL
+                     AND ts - last_view <= INTERVAL 12 HOUR AS qclick FROM o),
+         o3 AS (
+           SELECT *, max(CASE WHEN qclick THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qclick
+           FROM o2),
+         o4 AS (
+           SELECT *, event_type='purchase' AND last_qclick IS NOT NULL
+                     AND ts - last_qclick <= INTERVAL 12 HOUR AS conv FROM o3)
+         SELECT user_id,
+                CAST(sum(CASE WHEN qclick THEN 1 ELSE 0 END) AS BIGINT) AS n_qclicks,
+                CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+                strftime(min(CASE WHEN conv THEN ts END),
+                         '%Y-%m-%d %H:%M:%S.%f') AS first_conv
+         FROM o4 GROUP BY 1
+         HAVING sum(CASE WHEN qclick THEN 1 ELSE 0 END) > 0""",
+    // DuckDB's NATIVE ASOF JOIN is the oracle — an independent algorithm
+    // (sorted probe) checking the union+window implementation
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type='click'),
+            views  AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type='view')
+         SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+                round(CAST(epoch(c.ts) - epoch(v.ts) AS DOUBLE), 6) AS lag_sec
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND v.ts <= c.ts""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text""",

@@ -106,6 +106,92 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .select(tsStr(col("window.start")).as("win_start"), col("event_type"), col("n"))
 
+  /** CEP ordered-pattern match (north rule: "structured-streaming / CEP
+    * engine") — the classic time-bounded funnel
+    * `view →(≤H h) click →(≤H h) purchase` per user, as a windowed state
+    * machine: `last_view` = latest view strictly before this row, a click
+    * "qualifies" iff a view happened within the bound, `last_qclick` chains
+    * the second transition, a purchase "converts" iff a qualified click
+    * happened within the bound. Strictly-preceding frames make a row never
+    * match itself, so the pattern is genuinely ordered (ties broken by
+    * event_id, deterministic).
+    *
+    * Scale shape: both window passes and the final groupBy share ONE hash
+    * partitioning on user_id — a single exchange + per-partition sort
+    * carries the whole query (EventOpsSpec asserts exactly one Exchange).
+    * This is the batch twin of [[graft.streaming.Funnel]], which runs the
+    * same machine incrementally under a watermark. */
+  def cepFunnel(spark: SparkSession, dir: String, boundHours: Int = 12): DataFrame = {
+    val prev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bound = expr(s"INTERVAL $boundHours HOURS")
+    val staged = cepFunnelStaged(events(spark, dir), prev, bound)
+    staged.groupBy("user_id")
+      .agg(sum(when(col("qclick"), 1L).otherwise(0L)).as("n_qclicks"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_conversions"),
+        tsStr(min(when(col("conv"), col("ts")))).as("first_conv"))
+      .filter(col("n_qclicks") > 0)
+  }
+
+  /** The funnel state columns on every event row — shared by [[cepFunnel]]
+    * and the streaming-parity test (which compares per-event `conv` flags,
+    * not just the aggregate). */
+  private[graft] def cepFunnelStaged(ev: DataFrame,
+      prev: org.apache.spark.sql.expressions.WindowSpec,
+      bound: org.apache.spark.sql.Column): DataFrame =
+    ev.withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(prev))
+      .withColumn("qclick",
+        col("event_type") === "click" && col("last_view").isNotNull &&
+          col("ts") <= col("last_view") + bound)
+      .withColumn("last_qclick", max(when(col("qclick"), col("ts"))).over(prev))
+      .withColumn("conv",
+        col("event_type") === "purchase" && col("last_qclick").isNotNull &&
+          col("ts") <= col("last_qclick") + bound)
+
+  private[graft] def cepStagedDefault(spark: SparkSession, dir: String): DataFrame =
+    cepFunnelStaged(events(spark, dir),
+      Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1),
+      expr("INTERVAL 12 HOURS"))
+
+  /** As-of (attribution) join — each click joined to the most recent view
+    * by the same user at or before it: the point-in-time join every
+    * event-to-profile or touch-attribution pipeline needs, and the batch
+    * twin of the stream-stream interval join (J3).
+    *
+    * Implementation is the scalable union trick, NOT a range join: tag both
+    * sides, sort (ts, kind) inside each user partition, and carry the last
+    * non-null view id/ts forward with `last(_, ignoreNulls)` — one
+    * exchange, one sort, zero join operators, no range-explosion. At equal
+    * timestamps the view (kind 0) sorts before the click, giving the
+    * inclusive `v.ts <= c.ts` semantics DuckDB's ASOF JOIN verifies.
+    * A plain range join would build (click × all prior views) before
+    * aggregating — quadratic per hot user; this stays O(n log n). */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("view_id"), lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("view_id"), col("event_id").as("click_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(clicks)
+      .withColumn("attr_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("attr_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      // micros-difference is timezone-shift invariant, so TIMESTAMP vs
+      // TIMESTAMP_NTZ parquet readings agree (cf. keysetPage2 note)
+      .select(col("click_id"), col("user_id"),
+        col("attr_view").as("view_id"),
+        round((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("attr_ts").cast("timestamp"))).cast("double") / 1e6, 6)
+          .as("lag_sec"))
+  }
+
   /** A3 (batch twin): sessionization per actor with a gap timeout — the
     * exact semantics `session_window`/flatMapGroupsWithState apply
     * incrementally in the streaming job. Gap boundary = lag-diff > gap;

@@ -13,6 +13,55 @@ class EventOpsSpec extends SparkSuite {
     assert(kept.toSeq === Seq(1))
   }
 
+  test("CEP funnel: one exchange carries both window passes and the aggregate") {
+    val df = EventOps.cepFunnel(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx === 1, s"expected a single user_id exchange:\n$plan")
+    // counts agree with the staged per-event flags
+    val staged = EventOps.cepStagedDefault(spark, sf("sf0.01"))
+    val qclicks = staged.filter(col("qclick")).count()
+    val convs = staged.filter(col("conv")).count()
+    val agg = df.agg(sum("n_qclicks"), sum("n_conversions")).as[(Long, Long)].head()
+    assert(agg === ((qclicks, convs)))
+    assert(convs > 0, "funnel must discriminate at sf0.01")
+  }
+
+  test("as-of attribution matches a brute-force recompute; plan has no join operator") {
+    val df = EventOps.asofAttribution(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"union+window must not plan a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+
+    val ev = EventOps.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val byUser = ev.groupBy(_._3)
+    val expected = byUser.values.flatMap { es =>
+      val views = es.filter(_._4 == "view").map(e => (e._2.getTime, e._1)).sorted
+      es.filter(_._4 == "click").map { c =>
+        val prior = views.filter(_._1 <= c._2.getTime)
+        val attr = if (prior.isEmpty) None else Some(prior.max)
+        (c._1, attr.map(_._2),
+          attr.map(v => (c._2.getTime - v._1).toDouble / 1000))
+      }
+    }.toSeq
+    val got = df.select("click_id", "view_id", "lag_sec")
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(got.length === expected.length)
+    val em = expected.map(e => e._1 -> e).toMap
+    got.foreach { case (cid, vid, lag) =>
+      val e = em(cid)
+      assert(vid === e._2, s"click $cid")
+      (lag, e._3) match {
+        // brute force uses ms-truncated getTime; micros live in the oracle
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-3, s"click $cid")
+        case (a, b) => assert(a.isEmpty === b.isEmpty, s"click $cid")
+      }
+    }
+    assert(got.exists(_._2.isEmpty), "some clicks must be unattributed")
+  }
+
   test("approx distinct (HLL) is within rsd of the exact count (A4)") {
     val exact = EventOps.distinctUsers(spark, sf("sf0.01"))
       .select("event_type", "n_users").as[(String, Long)].collect().toMap

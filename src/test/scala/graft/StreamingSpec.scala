@@ -771,4 +771,37 @@ class StreamingSpec extends SparkSuite {
     assert(inc.labels.as[(Long, Long)].collect().toSet ===
       Set(1L -> 1L, 3L -> 1L))
   }
+
+  test("streaming CEP funnel: buffered-until-watermark machine ≡ the batch windowed machine") {
+    import graft.streaming.Funnel
+    val dir = sf("sf0.001")
+    val batchConv = graft.operators.EventOps.cepStagedDefault(spark, dir)
+      .filter(col("conv")).select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(batchConv.nonEmpty)
+
+    val evs = graft.operators.EventOps.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .as[Funnel.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Funnel.Ev]
+    val out = Funnel(mem.toDS().withWatermark("ts", "30 minutes"))
+    val cp = tmp("cpfunnel")
+    val q = out.writeStream.format("memory").queryName("cep_conv")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    // three time-contiguous chunks, each delivered in REVERSED arrival
+    // order: within the watermark horizon arrival order must not matter
+    evs.grouped(evs.length / 3 + 1).foreach { c =>
+      mem.addData(c.reverse.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    // far-future sentinel pushes the watermark past every real event so the
+    // per-key buffers drain through the event-time timeout path
+    mem.addData(Funnel.Ev(-1L,
+      new Timestamp(evs.last.ts.getTime + 48L * 3600 * 1000), -1L, "view"))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("cep_conv").select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === batchConv)
+  }
 }
