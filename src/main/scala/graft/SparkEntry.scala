@@ -70,6 +70,16 @@ object SparkEntry {
     // r4: overlapping sliding-window chunking (RAG/embedding prep) —
     // shuffle-free narrow explode, closed-form oracle
     "q_chunk_overlap" -> ((s, d) => CorpusOps.chunkDocs(s, d)),
+    // r4: token-budget curation — best-quality docs until 40% of corpus
+    // tokens, banded two-phase global cumsum (no single-partition sort)
+    "q_token_budget" -> ((s, d) => CorpusOps.tokenBudget(s, d)),
+    // r4: hot-key skew audit — the fan-out numbers the salting stage eats
+    "q_skew_audit" -> ((s, d) => EventOps.skewAudit(s, d)),
+    // r4: model-free feature-hash text embedding (md5-bucket signed counts,
+    // integer-exact) + brute cosine top-k over it: text→vector→search
+    // end-to-end with a bit-exact oracle
+    "q_hash_embed" -> ((s, d) => TextOps.hashEmbed(s, d)),
+    "q_hash_embed_topk" -> ((s, d) => TextOps.hashEmbedTopK(s, d)),
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     // GPT-3-style temperature mix planner (w_s ∝ tokens^alpha)
     "q_source_weights" -> ((s, d) => CorpusOps.temperatureMix(s, d)),
@@ -424,6 +434,71 @@ object SparkEntry {
                 CAST(k AS BIGINT) AS start_tok,
                 CAST(least(k + 64, n) AS BIGINT) AS end_tok
          FROM t, unnest(generate_series(0, n - 1, 48)) s(k)""",
+    // global ordered cumsum under a 40%-of-total token budget; the engine's
+    // banded two-phase cumsum must reproduce it row-for-row
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+                  round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                        / len(string_split(text,' ')), 6) AS score
+           FROM documents),
+         b AS (SELECT CAST(floor(sum(n_tok) * 0.4) AS BIGINT) AS budget FROM t),
+         c AS (SELECT doc_id, score, n_tok,
+                      CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+               FROM t)
+         SELECT c.doc_id, c.score, c.n_tok, c.cum_tok
+         FROM c, b WHERE c.cum_tok <= b.budget""",
+    "q_skew_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys
+                 FROM k)
+         SELECT user_id, CAST(n AS BIGINT) AS n,
+                round(n / CAST(total AS DOUBLE), 6) AS share,
+                round((CAST(n AS DOUBLE) * n_keys) / total, 6) AS skew,
+                CAST(ceil((CAST(n AS DOUBLE) * n_keys) / total) AS BIGINT) AS salt
+         FROM k, tot ORDER BY n DESC, user_id LIMIT 20""",
+    // DuckDB recomputes the signed feature-hash embedding from scratch:
+    // md5 bucket + sign per token, integer counts, exact-int L2 norm
+    "q_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                      FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x'||substr(md5(w),1,8))::UINTEGER % 16 AS INT) AS dim,
+                      CASE WHEN ('0x'||substr(md5(w),9,1))::UINTEGER % 2 = 0
+                           THEN 1 ELSE -1 END AS sgn
+               FROM tok),
+         v AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS val
+               FROM h GROUP BY 1,2 HAVING sum(sgn) <> 0),
+         n AS (SELECT doc_id, sqrt(CAST(sum(val*val) AS DOUBLE)) AS nrm
+               FROM v GROUP BY 1)
+         SELECT v.doc_id, v.dim, round(v.val / n.nrm, 6) AS v
+         FROM v JOIN n USING (doc_id)""",
+    "q_hash_embed_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                      FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x'||substr(md5(w),1,8))::UINTEGER % 16 AS INT) AS dim,
+                      CASE WHEN ('0x'||substr(md5(w),9,1))::UINTEGER % 2 = 0
+                           THEN 1 ELSE -1 END AS sgn
+               FROM tok),
+         v AS (SELECT doc_id, dim, sum(sgn) AS val
+               FROM h GROUP BY 1,2 HAVING sum(sgn) <> 0),
+         nrm AS (SELECT doc_id, sqrt(CAST(sum(val*val) AS DOUBLE)) AS nrm
+                 FROM v GROUP BY 1),
+         dots AS (SELECT q.doc_id AS query_id, c.doc_id,
+                         CAST(sum(q.val * c.val) AS BIGINT) AS dot
+                  FROM v q JOIN v c ON q.dim = c.dim
+                  WHERE q.doc_id % 101 = 0 AND c.doc_id % 101 <> 0
+                  GROUP BY 1,2),
+         sc AS (SELECT d.query_id, d.doc_id,
+                       round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+                FROM dots d JOIN nrm nq ON nq.doc_id = d.query_id
+                            JOIN nrm nc ON nc.doc_id = d.doc_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, doc_id) AS rank FROM sc)
+         SELECT query_id, doc_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM rk WHERE rank <= 10""",
     "q_source_sample" ->
       """SELECT source, count(*) AS n_total,
                 CAST(sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINTEGER % 20

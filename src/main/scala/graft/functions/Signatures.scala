@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -206,6 +206,87 @@ object Signatures {
 
   def simhash64(words: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(words)))
+
+  /** Signed feature-hash ("hashing trick") embedding of a token array into
+    * `dim` integer counts, one md5 per token, one pass. The bucket is the
+    * first 4 md5 bytes big-endian mod `dim` and the sign is the parity of
+    * the 9th hex digit (high nibble of byte 4) — both recomputable by the
+    * SQL oracle as `('0x'||substr(md5(w),1,8))::UINTEGER % dim` and
+    * `('0x'||substr(md5(w),9,1))::UINTEGER % 2`, so the embedding is
+    * engine-exact integer data, not float soup. */
+  def hashEmbed(arr: ArrayData, dim: Int): ArrayData = {
+    val md = md5Digest.get()
+    val counts = new Array[Long](dim)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      val idx = (h % dim).toInt
+      val sgn = if (((d(4) >> 4) & 1) == 0) 1L else -1L
+      counts(idx) += sgn
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** L2-normalize an integer count vector to round-6 doubles (zero vector
+    * stays all-zero). Norm = sqrt of the exact integer sum of squares, so
+    * every output slot is bit-identical to the oracle's
+    * `round(val / sqrt(sum(val*val)), 6)`. */
+  def l2NormR6(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var ss = 0L
+    var i = 0
+    while (i < n) { val v = arr.getLong(i); ss += v * v; i += 1 }
+    val out = new Array[Double](n)
+    if (ss != 0L) {
+      val nrm = math.sqrt(ss.toDouble)
+      i = 0
+      while (i < n) {
+        val v = arr.getLong(i)
+        if (v != 0L)
+          out(i) = BigDecimal(v.toDouble / nrm)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine of two integer count vectors: exact long dot / (sqrt(ssa) *
+    * sqrt(ssb)) — every intermediate is either an exact integer or a single
+    * correctly-rounded IEEE op, so the value is reproducible bit-for-bit by
+    * any engine that evaluates the same formula. 0.0 when either norm is 0
+    * (the [[CosineSim]] convention). */
+  def intCosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var ssa = 0L
+    var ssb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      dot += x * y; ssa += x * x; ssb += y * y
+      i += 1
+    }
+    if (ssa == 0L || ssb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(ssa.toDouble) * math.sqrt(ssb.toDouble))
+  }
+
+  def hashEmbedCol(tokens: Column, dim: Int): Column =
+    ExpressionUtils.column(HashEmbedExpr(ExpressionUtils.expression(tokens), dim))
+
+  def l2NormR6Col(counts: Column): Column =
+    ExpressionUtils.column(L2NormR6Expr(ExpressionUtils.expression(counts)))
+
+  def intCosineCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntCosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
@@ -272,4 +353,38 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.simhash($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash_embed"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.hashEmbed(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.hashEmbed($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class L2NormR6Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_norm_r6"
+  override protected def nullSafeEval(v: Any): Any =
+    Signatures.l2NormR6(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.l2NormR6($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class IntCosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Signatures.intCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.intCosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -89,6 +89,50 @@ object CorpusOps {
         floor((col("cum") - 1) / lit(capacity)).as("end_chunk"))
   }
 
+  /** Token-budget-constrained curation: keep the highest-quality documents
+    * (quality = round-6 distinct-token ratio, ties by doc_id) until a global
+    * token budget — `floor(frac × total_tokens)` — is exhausted, reporting
+    * each kept doc's running cumulative token count.
+    *
+    * The naive formulation is a GLOBAL ordered cumsum — a single-partition
+    * window that serializes the whole corpus through one task. Instead the
+    * cumsum is two-phase banded (the [[packSequences]] trick turned global):
+    * docs land in ≤1001 score bands (`floor(score·1000)`, monotone in the
+    * sort key), per-band token totals roll up to a band-count-sized frame
+    * whose strictly-higher-band prefix sums become per-band offsets
+    * (window over ≤1001 rows — bounded by construction, not by data), and
+    * the exact cumsum runs as a window PARTITIONED by band. Global order
+    * never materializes; the widest shuffle is the per-band hash partition.
+    * The scored projection is persisted once (documented) because three
+    * consumers (band totals, budget, final join) would otherwise rescan and
+    * re-split the text. */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  frac: Double = 0.4): DataFrame = {
+    val ws = words(col("text"))
+    val t = documents(spark, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tok"),
+        round(size(array_distinct(ws)).cast("double") / size(ws), 6).as("score"))
+      .withColumn("band", floor(col("score") * 1000).cast("int"))
+      // stays persisted in the returned plan (same policy as trainingMix:
+      // Spark evicts LRU, callers may unpersist once consumed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandTok = t.groupBy("band").agg(sum("n_tok").as("band_tok"))
+    val wOff = Window.orderBy(desc("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTok
+      .withColumn("offset", coalesce(sum("band_tok").over(wOff), lit(0L)))
+      .crossJoin(broadcast(
+        bandTok.agg(floor(sum("band_tok") * frac).cast("long").as("budget"))))
+      .select("band", "offset", "budget")
+    val wIn = Window.partitionBy("band").orderBy(desc("score"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), "band")
+      .withColumn("cum_tok", col("offset") + sum("n_tok").over(wIn))
+      .filter(col("cum_tok") <= col("budget"))
+      .select("doc_id", "score", "n_tok", "cum_tok")
+  }
+
   // ---- Pseudonymization + PII redaction ----------------------------------
 
   /** Stable keyed pseudonymization of user identifiers: a salted hash

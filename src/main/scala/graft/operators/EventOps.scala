@@ -210,4 +210,27 @@ object EventOps {
       .select(col("user_id"), tsStr(col("s")).as("session_start"),
         tsStr(col("e")).as("session_end"), col("n_events"))
   }
+  /** Hot-key skew audit over the event stream: per-key cardinalities, each
+    * hot key's share of all rows, its skew factor (count ÷ mean per-key
+    * count) and the salt fan-out a salted repartition would need to bring
+    * it back to the mean — the number the streaming job's skew-salting
+    * stage actually consumes. Top-N heaviest keys only.
+    *
+    * Scale: one map-side-combined groupBy; the (total, n_keys) roll-up is a
+    * one-row broadcast, and Spark's ReuseExchange serves both aggregations
+    * from the same shuffle. The top-N lands as TakeOrderedAndProject — no
+    * global sort ever materializes. */
+  def skewAudit(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val k = events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = k.agg(sum("n").cast("long").as("total"),
+      count(lit(1)).as("n_keys"))
+    val skew = (col("n").cast("double") * col("n_keys")) / col("total")
+    k.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("share"),
+        round(skew, 6).as("skew"),
+        ceil(skew).cast("long").as("salt"))
+      .orderBy(desc("n"), asc("user_id"))
+      .limit(topN)
+  }
 }

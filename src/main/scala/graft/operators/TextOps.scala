@@ -290,4 +290,51 @@ object TextOps {
         }
       }.toDF("doc_id", "frame_idx", "byte_offset", "thumb")
   }
+
+  // ---- Feature-hash text embeddings (text → vector, no model) ------------
+
+  /** Signed hashing-trick embedding of every document: one narrow
+    * projection computing a `dim`-slot integer count vector per row with
+    * the one-pass native [[graft.functions.Signatures.hashEmbed]]
+    * expression (md5 bucket + sign, oracle-recomputable), L2-normalized to
+    * round-6 doubles, emitted long-form `(doc_id, dim, v)` with zero slots
+    * dropped. This is the model-free text→vector step that makes the
+    * chunk → embed → index pipeline end-to-end runnable: its output feeds
+    * the same IVF/LSH/PQ index builds as the `embeddings` table.
+    *
+    * Scale: zero shuffles — scan, two codegen'd per-row expressions,
+    * posexplode. Integer counts mean the normalized values are exact
+    * (norm = sqrt of an exact int), so the DuckDB oracle recomputes every
+    * slot bit-for-bit from `unnest(string_split(...))`. */
+  def hashEmbed(spark: SparkSession, dir: String, dim: Int = 16): DataFrame = {
+    import graft.functions.Signatures.{hashEmbedCol, l2NormR6Col}
+    documents(spark, dir)
+      .select(col("doc_id"),
+        l2NormR6Col(hashEmbedCol(words(col("text")), dim)).as("nv"))
+      .select(col("doc_id"), posexplode(col("nv")).as(Seq("dim", "v")))
+      .filter(col("v") =!= 0.0)
+  }
+
+  /** Brute cosine top-k over the hash embeddings: an eval-sized query slice
+    * (doc_id ≡ 0 mod 101) broadcast against the corpus, scored by the
+    * native integer-cosine (exact long dot / sqrt-int norms → engine-exact
+    * round-6 values). Candidate side streams through one broadcast join +
+    * one per-query top-k shuffle — the same shape as
+    * [[EmbeddingOps.bruteTopK]], here fed by text alone. */
+  def hashEmbedTopK(spark: SparkSession, dir: String,
+                    dim: Int = 16, k: Int = 10): DataFrame = {
+    import graft.functions.Signatures.{hashEmbedCol, intCosineCol}
+    val emb = documents(spark, dir)
+      .select(col("doc_id"), hashEmbedCol(words(col("text")), dim).as("cv"))
+    val q = emb.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("query_id"), col("cv").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
+    emb.filter(pmod(col("doc_id"), lit(101)) =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(intCosineCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -659,4 +659,27 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(1L) === 0.98)
     assert(out(2L) === 0.0)
   }
+
+test("token budget: banded cumsum reproduces the global ordered prefix exactly") {
+    val out = CorpusOps.tokenBudget(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // local ground truth: global sort by (score desc, doc_id), running sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        (r.getLong(0), r6(ws.distinct.length.toDouble / ws.length), ws.length.toLong)
+      }
+    val budget = math.floor(docs.map(_._3).sum * 0.4).toLong
+    var cum = 0L
+    val expected = docs.sortBy { case (id, s, _) => (-s, id) }.iterator.map { case (id, s, n) =>
+      cum += n; (id, s, n, cum)
+    }.takeWhile(_._4 <= budget).toArray
+    assert(out.sortBy(_._4).toSeq === expected.toSeq)
+    // the plan must never hash-exchange the corpus into a single partition:
+    // the only SinglePartition exchanges feed the <=1001-row band frame
+    val plan = CorpusOps.tokenBudget(spark, sf()).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(band"),
+      s"banded window partition missing:\n$plan")
+  }
 }

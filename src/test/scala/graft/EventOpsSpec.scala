@@ -72,4 +72,24 @@ class EventOpsSpec extends SparkSuite {
       assert(math.abs(a - n).toDouble / n <= 0.1, s"$k: approx $a vs exact $n")
     }
   }
+
+test("skew audit matches a local recompute and plans no global sort") {
+    val out = EventOps.skewAudit(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val counts = spark.read.parquet(sf() + "/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val nKeys = counts.length.toLong
+    val expected = counts.sortBy { case (k, n) => (-n, k) }.take(20).map { case (k, n) =>
+      val skew = (n.toDouble * nKeys) / total
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k, n, r6(n / total.toDouble), r6(skew), math.ceil(skew).toLong)
+    }
+    assert(out.toSeq === expected.toSeq)
+    assert(out.forall(_._5 >= 1L), "salt fan-out must be >= 1")
+    // top-N must plan as TakeOrderedAndProject, never a global Sort
+    val plan = EventOps.skewAudit(spark, sf()).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -108,4 +108,52 @@ class TextOpsSpec extends SparkSuite {
     assert(a === b)
     assert(a.forall(r => r.getLong(1) > 0 && r.getLong(2) >= 64 && r.getLong(3) >= 64))
   }
+
+test("hash embedding: unit L2 norm and bit-parity with a direct md5 recompute") {
+    val rows = TextOps.hashEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // round-6 normalized slots must still sum to ~1 in squared norm
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val ss = g.map(v => v._3 * v._3).sum
+      assert(math.abs(ss - 1.0) < 1e-4, s"doc $id norm^2 = $ss")
+    }
+    // independent JVM recompute for a handful of documents
+    val texts = TextOps.documents(spark, dir).filter("doc_id < 5")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val counts = new Array[Long](16)
+      text.split(" ", -1).foreach { w =>
+        md.reset()
+        val d = md.digest(w.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val sgn = if (((d(4) >> 4) & 1) == 0) 1L else -1L
+        counts((h % 16).toInt) += sgn
+      }
+      val nrm = math.sqrt(counts.map(v => v.toDouble * v).sum)
+      val expected = counts.zipWithIndex.collect { case (v, i) if v != 0 =>
+        (i, BigDecimal(v / nrm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+      val got = rows.filter(_._1 == id).map(r => (r._2, r._3)).toMap
+      assert(got === expected, s"doc $id")
+    }
+  }
+
+  test("hash-embed top-k: dense ranks, non-increasing similarity, k rows per query") {
+    val out = TextOps.hashEmbedTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to g.length).toSeq, s"query $q ranks")
+      assert(byRank.length === 10, s"query $q expected k=10 rows")
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+          s"query $q rank order violated")
+      case _ => ()
+      }
+      g.foreach(r => assert(r._3 <= 1.0 + 1e-9 && r._3 >= -1.0 - 1e-9))
+    }
+  }
 }
