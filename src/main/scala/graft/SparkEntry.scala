@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusOps, EmbeddingOps, EventOps, TextOps}
+import graft.operators.{BpeTrainer, CorpusOps, EmbeddingOps, EventOps, TextOps}
 import graft.sources.Synth
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -80,6 +80,9 @@ object SparkEntry {
     // end-to-end with a bit-exact oracle
     "q_hash_embed" -> ((s, d) => TextOps.hashEmbed(s, d)),
     "q_hash_embed_topk" -> ((s, d) => TextOps.hashEmbedTopK(s, d)),
+    // r4: tokenizer end-to-end — train BPE merges on the corpus, encode
+    // every doc, expand back; n_ok must equal count(*) (the oracle pins it)
+    "q_bpe_roundtrip" -> ((s, d) => BpeTrainer.roundTripAudit(s, d)),
     "q_source_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     // GPT-3-style temperature mix planner (w_s ∝ tokens^alpha)
     "q_source_weights" -> ((s, d) => CorpusOps.temperatureMix(s, d)),
@@ -434,6 +437,15 @@ object SparkEntry {
                 CAST(k AS BIGINT) AS start_tok,
                 CAST(least(k + 64, n) AS BIGINT) AS end_tok
          FROM t, unnest(generate_series(0, n - 1, 48)) s(k)""",
+    // the engine must earn n_ok = count(*): one dropped/duplicated token in
+    // BPE train/apply/unmerge anywhere in the corpus breaks the equality;
+    // orig_tokens additionally pins the code-point tokenization to DuckDB's
+    // character count
+    "q_bpe_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_ok,
+                CAST(sum(length(text)) AS BIGINT) AS orig_tokens
+         FROM documents""",
     // global ordered cumsum under a 40%-of-total token budget; the engine's
     // banded two-phase cumsum must reproduce it row-for-row
     "q_token_budget" ->

@@ -206,6 +206,54 @@ object BpeTrainer {
     seqs.map(applyMerges(_, merges))
   }
 
+  /** The detokenizer side: recursively expand merge ids back to base
+    * tokens. Inverse of [[applyMerges]] by construction — every merge id
+    * maps to exactly one (left, right) pair, so expansion is unambiguous
+    * regardless of merge order. Iterative stack walk (a 32k-merge chain
+    * could overflow the call stack on a pathological corpus). */
+  def unmerge(seq: Array[Int], merges: Seq[Merge]): Array[Int] = {
+    val exp = merges.map(m => m.newId -> ((m.left, m.right))).toMap
+    val out = new scala.collection.mutable.ArrayBuffer[Int](seq.length * 2)
+    val stack = new scala.collection.mutable.ArrayStack[Int]()
+    seq.foreach { t0 =>
+      stack.push(t0)
+      while (stack.nonEmpty) {
+        val t = stack.pop()
+        exp.get(t) match {
+          case Some((l, r)) => stack.push(r); stack.push(l)
+          case None => out += t
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** End-to-end tokenizer audit over the `documents` table: train a merge
+    * table on the corpus' code-point sequences, encode every document,
+    * expand back, and report `(n_docs, n_ok, orig_tokens)` where `n_ok`
+    * counts documents whose decode is byte-identical to the original —
+    * the invariant the oracle pins to `count(*)` (a single dropped or
+    * duplicated token anywhere in train/apply/unmerge breaks it). One
+    * narrow map pass per document at apply time; the merge table rides in
+    * the closure (vocab-sized, not corpus-sized). */
+  def roundTripAudit(spark: SparkSession, dir: String,
+                     nMerges: Int = 16): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val seqs = docs.select("text").as[String].map(graft.functions.TokenCodec.encodeString)
+    val (merges, _) = trainBatched(seqs, nMerges)
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    docs.as[(Long, String)].map { case (_, text) =>
+      val orig = graft.functions.TokenCodec.encodeString(text)
+      val enc = applyMerges(orig, merges)
+      val ok = java.util.Arrays.equals(unmerge(enc, merges), orig)
+      (orig.length.toLong, enc.length.toLong, if (ok) 1L else 0L)
+    }.toDF("orig", "enc", "ok")
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_ok"),
+        sum("orig").cast("long").as("orig_tokens"))
+  }
+
   /** Reduction in corpus token count per learned merge — the audit a
     * tokenizer build reports. `count` is the adjacent-pair count at merge
     * time, an upper bound on tokens removed (overlapping runs like `aaa`

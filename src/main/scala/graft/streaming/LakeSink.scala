@@ -47,10 +47,29 @@ class LakeSink(val path: String) extends Serializable {
 
   private def manifest = Paths.get(path, "_manifest.jsonl")
   private def bloomPath(batchId: Long) = Paths.get(path, "_bloom", s"batch-$batchId.bin")
+  private def snapshotDir = Paths.get(path, "_snapshots")
+  private def snapshotPath(v: Long) = snapshotDir.resolve(f"manifest-v$v%05d.jsonl")
 
-  def committed(): Seq[Committed] =
-    if (!Files.exists(manifest)) Seq.empty
-    else Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty).map(Committed.parse)
+  def committed(): Seq[Committed] = parseManifest(manifest)
+
+  private def parseManifest(p: java.nio.file.Path): Seq[Committed] =
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(Committed.parse)
+
+  /** Archived pre-compaction manifest versions (time-travel points),
+    * ascending. Each compaction archives the manifest it replaces, so
+    * version k is the table exactly as readers saw it before the (k+1)-th
+    * compaction. */
+  def snapshotVersions(): Seq[Long] =
+    if (!Files.exists(snapshotDir)) Seq.empty
+    else {
+      val s = Files.list(snapshotDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("manifest-v") && n.endsWith(".jsonl") =>
+          n.stripPrefix("manifest-v").stripSuffix(".jsonl").toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
 
   /** All batch ids the manifest accounts for — including streaming ids a
     * compacted segment folded. Materialises the folded ranges; fine for
@@ -194,7 +213,9 @@ class LakeSink(val path: String) extends Serializable {
     * the manifest. Readers see either the old generation or the new one,
     * never a mix; a crash before the manifest move leaves the old
     * generation fully intact (the orphan segment dir is invisible and
-    * overwritten by the next run).
+    * overwritten by the next run). The replaced manifest is archived as a
+    * time-travel snapshot ([[readSnapshot]]) and the folded segment dirs
+    * stay on disk until [[vacuum]] expires them.
     *
     * Row bodies are copied verbatim (including `_batch_id`/`_part_id`
     * lineage, which keeps pointing at the ORIGINATING microbatch), so
@@ -259,29 +280,52 @@ class LakeSink(val path: String) extends Serializable {
       LakeSink.entryJson(Committed(gen, rows, range, folded))
     val tmp = Paths.get(path, "_manifest.tmp")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // archive the generation being replaced as a time-travel snapshot
+    // (Iceberg's snapshot log): the folded segment dirs stay on disk until
+    // vacuum() decides how many versions to retain, so readers can still
+    // open the pre-compaction table. The archive happens BEFORE the swap —
+    // a crash between the two leaves a duplicate snapshot of the still-live
+    // manifest, which vacuum treats as just another retained version.
+    Files.createDirectories(snapshotDir)
+    val v = snapshotVersions().lastOption.getOrElse(0L) + 1
+    Files.copy(manifest, snapshotPath(v), StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // folded segments are unreachable from the manifest now — reclaim them
-    foldable.foreach { e =>
-      deleteRecursive(Paths.get(path, s"batch=${e.batch}"))
-      Files.deleteIfExists(bloomPath(e.batch)); ()
-    }
   }
 
-  /** Reclaim unreachable storage: batch dirs and bloom files not referenced
-    * by the manifest — a crash between the compaction manifest swap and the
-    * old-generation delete leaves orphans (harmless but paying storage).
-    * Names that merely LOOK like segments (batch=5.bak, batch-7.bin.tmp)
-    * are left alone — a cleanup tool must survive the messy states it
-    * exists to clean, never throw on them. `_metrics` files are retained
-    * deliberately: they are the per-microbatch lineage audit log, which
-    * compaction/vacuum must not rewrite history on. Safe under the
-    * single-writer model whenever no commit is mid-flight. Returns the
-    * reclaimed dir/file names. */
-  def vacuum(): Seq[String] = {
-    val live = committed().map(_.batch).toSet
+  /** Reclaim unreachable storage: expire snapshots beyond the newest
+    * `retainSnapshots` (Iceberg's expire_snapshots), then delete batch dirs
+    * and bloom files referenced by neither the current manifest nor a
+    * retained snapshot. Compaction never deletes folded segments itself —
+    * it archives the manifest it replaces as a time-travel version — so
+    * vacuum is the ONE place storage is reclaimed and the retention dial is
+    * honest: `vacuum(0)` reclaims everything unreachable from head (the
+    * pre-time-travel behavior), `vacuum(n)` keeps the last n versions
+    * readable via [[readSnapshot]]. Names that merely LOOK like segments
+    * (batch=5.bak, batch-7.bin.tmp) are left alone — a cleanup tool must
+    * survive the messy states it exists to clean, never throw on them.
+    * `_metrics` files are retained deliberately: they are the
+    * per-microbatch lineage audit log, which compaction/vacuum must not
+    * rewrite history on. Safe under the single-writer model whenever no
+    * commit is mid-flight. Returns the reclaimed dir/file names. */
+  def vacuum(retainSnapshots: Int = 0): Seq[String] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Seq.empty
+    // expire snapshots beyond the newest `retainSnapshots` (Iceberg's
+    // expire_snapshots), then treat every segment reachable from the
+    // current manifest OR a retained snapshot as live — compaction no
+    // longer deletes folded segments itself, so vacuum is the single
+    // place storage is reclaimed and the retention dial is honest.
+    val versions = snapshotVersions() // ascending → keep the newest n
+    val toKeep = versions.takeRight(math.max(0, retainSnapshots))
+    val toExpire = versions.dropRight(math.max(0, retainSnapshots))
+    val expired = scala.collection.mutable.ArrayBuffer.empty[String]
+    toExpire.foreach { v =>
+      Files.deleteIfExists(snapshotPath(v))
+      expired += s"_snapshots/${snapshotPath(v).getFileName}"
+    }
+    val live = (committed() ++ toKeep.flatMap(v => parseManifest(snapshotPath(v))))
+      .map(_.batch).toSet
     def idOf(s: String): Option[Long] =
       if (s.matches("-?[0-9]+")) Some(s.toLong) else None
     val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -309,7 +353,7 @@ class LakeSink(val path: String) extends Serializable {
         }
       } finally blooms.close()
     }
-    reclaimed.toSeq.sorted
+    (expired ++ reclaimed).toSeq.sorted
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
@@ -371,13 +415,47 @@ class LakeSink(val path: String) extends Serializable {
     * folded ids point at dirs compaction has reclaimed. `mergeSchema`
     * because a long-running sink sees columns added mid-stream: without it
     * the first file's footer wins and evolved columns silently vanish. */
-  def read(spark: SparkSession): DataFrame = {
-    val batches = committed().map(_.batch)
+  def read(spark: SparkSession): DataFrame = readEntries(spark, committed())
+
+  private def readEntries(spark: SparkSession, entries: Seq[Committed]): DataFrame = {
+    val batches = entries.map(_.batch)
     if (batches.isEmpty) {
       spark.emptyDataFrame
     } else {
       val dirs = batches.sorted.map(b => s"$path/batch=$b")
       spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+  }
+
+  /** Time travel: the table exactly as it stood when snapshot `version`
+    * was archived (i.e. before that compaction). Fails loudly if the
+    * version was expired by `vacuum` — serving a silently-empty frame for
+    * an expired snapshot would corrupt any downstream diff. */
+  def readSnapshot(spark: SparkSession, version: Long): DataFrame = {
+    val p = snapshotPath(version)
+    require(Files.exists(p),
+      s"snapshot v$version expired or never existed (have: ${snapshotVersions().mkString(",")})")
+    readEntries(spark, parseManifest(p))
+  }
+
+  /** Time travel to a streaming-commit boundary: every row committed at or
+    * before streaming batch `batchId`, none after. Sources are searched
+    * newest-first (current manifest, then snapshots descending) for one
+    * whose entries cleanly split at the boundary — a compacted segment that
+    * folded ids from BOTH sides of `batchId` cannot serve it (its rows are
+    * merged), so the search falls back to the pre-compaction snapshot where
+    * the boundary still exists. Returns None when every eligible source has
+    * been vacuumed. */
+  def readAsOf(spark: SparkSession, batchId: Long): Option[DataFrame] = {
+    val sources: Seq[Seq[Committed]] =
+      committed() +: snapshotVersions().reverse.map(v => parseManifest(snapshotPath(v)))
+    sources.collectFirst {
+      case entries if entries.forall { e =>
+        val ids = e.streamIdRanges
+        ids.isEmpty || ids.forall(_._2 <= batchId) || ids.forall(_._1 > batchId)
+      } =>
+        readEntries(spark,
+          entries.filter(e => e.streamIdRanges.forall(_._2 <= batchId)))
     }
   }
 }

@@ -152,4 +152,26 @@ class BpeTrainerSpec extends SparkSuite {
       ()
     }
   }
+
+test("unmerge inverts applyMerges; round-trip audit is perfect and compresses") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val seq = Array.fill(50 + rnd.nextInt(100))(rnd.nextInt(6))
+      val corpus = Seq(seq).toDS()
+      val (merges, _) = BpeTrainer.trainBatched(corpus, nMerges = 10)
+      val enc = BpeTrainer.applyMerges(seq, merges)
+      assert(BpeTrainer.unmerge(enc, merges).toSeq === seq.toSeq)
+    }
+    val audit = BpeTrainer.roundTripAudit(spark, sf(), nMerges = 8).collect().head
+    assert(audit.getLong(0) > 0)
+    assert(audit.getLong(1) === audit.getLong(0), "every doc must round-trip")
+    // and the merges actually shrank the corpus (otherwise the audit is vacuous)
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("text").as[String].map(graft.functions.TokenCodec.encodeString)
+    val (merges, _) = BpeTrainer.trainBatched(docs, nMerges = 8)
+    val encTok = docs.map(s => BpeTrainer.applyMerges(s, merges).length.toLong)
+      .reduce(_ + _)
+    assert(encTok < audit.getLong(2), s"encoded $encTok !< orig ${audit.getLong(2)}")
+  }
 }

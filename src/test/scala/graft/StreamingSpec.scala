@@ -281,7 +281,12 @@ class StreamingSpec extends SparkSuite {
     assert(sink.committed().map(_.batch) === Seq(-2L))
     assert(sink.read(spark).select("event_id").as[String].collect().toSet
       === (before.map(_._1) + "id-7"))
-    // old per-batch dirs are reclaimed
+    // folded dirs stay on disk as time-travel snapshots until vacuum; with
+    // zero retained snapshots vacuum reclaims every superseded generation
+    val beforeVac = new java.io.File(sink.path).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(beforeVac.contains("batch=-1"), beforeVac.toString) // still readable pre-vacuum
+    sink.vacuum()
     val dirs = new java.io.File(sink.path).listFiles().map(_.getName)
       .filter(_.startsWith("batch=")).toSet
     assert(dirs === Set("batch=-2"))
@@ -803,5 +808,46 @@ class StreamingSpec extends SparkSuite {
     val got = spark.table("cep_conv").select("user_id", "event_id")
       .as[(Long, Long)].collect().toSet
     assert(got === batchConv)
+  }
+
+test("time travel: snapshots read the pre-compaction table; vacuum honors retention") {
+    val sink = new LakeSink(tmp("laketravel"))
+    val ts = Timestamp.valueOf("2024-01-01 05:00:00")
+    def batch(n: Int, tag: String) =
+      (0 until n).map(i => (s"$tag-$i", ts)).toDF("event_id", "ts")
+    (0 until 4).foreach(b => assert(sink.addBatchMerged(b, batch(10, s"b$b"), "event_id")))
+    val headIds = sink.read(spark).select("event_id").as[String].collect().sorted
+
+    // as-of a mid-stream commit, pre-compaction: batches 0..1 only
+    val asOf1 = sink.readAsOf(spark, 1L)
+    assert(asOf1.isDefined)
+    assert(asOf1.get.select("event_id").as[String].collect().sorted ===
+      headIds.filter(id => id.startsWith("b0") || id.startsWith("b1")))
+
+    sink.compactInPlace(spark, Some("event_id"))
+    assert(sink.snapshotVersions() === Seq(1L))
+    // head read is the compacted generation; snapshot v1 is the old one —
+    // identical rows, different segment layout
+    assert(sink.read(spark).select("event_id").as[String].collect().sorted === headIds)
+    assert(sink.readSnapshot(spark, 1L).select("event_id").as[String]
+      .collect().sorted === headIds)
+    // the fold straddles every boundary < 3, so as-of 1 must fall back to
+    // the snapshot source and still answer exactly
+    assert(sink.readAsOf(spark, 1L).get.select("event_id").as[String]
+      .collect().sorted === headIds.filter(id => id.startsWith("b0") || id.startsWith("b1")))
+
+    // retention: vacuum(1) keeps the snapshot readable
+    sink.vacuum(retainSnapshots = 1)
+    assert(sink.readSnapshot(spark, 1L).count() === 40)
+    // expiry: vacuum(0) reclaims the snapshot AND its now-unreachable dirs
+    val reclaimed = sink.vacuum()
+    assert(reclaimed.exists(_.startsWith("_snapshots/")), reclaimed.toString)
+    assert(reclaimed.exists(_.startsWith("batch=")), reclaimed.toString)
+    intercept[IllegalArgumentException](sink.readSnapshot(spark, 1L))
+    assert(sink.readAsOf(spark, 1L).isEmpty) // honest: history gone
+    // head unaffected; replay idempotency intact
+    assert(sink.read(spark).select("event_id").as[String].collect().sorted === headIds)
+    (0 until 4).foreach(b => assert(sink.accountsFor(b)))
+    assert(!sink.addBatchMerged(2, batch(3, "replay"), "event_id"))
   }
 }
