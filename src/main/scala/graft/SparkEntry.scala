@@ -486,6 +486,10 @@ object SparkEntry {
                FROM v GROUP BY 1)
          SELECT v.doc_id, v.dim, round(v.val / n.nrm, 6) AS v
          FROM v JOIN n USING (doc_id)""",
+    // every (query, candidate) pair is ranked — pairs with no shared
+    // nonzero dimension score 0 via the coalesce, and a zero-norm vector's
+    // null division collapses to the engine's 0.0 sentinel, so the oracle's
+    // candidate universe is exactly the engine's broadcast cross product
     "q_hash_embed_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
                       FROM documents),
@@ -498,15 +502,21 @@ object SparkEntry {
                FROM h GROUP BY 1,2 HAVING sum(sgn) <> 0),
          nrm AS (SELECT doc_id, sqrt(CAST(sum(val*val) AS DOUBLE)) AS nrm
                  FROM v GROUP BY 1),
+         qd AS (SELECT doc_id FROM documents
+                WHERE doc_id % 101 = 0 AND doc_id < 101 * 64),
+         cd AS (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0),
          dots AS (SELECT q.doc_id AS query_id, c.doc_id,
                          CAST(sum(q.val * c.val) AS BIGINT) AS dot
                   FROM v q JOIN v c ON q.dim = c.dim
-                  WHERE q.doc_id % 101 = 0 AND c.doc_id % 101 <> 0
+                  WHERE q.doc_id % 101 = 0 AND q.doc_id < 101 * 64
+                    AND c.doc_id % 101 <> 0
                   GROUP BY 1,2),
-         sc AS (SELECT d.query_id, d.doc_id,
-                       round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
-                FROM dots d JOIN nrm nq ON nq.doc_id = d.query_id
-                            JOIN nrm nc ON nc.doc_id = d.doc_id),
+         sc AS (SELECT qd.doc_id AS query_id, cd.doc_id,
+                       round(coalesce(d.dot / (nq.nrm * nc.nrm), 0.0), 6) AS cos
+                FROM qd CROSS JOIN cd
+                LEFT JOIN dots d ON d.query_id = qd.doc_id AND d.doc_id = cd.doc_id
+                LEFT JOIN nrm nq ON nq.doc_id = qd.doc_id
+                LEFT JOIN nrm nc ON nc.doc_id = cd.doc_id),
          rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, doc_id) AS rank FROM sc)
          SELECT query_id, doc_id, cos, CAST(rank AS BIGINT) AS rank

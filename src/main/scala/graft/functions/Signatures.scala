@@ -233,26 +233,38 @@ object Signatures {
     new GenericArrayData(counts)
   }
 
-  /** L2-normalize an integer count vector to round-6 doubles (zero vector
-    * stays all-zero). Norm = sqrt of the exact integer sum of squares, so
-    * every output slot is bit-identical to the oracle's
-    * `round(val / sqrt(sum(val*val)), 6)`. */
-  def l2NormR6(arr: ArrayData): ArrayData = {
+  /** Sparse L2-normalized view of an integer count vector: one
+    * `(dim, v)` struct per NONZERO count, v = round(count / norm, 6) with
+    * norm = sqrt of the exact integer sum of squares. Selecting on the
+    * integer count (not the rounded double) matters: a nonzero count whose
+    * normalized value rounds to 0.000000 must still produce a row, exactly
+    * like the oracle's `HAVING sum(sgn) <> 0`. Zero vector → empty array. */
+  def l2NormSparse(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     var ss = 0L
+    var nz = 0
     var i = 0
-    while (i < n) { val v = arr.getLong(i); ss += v * v; i += 1 }
-    val out = new Array[Double](n)
-    if (ss != 0L) {
-      val nrm = math.sqrt(ss.toDouble)
-      i = 0
-      while (i < n) {
-        val v = arr.getLong(i)
-        if (v != 0L)
-          out(i) = BigDecimal(v.toDouble / nrm)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        i += 1
+    while (i < n) {
+      val v = arr.getLong(i)
+      ss += v * v
+      if (v != 0L) nz += 1
+      i += 1
+    }
+    if (ss == 0L) return new GenericArrayData(Array.empty[Any])
+    val nrm = math.sqrt(ss.toDouble)
+    val out = new Array[Any](nz)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      if (v != 0L) {
+        val nv = BigDecimal(v.toDouble / nrm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, nv))
+        k += 1
       }
+      i += 1
     }
     new GenericArrayData(out)
   }
@@ -281,8 +293,8 @@ object Signatures {
   def hashEmbedCol(tokens: Column, dim: Int): Column =
     ExpressionUtils.column(HashEmbedExpr(ExpressionUtils.expression(tokens), dim))
 
-  def l2NormR6Col(counts: Column): Column =
-    ExpressionUtils.column(L2NormR6Expr(ExpressionUtils.expression(counts)))
+  def l2NormSparseCol(counts: Column): Column =
+    ExpressionUtils.column(L2NormSparseExpr(ExpressionUtils.expression(counts)))
 
   def intCosineCol(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -366,14 +378,16 @@ case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class L2NormR6Expr(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+case class L2NormSparseExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("dim", IntegerType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "l2_norm_r6"
+  override def prettyName: String = "l2_norm_sparse"
   override protected def nullSafeEval(v: Any): Any =
-    Signatures.l2NormR6(v.asInstanceOf[ArrayData])
+    Signatures.l2NormSparse(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.l2NormR6($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.l2NormSparse($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

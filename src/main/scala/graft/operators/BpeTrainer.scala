@@ -211,8 +211,16 @@ object BpeTrainer {
     * maps to exactly one (left, right) pair, so expansion is unambiguous
     * regardless of merge order. Iterative stack walk (a 32k-merge chain
     * could overflow the call stack on a pathological corpus). */
-  def unmerge(seq: Array[Int], merges: Seq[Merge]): Array[Int] = {
-    val exp = merges.map(m => m.newId -> ((m.left, m.right))).toMap
+  def unmerge(seq: Array[Int], merges: Seq[Merge]): Array[Int] =
+    unmergeWith(seq, expansionTable(merges))
+
+  /** Prebuilt expansion table for [[unmergeWith]] — build ONCE per merge
+    * table, not per row: a 32k-merge vocab rebuilt per document is a
+    * 32k-entry HashMap allocation on every row of the corpus. */
+  def expansionTable(merges: Seq[Merge]): Map[Int, (Int, Int)] =
+    merges.map(m => m.newId -> ((m.left, m.right))).toMap
+
+  def unmergeWith(seq: Array[Int], exp: Map[Int, (Int, Int)]): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuffer[Int](seq.length * 2)
     val stack = new scala.collection.mutable.ArrayStack[Int]()
     seq.foreach { t0 =>
@@ -242,12 +250,17 @@ object BpeTrainer {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val seqs = docs.select("text").as[String].map(graft.functions.TokenCodec.encodeString)
-    val (merges, _) = trainBatched(seqs, nMerges)
+    val (merges, trained) = trainBatched(seqs, nMerges)
+    // the trainer's working corpus is persisted/checkpointed for the merge
+    // loop only — release it, or it squats executor storage for the whole
+    // session (Verify runs ~60 queries in one session)
+    trained.unpersist(blocking = false)
+    val exp = expansionTable(merges) // built once, rides the closure
     import org.apache.spark.sql.functions.{count, lit, sum}
     docs.as[(Long, String)].map { case (_, text) =>
       val orig = graft.functions.TokenCodec.encodeString(text)
       val enc = applyMerges(orig, merges)
-      val ok = java.util.Arrays.equals(unmerge(enc, merges), orig)
+      val ok = java.util.Arrays.equals(unmergeWith(enc, exp), orig)
       (orig.length.toLong, enc.length.toLong, if (ok) 1L else 0L)
     }.toDF("orig", "enc", "ok")
       .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_ok"),

@@ -307,26 +307,31 @@ object TextOps {
     * (norm = sqrt of an exact int), so the DuckDB oracle recomputes every
     * slot bit-for-bit from `unnest(string_split(...))`. */
   def hashEmbed(spark: SparkSession, dir: String, dim: Int = 16): DataFrame = {
-    import graft.functions.Signatures.{hashEmbedCol, l2NormR6Col}
+    import graft.functions.Signatures.{hashEmbedCol, l2NormSparseCol}
+    // the sparse expression selects slots by the INTEGER count (exactly the
+    // oracle's HAVING sum(sgn) <> 0) — filtering the rounded double here
+    // would drop a nonzero count whose normalized value rounds to 0.000000
     documents(spark, dir)
       .select(col("doc_id"),
-        l2NormR6Col(hashEmbedCol(words(col("text")), dim)).as("nv"))
-      .select(col("doc_id"), posexplode(col("nv")).as(Seq("dim", "v")))
-      .filter(col("v") =!= 0.0)
+        l2NormSparseCol(hashEmbedCol(words(col("text")), dim)).as("sv"))
+      .select(col("doc_id"), inline(col("sv")))
   }
 
-  /** Brute cosine top-k over the hash embeddings: an eval-sized query slice
-    * (doc_id ≡ 0 mod 101) broadcast against the corpus, scored by the
-    * native integer-cosine (exact long dot / sqrt-int norms → engine-exact
-    * round-6 values). Candidate side streams through one broadcast join +
-    * one per-query top-k shuffle — the same shape as
-    * [[EmbeddingOps.bruteTopK]], here fed by text alone. */
+  /** Brute cosine top-k over the hash embeddings: a BOUNDED query slice
+    * (doc_id ≡ 0 mod 101 AND doc_id < 101·nQueries — at most `nQueries`
+    * rows regardless of corpus size, so the forced broadcast can never
+    * become a corpus-proportional driver bomb) broadcast against the
+    * corpus, scored by the native integer-cosine (exact long dot /
+    * sqrt-int norms → engine-exact round-6 values). Candidate side streams
+    * through one broadcast join + one per-query top-k shuffle — the same
+    * shape as [[EmbeddingOps.bruteTopK]], here fed by text alone. */
   def hashEmbedTopK(spark: SparkSession, dir: String,
-                    dim: Int = 16, k: Int = 10): DataFrame = {
+                    dim: Int = 16, k: Int = 10, nQueries: Int = 64): DataFrame = {
     import graft.functions.Signatures.{hashEmbedCol, intCosineCol}
     val emb = documents(spark, dir)
       .select(col("doc_id"), hashEmbedCol(words(col("text")), dim).as("cv"))
-    val q = emb.filter(pmod(col("doc_id"), lit(101)) === 0)
+    val q = emb.filter(pmod(col("doc_id"), lit(101)) === 0 &&
+        col("doc_id") < lit(101L * nQueries))
       .select(col("doc_id").as("query_id"), col("cv").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
     emb.filter(pmod(col("doc_id"), lit(101)) =!= 0)

@@ -64,12 +64,33 @@ class LakeSink(val path: String) extends Serializable {
     if (!Files.exists(snapshotDir)) Seq.empty
     else {
       val s = Files.list(snapshotDir)
+      // non-numeric names (editor backups, operator copies) are ignored,
+      // never thrown on — same messy-state rule as vacuum's segment scan
       try s.iterator().asScala.map(_.getFileName.toString)
         .collect { case n if n.startsWith("manifest-v") && n.endsWith(".jsonl") =>
-          n.stripPrefix("manifest-v").stripSuffix(".jsonl").toLong }
+          n.stripPrefix("manifest-v").stripSuffix(".jsonl") }
+        .filter(_.matches("[0-9]+")).map(_.toLong)
         .toSeq.sorted
       finally s.close()
     }
+
+  /** Next snapshot version: strictly greater than anything EVER issued.
+    * Expired versions must never be reused (Iceberg's never-reuse-
+    * snapshot-id rule) — a caller holding an old version id would silently
+    * read a different table state — so a high-water file survives expiry. */
+  private def nextSnapshotVersion(): Long = {
+    val hwPath = snapshotDir.resolve("_highwater")
+    val recorded =
+      if (!Files.exists(hwPath)) 0L
+      else Files.readString(hwPath).trim match {
+        case s if s.matches("[0-9]+") => s.toLong
+        case _ => 0L
+      }
+    val v = math.max(recorded, snapshotVersions().lastOption.getOrElse(0L)) + 1
+    Files.createDirectories(snapshotDir)
+    Files.writeString(hwPath, v.toString)
+    v
+  }
 
   /** All batch ids the manifest accounts for — including streaming ids a
     * compacted segment folded. Materialises the folded ranges; fine for
@@ -286,8 +307,7 @@ class LakeSink(val path: String) extends Serializable {
     // open the pre-compaction table. The archive happens BEFORE the swap —
     // a crash between the two leaves a duplicate snapshot of the still-live
     // manifest, which vacuum treats as just another retained version.
-    Files.createDirectories(snapshotDir)
-    val v = snapshotVersions().lastOption.getOrElse(0L) + 1
+    val v = nextSnapshotVersion()
     Files.copy(manifest, snapshotPath(v), StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

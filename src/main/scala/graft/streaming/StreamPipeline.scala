@@ -130,7 +130,8 @@ object StreamPipeline {
              trigger: Trigger = Trigger.AvailableNow(),
              mergeById: Boolean = true,
              compactEvery: Int = 0,
-             compactTierRows: Long = 1000000L): DataStreamWriter[org.apache.spark.sql.Row] =
+             compactTierRows: Long = 1000000L,
+             retainSnapshots: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
     statements.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -145,10 +146,17 @@ object StreamPipeline {
         // TIERED: segments past compactTierRows graduate and are never
         // re-copied, so a row is rewritten O(tier/batch) times over the
         // stream's life instead of once per compaction run (ADVICE r2)
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
           sink.compactInPlace(batch.sparkSession,
             idCol = if (mergeById) Some("event_id") else None,
             maxFoldRows = compactTierRows)
+          // compaction defers segment reclaim to vacuum (time travel); on a
+          // long-running stream storage would otherwise grow by one table
+          // copy per compaction. Keep a short snapshot history for
+          // operational rollback, reclaim everything older.
+          sink.vacuum(retainSnapshots = retainSnapshots)
+          ()
+        }
         ()
       }
 
