@@ -73,6 +73,9 @@ object SparkEntry {
     // r4: token-budget curation — best-quality docs until 40% of corpus
     // tokens, banded two-phase global cumsum (no single-partition sort)
     "q_token_budget" -> ((s, d) => CorpusOps.tokenBudget(s, d)),
+    // r4: curriculum schedule — exact global quality rank + epoch slice
+    // via the banded cumsum (weight 1), no single-partition sort
+    "q_curriculum" -> ((s, d) => CorpusOps.curriculum(s, d)),
     // r4: hot-key skew audit — the fan-out numbers the salting stage eats
     "q_skew_audit" -> ((s, d) => EventOps.skewAudit(s, d)),
     // r4: model-free feature-hash text embedding (md5-bucket signed counts,
@@ -461,6 +464,20 @@ object SparkEntry {
                FROM t)
          SELECT c.doc_id, c.score, c.n_tok, c.cum_tok
          FROM c, b WHERE c.cum_tok <= b.budget""",
+    // global row_number the engine must reproduce via its banded rank
+    "q_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                        / len(string_split(text,' ')), 6) AS score
+           FROM documents),
+         r AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                      count(*) OVER () AS total
+               FROM t)
+         SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+                CAST(floor((rank - 1) * 4.0 / total) AS BIGINT) AS epoch
+         FROM r""",
     "q_skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys

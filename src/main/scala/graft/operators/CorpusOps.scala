@@ -108,29 +108,70 @@ object CorpusOps {
     * re-split the text. */
   def tokenBudget(spark: SparkSession, dir: String,
                   frac: Double = 0.4): DataFrame = {
+    val t = scoredDocs(spark, dir)
+    val bandTok = t.groupBy("band").agg(sum("n_tok").as("band_tok"))
+    val budget = bandTok.agg(floor(sum("band_tok") * frac).cast("long").as("budget"))
+    bandedCumsum(t, bandTok, "n_tok", "cum_tok")
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tok") <= col("budget"))
+      .select("doc_id", "score", "n_tok", "cum_tok")
+  }
+
+  /** The shared scored projection: per-doc token count + round-6
+    * distinct-token quality, banded by `floor(score·1000)` (monotone in the
+    * (score desc, doc_id) sort key). Persisted in the returned plan (same
+    * policy as trainingMix: Spark evicts LRU, callers may unpersist once
+    * consumed) because the banded cumsum pattern reads it from multiple
+    * consumers (band roll-up, totals, final join). */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
-    val t = documents(spark, dir)
+    documents(spark, dir)
       .select(col("doc_id"),
         size(ws).cast("long").as("n_tok"),
         round(size(array_distinct(ws)).cast("double") / size(ws), 6).as("score"))
       .withColumn("band", floor(col("score") * 1000).cast("int"))
-      // stays persisted in the returned plan (same policy as trainingMix:
-      // Spark evicts LRU, callers may unpersist once consumed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandTok = t.groupBy("band").agg(sum("n_tok").as("band_tok"))
+  }
+
+  /** Banded two-phase GLOBAL ordered cumsum of `weightCol` in
+    * (score desc, doc_id) order — the exact result of a global-sort running
+    * sum with no single-partition sort: per-band weight totals roll up to a
+    * band-count-sized frame whose strictly-higher-band prefix sums become
+    * per-band offsets (window over ≤1001 rows — bounded by construction,
+    * not by data), and the exact cumsum runs as a window PARTITIONED by
+    * band. Global order never materializes; the widest shuffle is the
+    * per-band hash partition. `bandAgg` must be `t.groupBy("band").agg(
+    * sum(weightCol))` with the sum aliased `band_tok` (passed in so callers
+    * can share the roll-up for totals). */
+  private def bandedCumsum(t: DataFrame, bandAgg: DataFrame,
+                           weightCol: String, outCol: String): DataFrame = {
     val wOff = Window.orderBy(desc("band"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bandTok
+    val offsets = bandAgg
       .withColumn("offset", coalesce(sum("band_tok").over(wOff), lit(0L)))
-      .crossJoin(broadcast(
-        bandTok.agg(floor(sum("band_tok") * frac).cast("long").as("budget"))))
-      .select("band", "offset", "budget")
+      .select("band", "offset")
     val wIn = Window.partitionBy("band").orderBy(desc("score"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.join(broadcast(offsets), "band")
-      .withColumn("cum_tok", col("offset") + sum("n_tok").over(wIn))
-      .filter(col("cum_tok") <= col("budget"))
-      .select("doc_id", "score", "n_tok", "cum_tok")
+      .withColumn(outCol, col("offset") + sum(weightCol).over(wIn))
+      .drop("offset")
+  }
+
+  /** Curriculum schedule: a global quality RANK for every document (best
+    * first, ties by doc_id) and the training epoch it lands in when the
+    * corpus is split into `nEpochs` equal rank slices — the easy-to-hard
+    * ordering curriculum-learning data loaders consume. The rank is the
+    * banded cumsum of weight 1 ([[bandedCumsum]]): an exact global
+    * row_number with no single-partition sort, at any corpus size. */
+  def curriculum(spark: SparkSession, dir: String, nEpochs: Int = 4): DataFrame = {
+    val t = scoredDocs(spark, dir).withColumn("one", lit(1L))
+    val bandAgg = t.groupBy("band").agg(sum("one").as("band_tok"))
+    val total = bandAgg.agg(sum("band_tok").as("total"))
+    bandedCumsum(t, bandAgg, "one", "rank")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("score"), col("rank"),
+        floor((col("rank") - 1) * lit(nEpochs.toDouble) / col("total"))
+          .cast("long").as("epoch"))
   }
 
   // ---- Pseudonymization + PII redaction ----------------------------------

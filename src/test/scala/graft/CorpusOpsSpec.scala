@@ -682,4 +682,30 @@ test("token budget: banded cumsum reproduces the global ordered prefix exactly")
     assert(plan.contains("Exchange hashpartitioning(band"),
       s"banded window partition missing:\n$plan")
   }
+
+test("curriculum: banded rank is the exact global row_number, epochs balanced") {
+    val out = CorpusOps.curriculum(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    // rank is a permutation of 1..n
+    assert(out.map(_._3).sorted.toSeq === (1L to n).toSeq)
+    // rank order == (score desc, doc_id) order
+    val byRank = out.sortBy(_._3)
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), s"rank order broken at ${a._3}")
+      case _ => ()
+    }
+    // epochs are contiguous rank slices of size n/4 (+-1) and monotone in rank
+    val sizes = out.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.sum === n)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced epochs: $sizes")
+    byRank.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4)
+      case _ => ()
+    }
+    // the plan ranks through the band partition, never a single-partition sort
+    val plan = CorpusOps.curriculum(spark, sf()).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(band"), plan)
+  }
 }
