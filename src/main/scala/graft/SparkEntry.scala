@@ -76,6 +76,15 @@ object SparkEntry {
     // r4: curriculum schedule — exact global quality rank + epoch slice
     // via the banded cumsum (weight 1), no single-partition sort
     "q_curriculum" -> ((s, d) => CorpusOps.curriculum(s, d)),
+    // r4: leakage-safe train/eval split — whole near-dup clusters assigned
+    // to a side by hashed representative (reuses the cached CC labels)
+    "q_cluster_split" -> ((s, d) => CorpusOps.clusterSplit(s, d)),
+    // r4: UniMax waterfilling token-budget allocation across sources —
+    // windows run over the k-source aggregate, never the corpus
+    "q_unimax_budget" -> ((s, d) => CorpusOps.unimaxBudget(s, d)),
+    // r4: int8 embedding quantization fidelity audit (fused native pass:
+    // scale, max reconstruction error, original↔decode cosine)
+    "q_quant_embed" -> ((s, d) => EmbeddingOps.quantAudit(s, d)),
     // r4: hot-key skew audit — the fan-out numbers the salting stage eats
     "q_skew_audit" -> ((s, d) => EventOps.skewAudit(s, d)),
     // r4: model-free feature-hash text embedding (md5-bucket signed counts,
@@ -478,6 +487,67 @@ object SparkEntry {
          SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
                 CAST(floor((rank - 1) * 4.0 / total) AS BIGINT) AS epoch
          FROM r""",
+    // same recursive-CTE cluster graph as q_dup_clusters; split hashes the
+    // cluster representative so near-dups never straddle train/eval
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $dupPairsCte,
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         lab AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1)
+         SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep,
+                CASE WHEN ('0x'||substr(md5(CAST(coalesce(l.rep, d.doc_id)
+                             AS VARCHAR)),1,8))::UINTEGER % 100 < 10
+                     THEN 'eval' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id""",
+    // waterfilling closed form: sort sources ascending, caps are a prefix,
+    // theta spends the remainder evenly over the uncapped tail
+    "q_unimax_budget" ->
+      """WITH t AS (SELECT source,
+                    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail
+             FROM documents GROUP BY 1),
+         r AS (SELECT source, avail,
+                 row_number() OVER (ORDER BY avail, source) AS i,
+                 CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+                   AS BIGINT) AS prefix,
+                 count(*) OVER () AS k,
+                 CAST(floor(sum(avail) OVER () * 0.5) AS BIGINT) AS budget
+               FROM t),
+         r2 AS (SELECT *, (avail*(k-i+1)+prefix <= budget) AS capped FROM r),
+         r3 AS (SELECT *, coalesce(max(CASE WHEN capped THEN i END)
+                            OVER (),0) AS m FROM r2),
+         r4 AS (SELECT *, CAST(coalesce(sum(CASE WHEN i<=m THEN avail END)
+                            OVER (),0) AS BIGINT) AS prefix_m FROM r3),
+         r5 AS (SELECT *, CASE WHEN i<=m THEN CAST(avail AS DOUBLE)
+                            ELSE CAST(budget-prefix_m AS DOUBLE)/(k-m)
+                          END AS alloc_raw FROM r4)
+         SELECT source, avail, round(alloc_raw,6) AS alloc,
+                round(alloc_raw/avail,6) AS frac FROM r5""",
+    // int8 quantization audit: floor(x+0.5) rounding and left-to-right
+    // cosine accumulation mirror the engine's fused pass bit-for-bit
+    "q_quant_embed" ->
+      """WITH s AS (SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                 AS DOUBLE) / 127.0 AS scale
+             FROM embeddings),
+         d AS (SELECT vec_id, scale,
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                 list_max(list_transform(embedding, x ->
+                   abs(x - least(greatest(floor(x/scale+0.5),-127),127)
+                         * scale))) END AS max_err,
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                 list_cosine_similarity(embedding,
+                   list_transform(embedding, x ->
+                     least(greatest(floor(x/scale+0.5),-127),127) * scale))
+               END AS cos
+             FROM s)
+         SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
+                round(cos,6) AS cos FROM d""",
     "q_skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys

@@ -445,3 +445,58 @@ object ArgMinCentroid {
       d
     }.toArray
 }
+
+/** Int8 symmetric per-vector quantization audit: ONE fused pass computes
+  * the scale (max|x|/127), quantizes each element with floor(x/scale+0.5)
+  * clamped to [-127,127], decodes, and accumulates the max reconstruction
+  * error plus the original↔decode cosine — the fidelity triple an embedding
+  * store measures before committing to 4× smaller vectors. The arithmetic
+  * is chosen for cross-engine determinism: floor(x+0.5) rounding (identical
+  * in DuckDB, unlike Math.round's toward-+∞ tie break vs SQL round's
+  * away-from-zero), and left-to-right cosine accumulation matching
+  * [[CosineSim.sim]] / DuckDB list_cosine_similarity. Output is
+  * array(scale, max_err, cos); the all-zero vector degenerates to
+  * (0, 0, 0) — same sentinel as CosineSim's zero-norm convention. */
+case class Int8QuantAudit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_quant_audit"
+  override protected def nullSafeEval(v: Any): Any =
+    Int8QuantAudit.audit(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8QuantAudit.audit($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Int8QuantAudit {
+  /** Static codegen entry (uniquely named — a companion `eval` would mask
+    * the expression's inherited eval and kill the static forwarder). */
+  def audit(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i)); if (v > mx) mx = v; i += 1
+    }
+    val scale = mx / 127.0
+    var maxErr = 0.0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val d = if (scale == 0.0) 0.0 else {
+        var q = math.floor(x / scale + 0.5)
+        if (q > 127.0) q = 127.0 else if (q < -127.0) q = -127.0
+        q * scale
+      }
+      val e = math.abs(x - d); if (e > maxErr) maxErr = e
+      dot += x * d; na += x * x; nb += d * d
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    val cos = if (denom == 0.0) 0.0 else dot / denom
+    new GenericArrayData(Array(scale, maxErr, cos))
+  }
+
+  def int8QuantAudit(v: Column): Column =
+    ExpressionUtils.column(Int8QuantAudit(ExpressionUtils.expression(v)))
+}

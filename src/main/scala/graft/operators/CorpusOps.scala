@@ -1039,6 +1039,66 @@ object CorpusOps {
       .select(col("rep"), col("doc_id").as("keep_id"), col("n_chars"))
   }
 
+  /** Leakage-safe train/eval split: assignment is by near-dup CLUSTER, not
+    * by document — a doc and its near-duplicates always land on the same
+    * side, so the eval split cannot be contaminated by training-set
+    * near-copies (the failure mode of naive per-doc random splits). The
+    * split key hashes the cluster representative (md5-prefix integer
+    * bucket: deterministic, engine-exact, no RNG); singletons are their own
+    * cluster. Reuses the cached CC labels — label-sized join, no new graph
+    * work. */
+  def clusterSplit(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5, evalPct: Int = 10): DataFrame =
+    documents(spark, dir).select("doc_id")
+      .join(dupLabels(spark, dir, threshold), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split",
+        when(conv(substring(md5(col("rep").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < evalPct, lit("eval")).otherwise(lit("train")))
+      .select("doc_id", "rep", "split")
+
+  /** UniMax-style waterfilling allocation of a global token budget across
+    * sources: every source is granted up to the common water level θ, where
+    * θ solves Σ min(availᵢ, θ) = budget — small sources keep everything,
+    * large sources are capped at θ, the least-skewed allocation that spends
+    * the budget (UniMax, Chung et al. 2023). Closed form over sources
+    * sorted ascending by avail: caps form a prefix; m = max{i :
+    * availᵢ·(k−i+1) + prefixᵢ₋₁ ≤ B}, θ = (B − prefix_m)/(k − m).
+    *
+    * The corpus-sized work is one map-side-combining groupBy(source); the
+    * windows below run over the AGGREGATED frame — k rows, one per source
+    * (a dimension table, bounded by the catalog not the corpus), so the
+    * global-order window is a deliberate single-partition pass over k rows,
+    * not a data-sized sort. */
+  def unimaxBudget(spark: SparkSession, dir: String,
+                   frac: Double = 0.5): DataFrame = {
+    val perSrc = documents(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("avail"))
+    val wOrd = Window.orderBy(asc("avail"), asc("source"))
+    val wPre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = perSrc
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("prefix", coalesce(sum("avail").over(wPre), lit(0L)))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("budget", floor(sum("avail").over(wAll) * frac).cast("long"))
+      .withColumn("capped",
+        col("avail") * (col("k") - col("i") + 1) + col("prefix") <= col("budget"))
+      .withColumn("m",
+        coalesce(max(when(col("capped"), col("i"))).over(wAll), lit(0)))
+      .withColumn("prefix_m",
+        coalesce(sum(when(col("i") <= col("m"), col("avail"))).over(wAll), lit(0L)))
+      .withColumn("alloc_raw",
+        when(col("i") <= col("m"), col("avail").cast("double"))
+          .otherwise((col("budget") - col("prefix_m")).cast("double") /
+            (col("k") - col("m"))))
+    ranked.select(col("source"), col("avail"),
+      round(col("alloc_raw"), 6).as("alloc"),
+      round(col("alloc_raw") / col("avail"), 6).as("frac"))
+  }
+
   // ---- Distribution audits -----------------------------------------------
 
   /** Per-source length-distribution audit: exact interpolated percentiles

@@ -50,6 +50,24 @@ object EmbeddingOps {
     topK(scored, k)
   }
 
+  /** Int8 quantization fidelity audit: per-vector scale, max reconstruction
+    * error and original↔decode cosine from ONE fused pass
+    * ([[graft.functions.Int8QuantAudit]]) — the report that decides whether
+    * the store can serve 4×-smaller int8 vectors. Narrow projection, no
+    * shuffle: at 100 TB this is a single scan. The three outputs are
+    * element_at views over one projected array column; ProjectExec's
+    * codegen subexpression elimination evaluates the audit once per row
+    * (projections get CSE — filter CONDITIONS do not, which is why no
+    * filter references the audit column). */
+  def quantAudit(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.Int8QuantAudit.int8QuantAudit(col("embedding")).as("a"))
+      .select(col("vec_id"),
+        round(element_at(col("a"), 1), 6).as("scale"),
+        round(element_at(col("a"), 2), 6).as("max_err"),
+        round(element_at(col("a"), 3), 6).as("cos"))
+
   /** All near-dup pairs above a cosine threshold — the EXACT ground-truth
     * mode (all-pairs, quadratic). NOT a shipped query path: it exists to
     * measure the recall of the bucketed/banded paths in the specs (at

@@ -708,4 +708,43 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
     val plan = CorpusOps.curriculum(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("Exchange hashpartitioning(band"), plan)
   }
+
+  test("cluster split: near-dup clusters never straddle train/eval") {
+    val labels = CorpusOps.dupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = CorpusOps.clusterSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 500)
+    out.foreach { case (id, rep, _) =>
+      assert(rep === labels.getOrElse(id, id))
+    }
+    out.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length === 1, "cluster straddles the split")
+    }
+    val evalN = out.count(_._3 == "eval")
+    assert(evalN > 0 && evalN < out.length, s"degenerate split: $evalN eval")
+  }
+
+  test("unimax budget: waterfilling spends the budget at one water level") {
+    val rows = CorpusOps.unimaxBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val budget = math.floor(rows.map(_._2).sum * 0.5)
+    rows.foreach { case (_, avail, alloc, frac) =>
+      assert(alloc <= avail + 1e-6)
+      assert(frac > 0 && frac <= 1.0 + 1e-9)
+    }
+    // allocations sum to the budget (round-6 slack per source)
+    assert(math.abs(rows.map(_._3).sum - budget) <= rows.length * 1e-5,
+      s"sum ${rows.map(_._3).sum} vs budget $budget")
+    // every uncapped source sits at the SAME water level theta < its avail
+    val uncapped = rows.filter(r => r._3 < r._2 - 1e-6)
+    assert(uncapped.nonEmpty)
+    assert(uncapped.map(_._3).distinct.length === 1, "multiple water levels")
+    // and theta is below every uncapped avail but >= every capped alloc
+    val theta = uncapped.head._3
+    rows.filterNot(uncapped.contains).foreach { case (_, avail, alloc, _) =>
+      assert(alloc === avail.toDouble)
+      assert(avail <= theta + 1e-6)
+    }
+  }
 }

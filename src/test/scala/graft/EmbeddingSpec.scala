@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.EmbeddingOps
 
 /** Similarity search: brute-force is the ground truth; the LSH variant is
@@ -236,5 +238,27 @@ class EmbeddingSpec extends SparkSuite {
     info(f"within-cell recall vs all-pairs ground truth: ${
       expected.size.toDouble / truth.size}%.2f over ${truth.size} pairs")
     assert(expected.nonEmpty && expected.size < truth.size)
+  }
+
+  test("int8 quant audit: error bounded by scale/2, cosine near 1, zero-vector sentinel") {
+    val rows = EmbeddingOps.quantAudit(spark, dir)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, scale, err, cos) =>
+      assert(scale > 0)
+      // |x - q*scale| <= scale/2 everywhere (the clamp only binds at the
+      // max element, which quantizes exactly) + round-6 slack
+      assert(err <= scale / 2 + 1e-6, s"err $err vs scale $scale")
+      assert(cos > 0.999 && cos <= 1.0 + 1e-9)
+    }
+    // direct expression: zero vector degenerates to (0,0,0); scale is
+    // max|x|/127 on a mixed-sign vector
+    val m = Seq((1L, Array(0.0, 0.0)), (2L, Array(1.0, -1.0, 0.5)))
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.functions.Int8QuantAudit.int8QuantAudit(col("v")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(m(1L) === Seq(0.0, 0.0, 0.0))
+    assert(math.abs(m(2L).head - 1.0 / 127) < 1e-15)
   }
 }
