@@ -85,6 +85,15 @@ object SparkEntry {
     // r4: int8 embedding quantization fidelity audit (fused native pass:
     // scale, max reconstruction error, original↔decode cosine)
     "q_quant_embed" -> ((s, d) => EmbeddingOps.quantAudit(s, d)),
+    // r4: per-doc novelty — fraction of shingles first seen in this doc
+    "q_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
+    // r4: source×source shingle-set Jaccard (catalog contamination matrix;
+    // fan-out bounded by source-count², a catalog constant)
+    "q_source_sim" -> ((s, d) => TextOps.sourceSim(s, d)),
+    // r4: packing fill audit — oracle's closed form re-proves gap-freeness
+    "q_pack_efficiency" -> ((s, d) => CorpusOps.packEfficiency(s, d)),
+    // r4: cohort retention matrix over events (first-week cohorts)
+    "q_cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // r4: hot-key skew audit — the fan-out numbers the salting stage eats
     "q_skew_audit" -> ((s, d) => EventOps.skewAudit(s, d)),
     // r4: model-free feature-hash text embedding (md5-bucket signed counts,
@@ -548,6 +557,60 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // novelty: first-owner of each distinct shingle is the min doc_id
+    "q_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(w[k:k+2], ' ') AS s
+                FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+         f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1)
+         SELECT sh.doc_id, count(*) AS n_sh,
+                CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                round(CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+         FROM sh JOIN f ON sh.s = f.s GROUP BY 1""",
+    // source-level distinct-shingle-set Jaccard, pairs sharing ≥1 shingle
+    "q_source_sim" ->
+      """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT source, array_to_string(w[k:k+2], ' ') AS s
+                FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+         cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                          count(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(i AS BIGINT) AS i,
+                round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.source = src_a
+         JOIN cnt cb ON cb.source = src_b""",
+    // closed form floor((Σtok−1)/cap)+1 == the packing's max(end_chunk)+1
+    // iff the layout is gap-free — the match re-proves the invariant
+    "q_pack_efficiency" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents)
+         SELECT bucket, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tok,
+                CAST(floor((sum(n_tok) - 1) / 256.0) + 1 AS BIGINT)
+                  AS n_chunks,
+                round(CAST(sum(n_tok) AS DOUBLE) /
+                  ((floor((sum(n_tok) - 1) / 256.0) + 1) * 256), 6) AS fill
+         FROM t GROUP BY 1""",
+    // Monday-truncated first-activity cohorts × week offset
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk
+             FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                CAST(datediff('day', f.cohort, e.wk) / 7 AS BIGINT)
+                  AS week_off,
+                count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     "q_skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys

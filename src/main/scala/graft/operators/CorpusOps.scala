@@ -89,6 +89,25 @@ object CorpusOps {
         floor((col("cum") - 1) / lit(capacity)).as("end_chunk"))
   }
 
+  /** Packing-efficiency audit per bucket: documents, tokens, chunks
+    * consumed and fill ratio (tokens / chunk capacity actually allocated) —
+    * the number a pipeline watches to size `capacity`/`nBuckets` before
+    * materializing training shards. Composes [[packSequences]] (the audit
+    * aggregates the shipped packing's own chunk ids); the oracle instead
+    * derives n_chunks from the closed form floor((Σtok−1)/cap)+1, which
+    * only equals the packing's max(end_chunk)+1 if the layout is gap-free
+    * and contiguous — so the cross-engine match re-proves the packing
+    * invariant at every scale, not just the arithmetic. */
+  def packEfficiency(spark: SparkSession, dir: String,
+                     capacity: Int = 256, nBuckets: Int = 32): DataFrame =
+    packSequences(spark, dir, capacity, nBuckets)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        (max("end_chunk") + 1).as("n_chunks"))
+      .select(col("bucket"), col("n_docs"), col("n_tok"), col("n_chunks"),
+        round(col("n_tok").cast("double") /
+          (col("n_chunks") * capacity), 6).as("fill"))
+
   /** Token-budget-constrained curation: keep the highest-quality documents
     * (quality = round-6 distinct-token ratio, ties by doc_id) until a global
     * token budget — `floor(frac × total_tokens)` — is exhausted, reporting

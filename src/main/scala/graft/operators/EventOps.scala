@@ -233,4 +233,26 @@ object EventOps {
       .orderBy(desc("n"), asc("user_id"))
       .limit(topN)
   }
+
+  /** Cohort retention: users grouped by their first-activity week (Monday
+    * truncation), distinct active users per (cohort, week offset) — the
+    * classic product-analytics retention matrix. Shapes: the first-seen
+    * frame is a user-keyed aggregate (map-side combining), the join back is
+    * user-keyed (AQE broadcast at small scale, shuffle-colocated at 100 TB),
+    * and the final distinct count partially aggregates on
+    * (cohort, offset, user) before the distinct expansion — no row ever
+    * carries more than (ts-week, user_id). Weeks are emitted as formatted
+    * date strings (cross-engine timestamp representation drift). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    ev.join(firstWk, "user_id")
+      .withColumn("week_off",
+        (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort"), col("week_off"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_off"), col("n_users"))
+  }
 }

@@ -342,4 +342,49 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("cos"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Per-document novelty: the fraction of a doc's distinct k-shingles whose
+    * FIRST corpus occurrence (smallest doc_id) is this document — the "new
+    * content contribution" signal crawl pipelines use to prioritize
+    * re-crawls and to demote boilerplate mirrors. Two bounded shuffles: a
+    * window min keyed on shingle (first-owner), then the per-doc roll-up —
+    * the shuffle rows are (shingle-hashable, doc_id) pairs, never documents.
+    * Docs with fewer than k words have no shingles and are absent (the
+    * oracle reproduces the same domain). */
+  def ngramNovelty(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ex = documents(spark, dir)
+      .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    ex.withColumn("fd", min("doc_id").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_sh"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_sh"), 6).as("novelty"))
+  }
+
+  /** Inter-source contamination matrix: exact Jaccard between the distinct
+    * shingle SETS of every source pair sharing at least one shingle — the
+    * corpus-catalog-level duplication audit (which crawls/mirrors overlap,
+    * and how much) that decides source-level dedup order. The self-join
+    * fan-out per shingle is bounded by the SOURCE count squared (a catalog
+    * constant, ~k² pairs per shingle), not doc² — this is why the same
+    * all-pairs shape that is forbidden at doc level is the right plan at
+    * source level. Per-source set sizes are a source-count-sized frame →
+    * broadcast. */
+  def sourceSim(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ex = documents(spark, dir)
+      .select(col("source"), explode(shingleArr(col("text"), k)).as("s"))
+      .distinct()
+    val cnt = ex.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    inter.join(broadcast(cnt.as("ca")), col("src_a") === col("ca.source"))
+      .join(broadcast(cnt.as("cb")), col("src_b") === col("cb.source"))
+      .select(col("src_a"), col("src_b"), col("i"),
+        round(col("i").cast("double") /
+          (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
+  }
 }

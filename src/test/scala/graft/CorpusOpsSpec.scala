@@ -747,4 +747,17 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       assert(avail <= theta + 1e-6)
     }
   }
+
+  test("pack efficiency: chunk count matches the gap-free closed form, fill in (0,1]") {
+    val rows = CorpusOps.packEfficiency(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length === 32)
+    rows.foreach { case (_, nDocs, nTok, nChunks, fill) =>
+      assert(nDocs > 0 && nTok > 0)
+      assert(nChunks === (nTok - 1) / 256 + 1, "packing left a gap")
+      assert(fill > 0.0 && fill <= 1.0)
+      // the last chunk is the only fractional one
+      assert(nTok > (nChunks - 1) * 256)
+    }
+  }
 }

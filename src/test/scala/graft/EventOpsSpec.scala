@@ -92,4 +92,22 @@ test("skew audit matches a local recompute and plans no global sort") {
     val plan = EventOps.skewAudit(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("cohort retention: offsets non-negative, week-0 dominates every cohort") {
+    val rows = EventOps.cohortRetention(spark, sf("sf0.001"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) => assert(off >= 0 && n > 0) }
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, g) =>
+      val week0 = g.find(_._2 == 0L)
+      assert(week0.isDefined, s"cohort $c lacks week 0")
+      // no later week can retain more users than were ever in the cohort
+      g.foreach { case (_, _, n) => assert(n <= week0.get._3) }
+    }
+    // cohort sizes at week 0 partition the user universe
+    val users = EventOps.events(spark, sf("sf0.001"))
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === users)
+  }
 }

@@ -156,4 +156,41 @@ test("hash embedding: unit L2 norm and bit-parity with a direct md5 recompute") 
       g.foreach(r => assert(r._3 <= 1.0 + 1e-9 && r._3 >= -1.0 - 1e-9))
     }
   }
+
+  test("ngram novelty: first doc is fully novel, counts conserve the shingle universe") {
+    val rows = TextOps.ngramNovelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // the smallest doc_id owns every one of its shingles
+    val first = byId(rows.map(_._1).min)
+    assert(first._4 === 1.0)
+    rows.foreach { case (_, nSh, nNew, nov) =>
+      assert(nSh > 0 && nNew >= 0 && nNew <= nSh)
+      assert(math.abs(nov - math.round(nNew.toDouble / nSh * 1e6) / 1e6) < 1e-9)
+    }
+    // every distinct corpus shingle has exactly one first owner
+    val universe = TextOps.documents(spark, dir)
+      .select(explode(TextOps.shingleArr(col("text"), 3)).as("s"))
+      .distinct().count()
+    assert(rows.map(_._3).sum === universe)
+  }
+
+  test("source sim: bounded pair fan-out, jaccard consistent with set sizes") {
+    val ex = TextOps.documents(spark, dir)
+      .select(col("source"), explode(TextOps.shingleArr(col("text"), 3)).as("s"))
+      .distinct()
+    val sizes = ex.groupBy("source").count().as[(String, Long)].collect().toMap
+    val rows = TextOps.sourceSim(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val k = sizes.size
+    assert(rows.length <= k * (k - 1) / 2)
+    rows.foreach { case (a, b, i, j) =>
+      assert(a < b)
+      assert(i >= 1 && i <= math.min(sizes(a), sizes(b)))
+      val expect = math.round(i.toDouble / (sizes(a) + sizes(b) - i) * 1e6) / 1e6
+      assert(math.abs(j - expect) < 1e-9)
+    }
+  }
 }
