@@ -138,18 +138,24 @@ object CorpusOps {
 
   /** The shared scored projection: per-doc token count + round-6
     * distinct-token quality, banded by `floor(score·1000)` (monotone in the
-    * (score desc, doc_id) sort key). Persisted in the returned plan (same
-    * policy as trainingMix: Spark evicts LRU, callers may unpersist once
-    * consumed) because the banded cumsum pattern reads it from multiple
-    * consumers (band roll-up, totals, final join). */
+    * (score desc, doc_id) sort key). Persisted because the banded cumsum
+    * pattern reads it from multiple consumers (band roll-up, totals, final
+    * join), and served from the keyed cache so a session running BOTH
+    * [[tokenBudget]] and [[curriculum]] scans+scores the corpus once, not
+    * once per query (same snapshot-immutability assumption and failure
+    * re-build as the dup-label cache). */
   private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    documents(spark, dir)
-      .select(col("doc_id"),
-        size(ws).cast("long").as("n_tok"),
-        round(size(array_distinct(ws)).cast("double") / size(ws), 6).as("score"))
-      .withColumn("band", floor(col("score") * 1000).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val appId = spark.sparkContext.applicationId
+    servedFresh(scoredDocsCache, (appId, dir, 0.0)) {
+      evictOne(scoredDocsCache, appId)
+      val ws = words(col("text"))
+      documents(spark, dir)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_tok"),
+          round(size(array_distinct(ws)).cast("double") / size(ws), 6).as("score"))
+        .withColumn("band", floor(col("score") * 1000).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   /** Banded two-phase GLOBAL ordered cumsum of `weightCol` in
@@ -964,13 +970,18 @@ object CorpusOps {
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
   private val lshPairCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+  private val scoredDocsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
 
-  /** Drop (and unpersist) every cached label/pair frame. */
+  /** Drop (and unpersist) every cached corpus-derived frame (labels, pairs,
+    * scored projection). */
   def invalidateDupLabels(): Unit = {
-    (dupLabelCache.values ++ lshPairCache.values).foreach(df =>
-      try { df.unpersist(); () } catch { case _: Exception => () })
+    (dupLabelCache.values ++ lshPairCache.values ++ scoredDocsCache.values)
+      .foreach(df =>
+        try { df.unpersist(); () } catch { case _: Exception => () })
     dupLabelCache.clear()
     lshPairCache.clear()
+    scoredDocsCache.clear()
   }
 
   /** Evict one entry (dead applications first) with unpersist. */

@@ -84,6 +84,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("int8 quant audit compiles under whole-stage codegen — no fallback") {
+    // pins the static-forwarder dependency of Int8QuantAudit.doGenCode (the
+    // documented companion-method-collision trap silently falls back to
+    // interpreted eval, a 3-50× class of regression no value test catches)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = EmbeddingOps.quantAudit(spark, sf("sf0.001"))
+      assert(df.count() > 0)
+      assert(planOf(df).contains("*(1)"),
+        s"no WholeStageCodegen stage in:\n${planOf(df)}")
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("near-dup candidate generation never plans a cartesian product") {
     // the banded/shingled paths must meet candidates via equi-joins — a
     // CartesianProduct/BroadcastNestedLoop here is the difference between
