@@ -85,6 +85,12 @@ object SparkEntry {
     // r4: int8 embedding quantization fidelity audit (fused native pass:
     // scale, max reconstruction error, original↔decode cosine)
     "q_quant_embed" -> ((s, d) => EmbeddingOps.quantAudit(s, d)),
+    // r4: pair-graph degree histogram — the pre-CC hot-cluster skew audit
+    "q_dup_degree" -> ((s, d) => CorpusOps.dupDegreeHistogram(s, d)),
+    // r4: one-row dataset card (docs/tokens/catalog/dup exposure)
+    "q_corpus_stats" -> ((s, d) => CorpusOps.corpusStats(s, d)),
+    // r4: contrastive hard negatives — top-k most-similar DIFFERENT-label
+    "q_hard_negatives" -> ((s, d) => EmbeddingOps.hardNegatives(s, d)),
     // r4: per-doc novelty — fraction of shingles first seen in this doc
     "q_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     // r4: source×source shingle-set Jaccard (catalog contamination matrix;
@@ -557,6 +563,45 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // degree histogram over the same verified pair graph
+    "q_dup_degree" ->
+      s"""WITH $dupPairsCte,
+         ed AS (SELECT id_a AS doc_id FROM pairs
+                UNION ALL SELECT id_b FROM pairs),
+         deg AS (SELECT doc_id, count(*) AS degree FROM ed GROUP BY 1)
+         SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+         FROM deg GROUP BY 1""",
+    // dataset card: base aggregates + distinct pair-graph nodes
+    "q_corpus_stats" ->
+      s"""WITH $dupPairsCte,
+         nodes AS (SELECT id_a AS doc_id FROM pairs
+                   UNION SELECT id_b FROM pairs),
+         dupn AS (SELECT count(*) AS dup_docs FROM nodes),
+         base AS (SELECT count(*) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens,
+                    count(DISTINCT source) AS n_sources,
+                    count(DISTINCT lang) AS n_langs,
+                    round(avg(n_chars), 6) AS mean_chars
+                  FROM documents)
+         SELECT b.n_docs, b.n_tokens, b.n_sources, b.n_langs, b.mean_chars,
+                d.dup_docs,
+                round(CAST(d.dup_docs AS DOUBLE) / b.n_docs, 6) AS dup_frac
+         FROM base b, dupn d""",
+    // brute top-k constrained to a different label (hard negatives)
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+               FROM e WHERE vec_id < 10),
+         s AS (SELECT qid, e.vec_id AS nid,
+                      round(list_cosine_similarity(qv, v), 6) AS sim
+               FROM q, e WHERE e.label <> qlabel)
+         SELECT qid, nid, sim, rank FROM (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+           FROM s)
+         WHERE rank <= 5""",
     // novelty: first-owner of each distinct shingle is the min doc_id
     "q_ngram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -1045,6 +1045,40 @@ object CorpusOps {
     }
   }
 
+  /** Degree histogram of the near-dup pair graph — the skew audit run
+    * BEFORE connected components at scale: a heavy tail here (one node with
+    * degree 10⁶) is exactly the hot-cluster shape that blows up the
+    * large-star contraction's shuffle, and the cue to cap or pre-contract
+    * hubs. Pair-graph-sized work: explode each edge into two endpoint rows,
+    * two map-side-combining aggregations, output is histogram-sized.
+    * Shares the cached pair frame with the whole dedup family. */
+  def dupDegreeHistogram(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5): DataFrame =
+    lshPairs(spark, dir, threshold)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** One-row dataset card: corpus size, token volume, catalog breadth,
+    * length moments and near-dup exposure — the summary a data-governance
+    * review reads before a training run. One corpus pass for the base
+    * aggregates plus the cached dup-label frame (label-sized) for the
+    * duplicate exposure; the two one-row frames cross-join for free. */
+  def corpusStats(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val base = documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(col("text"))).cast("long")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(avg(col("n_chars")), 6).as("mean_chars"))
+    val dups = dupLabels(spark, dir, threshold)
+      .agg(count(lit(1)).as("dup_docs"))
+    base.crossJoin(broadcast(dups))
+      .withColumn("dup_frac",
+        round(col("dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
   /** Duplicate clusters over the near-dup pair graph: every document that
     * has at least one near-duplicate, labelled with its cluster
     * representative (smallest doc_id in the component). The pair source is

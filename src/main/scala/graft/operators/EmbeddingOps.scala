@@ -50,6 +50,26 @@ object EmbeddingOps {
     topK(scored, k)
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the k most
+    * similar vectors carrying a DIFFERENT label — the highest-value
+    * negatives for contrastive/triplet training (easy negatives teach
+    * nothing; hard ones define the decision boundary). Same broadcast shape
+    * as [[bruteTopK]]: the request-sized query side broadcasts, the data
+    * side streams once, and the label inequality rides the join condition
+    * so mismatched-label pairs never materialize past the probe. At corpus
+    * scale, swap the brute scan for any of the ANN candidate paths and
+    * re-rank — the output contract is identical. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val all = embeddings(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = all.join(broadcast(q), col("label") =!= col("qlabel"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
+    topK(scored, k)
+  }
+
   /** Int8 quantization fidelity audit: per-vector scale, max reconstruction
     * error and original↔decode cosine from ONE fused pass
     * ([[graft.functions.Int8QuantAudit]]) — the report that decides whether

@@ -760,4 +760,26 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       assert(nTok > (nChunks - 1) * 256)
     }
   }
+
+  test("dup degree histogram: handshake identity against the pair graph") {
+    val nPairs = graft.operators.TextOps.minhashLshPairs(spark, dir).count()
+    val hist = CorpusOps.dupDegreeHistogram(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(hist.nonEmpty)
+    // sum of degrees counts each edge twice
+    assert(hist.map { case (d, n) => d * n }.sum === 2 * nPairs)
+    hist.foreach { case (d, n) => assert(d >= 1 && n >= 1) }
+  }
+
+  test("corpus stats: one-row card consistent with direct counts") {
+    val r = CorpusOps.corpusStats(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("n_docs")) === 500)
+    assert(r.getLong(r.fieldIndex("n_sources")) === 20)
+    val dupDocs = r.getLong(r.fieldIndex("dup_docs"))
+    val clusters = CorpusOps.dupClusters(spark, dir).count()
+    assert(dupDocs === clusters, "dup exposure != labelled nodes")
+    assert(r.getDouble(r.fieldIndex("dup_frac")) ===
+      math.round(dupDocs.toDouble / 500 * 1e6) / 1e6)
+    assert(r.getLong(r.fieldIndex("n_tokens")) > 0)
+  }
 }

@@ -261,4 +261,21 @@ class EmbeddingSpec extends SparkSuite {
     assert(m(1L) === Seq(0.0, 0.0, 0.0))
     assert(math.abs(m(2L).head - 1.0 / 127) < 1e-15)
   }
+
+  test("hard negatives: k per query, never the query's own label, rank-ordered") {
+    val labels = EmbeddingOps.embeddings(spark, dir)
+      .select("vec_id", "label").as[(Long, Long)].collect().toMap
+    val rows = EmbeddingOps.hardNegatives(spark, dir, nQueries = 10, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.length === 50)
+    rows.foreach { case (qid, nid, _, _) =>
+      assert(labels(nid) !== labels(qid), s"negative $nid shares label with query $qid")
+    }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to 5))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
 }
