@@ -85,6 +85,12 @@ object SparkEntry {
     // r4: int8 embedding quantization fidelity audit (fused native pass:
     // scale, max reconstruction error, original↔decode cosine)
     "q_quant_embed" -> ((s, d) => EmbeddingOps.quantAudit(s, d)),
+    // r4: Zipf least-squares fit over top-100 vocab (corpus-health audit)
+    "q_zipf_audit" -> ((s, d) => CorpusOps.zipfAudit(s, d)),
+    // r4: per-source TF-IDF top terms (catalog fingerprint)
+    "q_tfidf_terms" -> ((s, d) => CorpusOps.tfidfTerms(s, d)),
+    // r4: median/MAD robust length outliers per source
+    "q_length_outliers" -> ((s, d) => CorpusOps.lengthOutliers(s, d)),
     // r4: pair-graph degree histogram — the pre-CC hot-cluster skew audit
     "q_dup_degree" -> ((s, d) => CorpusOps.dupDegreeHistogram(s, d)),
     // r4: one-row dataset card (docs/tokens/catalog/dup exposure)
@@ -196,6 +202,16 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       EmbeddingOps.ivfPqTopK(s, idx, d, queries, k = 5, nProbe = 16,
         rerank = Int.MaxValue)
+    }),
+    // SQ8 (int8-binary) compressed scan + exact re-rank — same
+    // deterministic-tmpdir always-rebuild rationale as q_ann_ivfpq; the
+    // rerank window is 64 (measured exact ≥ top-5 at every test sf with
+    // wide margin, EmbeddingSpec)
+    "q_ann_sq8" -> ((s, d) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-sq8-" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      EmbeddingOps.buildSq8Index(s, d, idx)
+      EmbeddingOps.sq8TopK(s, d, idx, nQueries = 10, k = 5, rerank = 64)
     }),
     // multi-table SemDeDup cells (the recall dial): pairs sharing a cell in
     // ANY of 4 plane tables — the oracle recomputes all 16 plane dot signs
@@ -374,6 +390,7 @@ object SparkEntry {
     "q_ann_ivf_incremental" -> cosTopkOracle,
     "q_ann_pq" -> cosTopkOracle,
     "q_ann_ivfpq" -> cosTopkOracle,
+    "q_ann_sq8" -> cosTopkOracle,
     "q_cos_neardup_multi" -> nearDupBucketedMultiOracle,
     "q_fingerprint" ->
       """SELECT count(DISTINCT text) AS n_texts,
@@ -563,6 +580,54 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // closed-form least squares over ln(rank), ln(count) of the top 100
+    "q_zipf_audit" ->
+      """WITH c AS (SELECT w AS word, count(*) AS n
+             FROM (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1),
+         top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100),
+         v AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word)
+                   AS DOUBLE)) AS x,
+                 ln(CAST(n AS DOUBLE)) AS y FROM top),
+         a AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy FROM v)
+         SELECT round((k*sxy - sx*sy)/(k*sxx - sx*sx), 6) AS slope,
+                round((sy - (k*sxy - sx*sy)/(k*sxx - sx*sx)*sx)/k, 6)
+                  AS intercept,
+                round(pow(k*sxy - sx*sy, 2) /
+                  ((k*sxx - sx*sx)*(k*syy - sy*sy)), 6) AS r2
+         FROM a""",
+    // idf rounded to 6 before the tf multiply (libm ulp parity; see the
+    // engine-side comment in CorpusOps.tfidfTerms)
+    "q_tfidf_terms" ->
+      """WITH tf AS (SELECT source, w AS word, count(*) AS tf
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         ns AS (SELECT count(DISTINCT source) AS ns FROM tf),
+         s AS (SELECT tf.source, tf.word, tf.tf, df.df,
+                 round(tf.tf * round(ln(CAST(ns.ns AS DOUBLE)/df.df), 6), 6)
+                   AS score
+               FROM tf JOIN df USING (word), ns),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY source ORDER BY score DESC, word) AS rk
+               FROM s)
+         SELECT source, word, CAST(tf AS BIGINT) AS tf,
+                CAST(df AS BIGINT) AS df, score, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 5""",
+    // exact grouped percentiles: quantile_cont ≡ Spark percentile
+    "q_length_outliers" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+             FROM documents GROUP BY 1),
+         mad AS (SELECT d.source,
+                   quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+                 FROM documents d JOIN med m USING (source) GROUP BY 1)
+         SELECT d.source, d.doc_id, d.n_chars,
+                round(m.med, 6) AS med, round(a.mad, 6) AS mad
+         FROM documents d
+         JOIN med m USING (source) JOIN mad a USING (source)
+         WHERE abs(d.n_chars - m.med) > 2.0 * a.mad""",
     // degree histogram over the same verified pair graph
     "q_dup_degree" ->
       s"""WITH $dupPairsCte,

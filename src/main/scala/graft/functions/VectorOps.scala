@@ -500,3 +500,85 @@ object Int8QuantAudit {
   def int8QuantAudit(v: Column): Column =
     ExpressionUtils.column(Int8QuantAudit(ExpressionUtils.expression(v)))
 }
+
+/** Int8 symmetric encode to a BINARY column: one byte per dimension (the
+  * true 4× storage layout vs float32 — parquet stores int arrays as int32,
+  * so the byte-array form is what actually shrinks the store). Same
+  * deterministic floor(x/scale+0.5) clamp arithmetic as [[Int8QuantAudit]];
+  * the per-vector scale travels in a sibling column (needed to DECODE, but
+  * not to RANK — symmetric quantization cancels the scale inside cosine,
+  * see [[Int8CosSim]]). */
+case class Int8Codes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_codes"
+  override protected def nullSafeEval(v: Any): Any =
+    Int8Codes.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Codes.encode($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Int8Codes {
+  def encode(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i)); if (v > mx) mx = v; i += 1
+    }
+    val scale = mx / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = if (scale == 0.0) 0.0 else {
+        var b = math.floor(a.getDouble(i) / scale + 0.5)
+        if (b > 127.0) b = 127.0 else if (b < -127.0) b = -127.0
+        b
+      }
+      out(i) = q.toByte
+      i += 1
+    }
+    out
+  }
+
+  def int8Codes(v: Column): Column =
+    ExpressionUtils.column(Int8Codes(ExpressionUtils.expression(v)))
+}
+
+/** Cosine of a full-precision query against an int8-coded vector WITHOUT
+  * decoding: cos(q, scale·c) = cos(q, c) — the symmetric scale divides out
+  * of both the dot and the norm, so the compressed scan never touches the
+  * scale column and the bytes never widen to a materialized double array.
+  * One fused pass, whole-stage codegen. */
+case class Int8CosSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_cos_sim"
+  override protected def nullSafeEval(codes: Any, q: Any): Any =
+    Int8CosSim.sim(codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, q) => s"graft.functions.Int8CosSim.sim($c, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object Int8CosSim {
+  def sim(codes: Array[Byte], q: ArrayData): Double = {
+    val n = math.min(codes.length, q.numElements())
+    var dot = 0.0; var nc = 0.0; var nq = 0.0
+    var i = 0
+    while (i < n) {
+      val c = codes(i).toDouble
+      val x = q.getDouble(i)
+      dot += x * c; nc += c * c; nq += x * x
+      i += 1
+    }
+    val denom = math.sqrt(nq) * math.sqrt(nc)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def int8CosSim(codes: Column, q: Column): Column =
+    ExpressionUtils.column(Int8CosSim(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(q)))
+}

@@ -1250,4 +1250,90 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
+
+  /** Zipf audit: least-squares fit of ln(count) against ln(rank) over the
+    * top-N vocabulary — slope ≈ −1 is the healthy-natural-text signature;
+    * a flat slope flags templated/boilerplate corpora, a cliff flags
+    * near-duplicate floods. The word count is the classic combine-heavy
+    * aggregation; the top-N lands via orderBy+limit (TakeOrderedAndProject
+    * — per-partition heaps, no global sort materializes) and the
+    * regression runs on an N-row frame. One row out: slope, intercept, r²
+    * from the textbook closed form (identical left-to-right arithmetic on
+    * both engines). */
+  def zipfAudit(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("word"))
+    val top = documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    top.agg(count(lit(1)).cast("double").as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("k"), 6).as("intercept"),
+        round(pow(col("k") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+           (col("k") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** Per-source TF-IDF top terms: the k most characteristic words of each
+    * source (tf × ln(n_sources/df)) — the catalog fingerprint a curation
+    * review reads next to [[sourceSim]]'s overlap matrix. Work shapes:
+    * (source, word) counts combine map-side; document frequency is a
+    * word-keyed roll-up of that same frame; the top-k window partitions by
+    * source. The source-count scalar is a one-row broadcast. Words present
+    * in every source score exactly 0 (idf = ln 1) and rank by the word
+    * tie-break — deterministic on both engines. */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val ns = tf.select(countDistinct(col("source")).as("ns"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word").crossJoin(broadcast(ns))
+      // ln is rounded to 6 BEFORE the tf multiply: JVM Math.log and DuckDB
+      // ln differ in the last ulp, and tf would amplify that past the
+      // round-6 boundary; a 6-decimal idf times an integer tf is the same
+      // double bit-for-bit on both engines
+      .withColumn("score",
+        round(col("tf") *
+          round(log(col("ns").cast("double") / col("df")), 6), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("word"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Robust per-source length outliers: median + MAD (median absolute
+    * deviation) of n_chars per source, flagging docs beyond
+    * `nMads × MAD` — the length filter that, unlike mean/stddev, a single
+    * pathological document cannot drag. Exact grouped percentiles (sorted
+    * within group — audit cardinality; the t-digest path in
+    * [[qualityQuantilesApprox]] is the billions-of-keys variant), two
+    * passes: median, then median of deviations, then a per-row filter.
+    * Every shuffle is keyed on source. */
+  def lengthOutliers(spark: SparkSession, dir: String,
+                     nMads: Double = 2.0): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val med = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val withMed = docs.join(med, "source")
+    val mad = withMed.groupBy("source")
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    withMed.join(mad, "source")
+      .filter(abs(col("n_chars") - col("med")) > lit(nMads) * col("mad"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
 }

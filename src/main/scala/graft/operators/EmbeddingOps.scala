@@ -88,6 +88,48 @@ object EmbeddingOps {
         round(element_at(col("a"), 2), 6).as("max_err"),
         round(element_at(col("a"), 3), 6).as("cos"))
 
+  /** SQ8 index build: int8 codes in a BINARY column (one byte/dim — the
+    * FAISS SQ8 layout, a true 4× shrink vs float32) plus the per-vector
+    * decode scale. One narrow pass, no shuffle; at 100 TB this is the
+    * cheap always-on companion index (PQ compresses 32–64×, SQ8 trades
+    * less compression for near-lossless ranking and no codebook
+    * training). */
+  def buildSq8Index(spark: SparkSession, dir: String, indexPath: String): Unit =
+    embeddings(spark, dir)
+      .select(col("vec_id"),
+        element_at(
+          graft.functions.Int8QuantAudit.int8QuantAudit(col("embedding")), 1)
+          .as("scale"),
+        graft.functions.Int8Codes.int8Codes(col("embedding")).as("codes"))
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** SQ8 top-k: compressed candidate scan + exact re-rank. The scan ranks
+    * by [[graft.functions.Int8CosSim]] directly on the bytes (the scale
+    * cancels — the scale column is never read on the query path), keeps the
+    * top `rerank` per query, and re-scores only those against the
+    * full-precision vectors — exact whenever the true top-k survives the
+    * candidate stage (measured per sf in EmbeddingSpec; int8 keeps cosine
+    * to ~5 decimal places, so the margin is wide). The re-rank join
+    * broadcasts the request-sized candidate list against the vector
+    * table. */
+  def sq8TopK(spark: SparkSession, dir: String, indexPath: String,
+              nQueries: Int = 10, k: Int = 5, rerank: Int = 32): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(desc("qsim"), asc("vec_id"))
+    val cand = idx.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qsim",
+        graft.functions.Int8CosSim.int8CosSim(col("codes"), col("qv")))
+      .withColumn("rr", row_number().over(wq))
+      .filter(col("rr") <= rerank)
+      .select("qid", "qv", "vec_id")
+    val rescored = embeddings(spark, dir).join(broadcast(cand), Seq("vec_id"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
+    topK(rescored, k)
+  }
+
   /** All near-dup pairs above a cosine threshold — the EXACT ground-truth
     * mode (all-pairs, quadratic). NOT a shipped query path: it exists to
     * measure the recall of the bucketed/banded paths in the specs (at

@@ -782,4 +782,50 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       math.round(dupDocs.toDouble / 500 * 1e6) / 1e6)
     assert(r.getLong(r.fieldIndex("n_tokens")) > 0)
   }
+
+  test("zipf audit: one row, slope negative, r2 in [0,1]") {
+    val r = CorpusOps.zipfAudit(spark, dir).collect()
+    assert(r.length === 1)
+    val (slope, r2) = (r.head.getDouble(0), r.head.getDouble(2))
+    assert(slope < 0, s"rank-frequency slope must be negative: $slope")
+    assert(r2 >= 0 && r2 <= 1)
+  }
+
+  test("tfidf terms: k per source, scores rank-consistent, df bounded by source count") {
+    val rows = CorpusOps.tfidfTerms(spark, dir)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.size === 20)
+    bySrc.foreach { case (_, g) =>
+      val sorted = g.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq === (1L to 5L))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 >= b._5; case _ => true })
+    }
+    rows.foreach { case (_, _, tf, df, score, _) =>
+      assert(tf >= 1 && df >= 1 && df <= 20)
+      // a top term must discriminate: idf > 0 unless present in all sources
+      assert(score >= 0.0 || df === 20L)
+    }
+  }
+
+  test("length outliers: every flagged doc actually exceeds 2 MADs, none missed") {
+    val docs = graft.operators.TextOps.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val bySrc = docs.groupBy(_._2)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val expect = bySrc.toSeq.flatMap { case (src, g) =>
+      val med = medianOf(g.map(_._3.toDouble))
+      val mad = medianOf(g.map(d => math.abs(d._3 - med)))
+      g.filter(d => math.abs(d._3 - med) > 2.0 * mad).map(d => (src, d._1))
+    }.toSet
+    val got = CorpusOps.lengthOutliers(spark, dir)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(got === expect)
+  }
 }

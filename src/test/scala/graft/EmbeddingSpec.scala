@@ -278,4 +278,32 @@ class EmbeddingSpec extends SparkSuite {
         case Array(a, b) => a._3 >= b._3; case _ => true })
     }
   }
+
+  test("SQ8 binary index: 4x smaller codes, compressed scan + re-rank equals brute force") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"), sf("sf0.1"))) {
+      val idx = java.nio.file.Files.createTempDirectory("sq8").toString
+      EmbeddingOps.buildSq8Index(spark, d, idx)
+      val stored = spark.read.parquet(idx)
+      val dim = EmbeddingOps.embeddings(spark, d)
+        .select(org.apache.spark.sql.functions.size(col("embedding")))
+        .first().getInt(0)
+      // one byte per dimension, scale positive
+      stored.select("codes", "scale").collect().foreach { r =>
+        assert(r.getAs[Array[Byte]](0).length === dim)
+        assert(r.getDouble(1) > 0)
+      }
+      val truth = EmbeddingOps.bruteTopK(spark, d, 10, 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val got = EmbeddingOps.sq8TopK(spark, d, idx, 10, 5, rerank = 64)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got === truth, s"SQ8 re-rank not exact at $d")
+      // margin: int8 ranking alone is already near-exact — a much
+      // tighter candidate window than the shipped 64 stays exact
+      val tight = EmbeddingOps.sq8TopK(spark, d, idx, 10, 5, rerank = 8)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      info(s"$d: rerank=8 exact: ${tight == truth}")
+      assert(tight.intersect(truth).size >= 45,
+        s"rerank=8 recall collapsed at $d: ${tight.intersect(truth).size}/50")
+    }
+  }
 }

@@ -95,6 +95,21 @@ class PlanSpec extends SparkSuite {
       assert(df.count() > 0)
       assert(planOf(df).contains("*(1)"),
         s"no WholeStageCodegen stage in:\n${planOf(df)}")
+      // the SQ8 pair (encode to binary, byte-domain cosine) under the same
+      // CODEGEN_ONLY regime
+      import spark.implicits._
+      val two = Seq((1L, Array(1.0, -0.5, 0.25)), (2L, Array(0.5, 0.5, 0.5)))
+        .toDF("id", "v")
+        .select(org.apache.spark.sql.functions.col("id"),
+          graft.functions.Int8Codes.int8Codes(
+            org.apache.spark.sql.functions.col("v")).as("codes"),
+          org.apache.spark.sql.functions.col("v"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          graft.functions.Int8CosSim.int8CosSim(
+            org.apache.spark.sql.functions.col("codes"),
+            org.apache.spark.sql.functions.col("v")).as("s"))
+        .collect()
+      assert(two.forall(_.getDouble(1) > 0.99))
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
