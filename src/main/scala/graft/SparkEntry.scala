@@ -97,6 +97,12 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => CorpusOps.corpusStats(s, d)),
     // r4: contrastive hard negatives — top-k most-similar DIFFERENT-label
     "q_hard_negatives" -> ((s, d) => EmbeddingOps.hardNegatives(s, d)),
+    // r4: canonical normalization (lower/strip/collapse) with md5-pinned
+    // normal form — the contract upstream of hash dedup
+    "q_normalize_text" -> ((s, d) => TextOps.normalizeText(s, d)),
+    // r4: asymmetric containment pairs (|A∩B|/min|A|,|B| — catches
+    // quoted-whole inclusion that symmetric Jaccard structurally misses)
+    "q_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     // r4: per-doc novelty — fraction of shingles first seen in this doc
     "q_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     // r4: source×source shingle-set Jaccard (catalog contamination matrix;
@@ -667,6 +673,36 @@ object SparkEntry {
              (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
            FROM s)
          WHERE rank <= 5""",
+    // md5 of the exact normal form — regex divergence = hash mismatch
+    "q_normalize_text" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> text AS changed,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS norm_len
+         FROM documents""",
+    // containment = shared distinct shingles over the smaller set
+    "q_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(w[k:k+2], ' ') AS s
+                FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(i AS DOUBLE) / least(ca.n, cb.n), 6)
+                  AS containment
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE round(CAST(i AS DOUBLE) / least(ca.n, cb.n), 6) >= 0.9""",
     // novelty: first-owner of each distinct shingle is the min doc_id
     "q_ngram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

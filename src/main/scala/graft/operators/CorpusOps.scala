@@ -146,7 +146,7 @@ object CorpusOps {
     * re-build as the dup-label cache). */
   private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    servedFresh(scoredDocsCache, (appId, dir, 0.0)) {
+    servedFresh(scoredDocsCache, (appId, dir, 0.0), probe = false) {
       evictOne(scoredDocsCache, appId)
       val ws = words(col("text"))
       documents(spark, dir)
@@ -993,17 +993,22 @@ object CorpusOps {
         try { df.unpersist(); () } catch { case _: Exception => () })
     }
 
-  /** Serve a cached frame with failure invalidation: the cached frames are
-    * persisted + localCheckpoint-backed, so losing their blocks (executor
-    * loss, memory pressure, a stopped context) would otherwise poison every
-    * later call on the same key until a manual [[invalidateDupLabels]]. A
-    * cache HIT is first probed with a cheap action (the frames are pair- /
-    * label-sized); a probe failure evicts the entry and recomputes once —
-    * only the recompute's own failure propagates. */
+  /** Serve a cached frame with failure invalidation. `probe = true` is for
+    * localCheckpoint-backed frames (the pair/label caches): their lineage
+    * is truncated, so losing blocks (executor loss, memory pressure, a
+    * stopped context) would otherwise poison every later call on the same
+    * key until a manual [[invalidateDupLabels]] — a HIT is first probed
+    * with a count (cheap: those frames are pair-/label-sized) and a probe
+    * failure evicts + rebuilds once. `probe = false` is for persist-only
+    * frames with full lineage (the corpus-sized scored projection): evicted
+    * blocks recompute transparently from lineage, the frame CANNOT be
+    * poisoned, and a count probe would scan the whole corpus on every warm
+    * call — the hit is returned directly. */
   private def servedFresh(cache: scala.collection.concurrent.TrieMap[
-      (String, String, Double), DataFrame], key: (String, String, Double))(
-      build: => DataFrame): DataFrame =
+      (String, String, Double), DataFrame], key: (String, String, Double),
+      probe: Boolean = true)(build: => DataFrame): DataFrame =
     cache.get(key) match {
+      case Some(hit) if !probe => hit
       case Some(hit) =>
         try { hit.count(); hit }
         catch {

@@ -363,6 +363,53 @@ object TextOps {
         round(col("n_new").cast("double") / col("n_sh"), 6).as("novelty"))
   }
 
+  /** Canonical text normalization — lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim — the preprocessing contract upstream of
+    * every hash-based dedup (two docs differing only in case/punctuation
+    * must collide). Pure narrow projection, codegen regex; the oracle
+    * pins the exact normal form cross-engine via md5 of the result, so any
+    * engine/regex divergence is a hash mismatch, not a silent drift. */
+  /** The normal form as a column (TextOpsSpec drives it over adversarial
+    * mixed-case/punctuation strings; the corpus oracle covers engine
+    * parity — the synthetic corpus is already canonical, so `changed` is
+    * its false-everywhere fixed point there). */
+  def normalizeCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normalizeCol(col("text"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        (norm =!= col("text")).as("changed"),
+        md5(norm).as("norm_md5"),
+        length(norm).cast("long").as("norm_len"))
+  }
+
+  /** Asymmetric containment dedup: pairs where ≥`threshold` of the SMALLER
+    * doc's distinct shingles appear in the larger doc —
+    * |A∩B| / min(|A|,|B|). Catches what symmetric Jaccard structurally
+    * cannot: a short doc quoted whole inside a long one has tiny Jaccard
+    * (union is large) but containment ~1. Same shingle equi-join shape as
+    * [[jaccardPairs]] (never a cross join), same hot-shingle cap applies at
+    * corpus scale. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9, k: Int = 3): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
+    val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / least(col("ca.n"), col("cb.n")), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Inter-source contamination matrix: exact Jaccard between the distinct
     * shingle SETS of every source pair sharing at least one shingle — the
     * corpus-catalog-level duplication audit (which crawls/mirrors overlap,

@@ -804,8 +804,9 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
     }
     rows.foreach { case (_, _, tf, df, score, _) =>
       assert(tf >= 1 && df >= 1 && df <= 20)
-      // a top term must discriminate: idf > 0 unless present in all sources
-      assert(score >= 0.0 || df === 20L)
+      // a top term must discriminate: positive score unless the word is
+      // in every source (idf = ln 1 = 0)
+      assert(score > 0.0 || df === 20L)
     }
   }
 

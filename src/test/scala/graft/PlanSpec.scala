@@ -96,20 +96,21 @@ class PlanSpec extends SparkSuite {
       assert(planOf(df).contains("*(1)"),
         s"no WholeStageCodegen stage in:\n${planOf(df)}")
       // the SQ8 pair (encode to binary, byte-domain cosine) under the same
-      // CODEGEN_ONLY regime
-      import spark.implicits._
-      val two = Seq((1L, Array(1.0, -0.5, 0.25)), (2L, Array(0.5, 0.5, 0.5)))
-        .toDF("id", "v")
-        .select(org.apache.spark.sql.functions.col("id"),
-          graft.functions.Int8Codes.int8Codes(
-            org.apache.spark.sql.functions.col("v")).as("codes"),
-          org.apache.spark.sql.functions.col("v"))
-        .select(org.apache.spark.sql.functions.col("id"),
+      // CODEGEN_ONLY regime — over the PARQUET-backed table: a
+      // LocalRelation collapses to LocalTableScan at optimization time
+      // (ConvertToLocalRelation runs InterpretedMutableProjection) and
+      // would never exercise doGenCode, making the gate a no-op
+      val sq8 = EmbeddingOps.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id"),
+          graft.functions.Int8Codes.int8Codes(col("embedding")).as("codes"),
+          col("embedding"))
+        .select(col("vec_id"),
           graft.functions.Int8CosSim.int8CosSim(
-            org.apache.spark.sql.functions.col("codes"),
-            org.apache.spark.sql.functions.col("v")).as("s"))
-        .collect()
-      assert(two.forall(_.getDouble(1) > 0.99))
+            col("codes"), col("embedding")).as("s"))
+      val sims = sq8.collect().map(_.getDouble(1))
+      assert(sims.nonEmpty && sims.forall(_ > 0.99))
+      assert(planOf(sq8).contains("*(1)"),
+        s"no WholeStageCodegen stage in:\n${planOf(sq8)}")
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")

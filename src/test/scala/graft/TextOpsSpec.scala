@@ -193,4 +193,40 @@ test("hash embedding: unit L2 norm and bit-parity with a direct md5 recompute") 
       assert(math.abs(j - expect) < 1e-9)
     }
   }
+
+  test("normalization: case, punctuation and space runs collapse to the canonical form") {
+    val rows = Seq(
+      (1L, "Hello,   WORLD!!"),
+      (2L, "hello world"),
+      (3L, "  a--b  c__9  "),
+      (4L, "..."))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normalizeCol(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "hello world")
+    assert(rows(2L) === "hello world")
+    assert(rows(3L) === "ab c9")
+    assert(rows(4L) === "")
+    // the point of the normal form: case/punct variants now hash-collide
+    assert(rows(1L) === rows(2L))
+  }
+
+  test("containment pairs: exact against an in-memory shingle-set ground truth") {
+    val docs = TextOps.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val sets = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      i = sa.intersect(sb).size if i > 0
+      c = math.round(i.toDouble / math.min(sa.size, sb.size) * 1e6) / 1e6
+      if c >= 0.9
+    } yield (a, b, c)).toSet
+    val got = TextOps.containmentPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
