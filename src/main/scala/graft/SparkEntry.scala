@@ -85,6 +85,12 @@ object SparkEntry {
     // r4: int8 embedding quantization fidelity audit (fused native pass:
     // scale, max reconstruction error, original↔decode cosine)
     "q_quant_embed" -> ((s, d) => EmbeddingOps.quantAudit(s, d)),
+    // r4: ROLLUP grouping sets — (source,lang) cells, subtotals, total
+    "q_rollup_counts" -> ((s, d) => CorpusOps.rollupCounts(s, d)),
+    // r4: PIVOT contingency matrix (source × language counts)
+    "q_pivot_langs" -> ((s, d) => CorpusOps.pivotLangs(s, d)),
+    // r4: lag-window interarrival profile per user (µs-exact gaps)
+    "q_user_gaps" -> ((s, d) => CorpusOps.userGaps(s, d)),
     // r4: Zipf least-squares fit over top-100 vocab (corpus-health audit)
     "q_zipf_audit" -> ((s, d) => CorpusOps.zipfAudit(s, d)),
     // r4: per-source TF-IDF top terms (catalog fingerprint)
@@ -586,6 +592,32 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // ROLLUP with grouping() flags distinguishing subtotal NULLs
+    "q_rollup_counts" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+                CAST(grouping(source) AS BIGINT) AS g_source,
+                CAST(grouping(lang) AS BIGINT) AS g_lang
+         FROM documents GROUP BY ROLLUP (source, lang)""",
+    // pivot = conditional counts over the fixed language list
+    "q_pivot_langs" ->
+      """SELECT source,
+                count(*) FILTER (lang = 'de') AS de,
+                count(*) FILTER (lang = 'en') AS en,
+                count(*) FILTER (lang = 'es') AS es,
+                count(*) FILTER (lang = 'fr') AS fr,
+                count(*) FILTER (lang = 'zh') AS zh
+         FROM documents GROUP BY 1""",
+    // µs-integer gaps; avg(BIGINT) is exact-sum-then-divide on both engines
+    "q_user_gaps" ->
+      """WITH g AS (SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+               FROM events)
+         SELECT user_id, count(*) AS n_events,
+                round(avg(gap_us), 6) AS avg_gap_us,
+                CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         FROM g GROUP BY 1""",
     // closed-form least squares over ln(rank), ln(count) of the top 100
     "q_zipf_audit" ->
       """WITH c AS (SELECT w AS word, count(*) AS n

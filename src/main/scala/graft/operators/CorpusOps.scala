@@ -1168,6 +1168,52 @@ object CorpusOps {
       round(col("alloc_raw") / col("avail"), 6).as("frac"))
   }
 
+  /** Hierarchical catalog roll-up: doc and token counts at (source, lang),
+    * per-source subtotals and the grand total in ONE pass —
+    * `ROLLUP(source, lang)`, Spark's Expand-based grouping sets (each input
+    * row fans into its grouping-set combinations before one ordinary
+    * partial-aggregated shuffle; no per-level rescan). grouping() flags
+    * disambiguate a rolled-up NULL from a literal one. */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"))
+
+  /** Source × language contingency matrix via PIVOT — one row per source,
+    * one count column per language (explicit value list: the pivot columns
+    * are plan-time schema, so the plan is a single groupBy with a
+    * conditional-count projection, not per-language scans; empty cells
+    * filled 0 to match SQL's count-filter semantics). */
+  def pivotLangs(spark: SparkSession, dir: String,
+                 langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    documents(spark, dir)
+      .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+      .na.fill(0, langs)
+
+  /** Per-user interarrival profile: event count plus mean/max gap between
+    * consecutive events — the lag-window family. Gaps are computed in
+    * MICROSECONDS as integers (the ts column is µs-precision; casting to
+    * epoch seconds would truncate on one engine and round on the other),
+    * ordered by (ts, event_id) so ties are deterministic. One user-keyed
+    * exchange carries both the lag window and the roll-up. */
+  def userGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    EventOps.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      // ts is TIMESTAMP_NTZ in the parquet; the UTC session makes the
+      // cast a pure re-tag (same wall time, same microseconds)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("gap_us"), 6).as("avg_gap_us"),
+        max("gap_us").as("max_gap_us"))
+  }
+
   // ---- Distribution audits -----------------------------------------------
 
   /** Per-source length-distribution audit: exact interpolated percentiles

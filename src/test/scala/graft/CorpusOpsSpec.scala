@@ -829,4 +829,53 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       .select("source", "doc_id").as[(String, Long)].collect().toSet
     assert(got === expect)
   }
+
+  test("rollup: cells sum to subtotals sum to grand total, grouping flags correct") {
+    val rows = CorpusOps.rollupCounts(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val cells = rows.filter(r => r._5 == 0 && r._6 == 0)
+    val subs = rows.filter(r => r._5 == 0 && r._6 == 1)
+    val total = rows.filter(r => r._5 == 1 && r._6 == 1)
+    assert(total.length === 1)
+    assert(total.head._3 === 500 && total.head._3 === cells.map(_._3).sum)
+    assert(subs.map(_._3).sum === 500)
+    // every subtotal equals the sum of its cells (docs and tokens)
+    subs.foreach { sub =>
+      val mine = cells.filter(_._1 == sub._1)
+      assert(mine.map(_._3).sum === sub._3)
+      assert(mine.map(_._4).sum === sub._4)
+    }
+    // rolled-up keys are null exactly when flagged
+    rows.foreach { r =>
+      assert(r._2.isEmpty === (r._6 == 1))
+      assert(r._1.isEmpty === (r._5 == 1))
+    }
+  }
+
+  test("pivot: row sums equal per-source doc counts, zero-filled cells") {
+    val rows = CorpusOps.pivotLangs(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    val perSrc = graft.operators.TextOps.documents(spark, dir)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (src, de, en, es, fr, zh) =>
+      assert(Seq(de, en, es, fr, zh).forall(_ >= 0))
+      assert(de + en + es + fr + zh === perSrc(src))
+    }
+  }
+
+  test("user gaps: non-negative, max >= avg, singleton users yield null gaps") {
+    val rows = CorpusOps.userGaps(spark, dir).collect()
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      if (n > 1) {
+        assert(!r.isNullAt(2) && !r.isNullAt(3))
+        assert(r.getLong(3) >= 0 && r.getDouble(2) >= 0)
+        assert(r.getLong(3).toDouble >= r.getDouble(2))
+      }
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.operators.EventOps.events(spark, dir).count())
+  }
 }
