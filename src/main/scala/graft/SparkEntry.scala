@@ -91,6 +91,10 @@ object SparkEntry {
     "q_pivot_langs" -> ((s, d) => CorpusOps.pivotLangs(s, d)),
     // r4: lag-window interarrival profile per user (µs-exact gaps)
     "q_user_gaps" -> ((s, d) => CorpusOps.userGaps(s, d)),
+    // r4: ordered aggregation — top user-journey prefixes
+    "q_session_paths" -> ((s, d) => CorpusOps.sessionPaths(s, d)),
+    // r4: UNPIVOT round trip of the pivot matrix (zero cells preserved)
+    "q_unpivot_langs" -> ((s, d) => CorpusOps.unpivotLangs(s, d)),
     // r4: Zipf least-squares fit over top-100 vocab (corpus-health audit)
     "q_zipf_audit" -> ((s, d) => CorpusOps.zipfAudit(s, d)),
     // r4: per-source TF-IDF top terms (catalog fingerprint)
@@ -592,6 +596,26 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // ordered string_agg ≡ sort_array(collect_list(struct)) composition
+    "q_session_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+               FROM events),
+         p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY 1)
+         SELECT path, count(*) AS n FROM p GROUP BY 1
+         ORDER BY n DESC, path LIMIT 10""",
+    // the dense source × language grid from first principles
+    "q_unpivot_langs" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+         l AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+         c AS (SELECT source, lang, count(*) AS n
+               FROM documents GROUP BY 1, 2)
+         SELECT s.source, l.lang, coalesce(c.n, 0) AS n
+         FROM s CROSS JOIN l
+         LEFT JOIN c ON c.source = s.source AND c.lang = l.lang""",
     // ROLLUP with grouping() flags distinguishing subtotal NULLs
     "q_rollup_counts" ->
       """SELECT source, lang, count(*) AS n_docs,

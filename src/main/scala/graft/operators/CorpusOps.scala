@@ -1214,6 +1214,39 @@ object CorpusOps {
         max("gap_us").as("max_gap_us"))
   }
 
+  /** Top user-journey prefixes: each user's first five event types in
+    * (ts, event_id) order joined into a path string, then the ten most
+    * common paths — the ordered-aggregation family (sort_array over
+    * collected (rank, value) structs: collect_list alone has NO ordering
+    * guarantee after a shuffle; the struct sort makes order explicit and
+    * deterministic). The per-user prefix is ≤5 elements, so the interpreted
+    * transform lambda touches ≤5 items per user — bounded, not
+    * corpus-shaped. Top-10 via orderBy+limit (TakeOrderedAndProject). */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   prefixLen: Int = 5, topN: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    EventOps.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topN)
+  }
+
+  /** UNPIVOT (melt) of the language contingency matrix back to long form —
+    * the inverse of [[pivotLangs]], zero cells preserved: the round trip
+    * (group → pivot → unpivot) must reproduce the dense source × language
+    * grid, which is exactly what the oracle checks from first
+    * principles. */
+  def unpivotLangs(spark: SparkSession, dir: String,
+                   langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    pivotLangs(spark, dir, langs)
+      .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
+
   // ---- Distribution audits -----------------------------------------------
 
   /** Per-source length-distribution audit: exact interpolated percentiles

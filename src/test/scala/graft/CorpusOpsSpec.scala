@@ -878,4 +878,36 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
     assert(rows.map(_.getLong(1)).sum ===
       graft.operators.EventOps.events(spark, dir).count())
   }
+
+  test("session paths: deterministic prefix order, counts partition the user set") {
+    val paths = CorpusOps.sessionPaths(spark, dir, prefixLen = 5, topN = 1000)
+      .as[(String, Long)].collect()
+    val users = graft.operators.EventOps.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(paths.map(_._2).sum === users)
+    paths.foreach { case (p, n) =>
+      assert(n >= 1)
+      val steps = p.split(">")
+      assert(steps.length >= 1 && steps.length <= 5)
+      assert(steps.forall(_.nonEmpty))
+    }
+    // rerun is bit-identical (the collect_list order is pinned by the
+    // struct sort, not shuffle luck)
+    val again = CorpusOps.sessionPaths(spark, dir, prefixLen = 5, topN = 1000)
+      .as[(String, Long)].collect()
+    assert(again.toSeq === paths.toSeq)
+  }
+
+  test("unpivot: melt round-trips the pivot into the dense grid") {
+    val rows = CorpusOps.unpivotLangs(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(rows.length === 100) // 20 sources x 5 langs, zero cells kept
+    val direct = graft.operators.TextOps.documents(spark, dir)
+      .groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (s2, l, n) =>
+      assert(n === direct.getOrElse((s2, l), 0L))
+    }
+  }
 }
