@@ -123,8 +123,9 @@ object Bench {
     // standalone measurements, so each rider is re-timed COLD below (caches
     // invalidated before every run) and published as `queries_cold`, with
     // `cached_via` marking who rides whom. Families: the LSH pair graph +
-    // CC labels (payer q_cluster_split; riders = every dupLabels/lshPairs
-    // consumer) and the scored projection (payer q_curriculum).
+    // CC labels (payer q_cluster_split; riders = every consumer routed
+    // through CorpusOps' keyed caches — dupLabels/lshPairs/nearDupPairs)
+    // and the scored projection (payer q_curriculum).
     val ridingVia = Map(
       "q_corpus_stats" -> "q_cluster_split",
       "q_dup_clusters" -> "q_cluster_split",

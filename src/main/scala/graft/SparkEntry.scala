@@ -47,7 +47,10 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.jaccardPairs(s, d)),
-    "q_minhash_lsh" -> ((s, d) => TextOps.minhashLshPairs(s, d)),
+    // served via the CorpusOps keyed cache: one pair graph per session,
+    // shared with the whole dedup family by construction (not by
+    // CacheManager plan-matching luck)
+    "q_minhash_lsh" -> ((s, d) => CorpusOps.nearDupPairs(s, d)),
     // banded (4×16-bit) + exact-verify = ALL pairs at hamming ≤ 3; the
     // md5-derived 63-bit signature is recomputed independently by DuckDB
     "q_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),

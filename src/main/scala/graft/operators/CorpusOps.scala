@@ -1050,6 +1050,15 @@ object CorpusOps {
     }
   }
 
+  /** The verified near-dup pair frame served from the keyed cache — the
+    * public entry point for pipelines (and the q_minhash_lsh query) so a
+    * session computes ONE pair graph, guaranteed by the cache key rather
+    * than by Spark CacheManager plan-fragment matching (which silently
+    * stops matching if the two call paths' plans drift). */
+  def nearDupPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    lshPairs(spark, dir, threshold)
+
   /** Degree histogram of the near-dup pair graph — the skew audit run
     * BEFORE connected components at scale: a heavy tail here (one node with
     * degree 10⁶) is exactly the hot-cluster shape that blows up the

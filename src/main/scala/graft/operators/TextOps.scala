@@ -99,7 +99,21 @@ object TextOps {
     *        run with a cap — pairs whose overlap is ONLY ultra-common
     *        shingles fall below any useful threshold anyway. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   k: Int = 3, maxShingleFreq: Option[Int] = None): DataFrame = {
+                   k: Int = 3, maxShingleFreq: Option[Int] = None): DataFrame =
+    shingleIntersections(spark, dir, k, maxShingleFreq)
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** The shared candidate-intersection stage behind [[jaccardPairs]] and
+    * [[containmentPairs]]: distinct-shingle sizes per doc, the shingle
+    * equi-join (optionally hot-shingle-capped — a shingle shared by M docs
+    * contributes M² candidate rows; one boilerplate sentence across 10⁶
+    * docs is a 10¹²-row join without the cap), and the per-pair overlap
+    * count. Output: (id_a, id_b, i, na, nb). */
+  private def shingleIntersections(spark: SparkSession, dir: String, k: Int,
+                                   maxShingleFreq: Option[Int]): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
     val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val exAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -109,17 +123,14 @@ object TextOps {
         exAll.join(broadcast(exAll.groupBy("s").count()
           .filter(col("count") <= cap).select("s")), Seq("s"))
     }
-    val inter = ex.as("x").join(ex.as("y"),
+    ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        round(col("i").cast("double") /
-          (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .join(cnt.select(col("doc_id"), col("n").as("na")), col("id_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(cnt.select(col("doc_id"), col("n").as("nb")), col("id_b") === col("doc_id"))
+      .drop("doc_id")
   }
 
   // ---- MinHash + LSH (the 100 TB-scale near-dup path) --------------------
@@ -363,19 +374,19 @@ object TextOps {
         round(col("n_new").cast("double") / col("n_sh"), 6).as("novelty"))
   }
 
-  /** Canonical text normalization — lowercase, strip non-alphanumerics,
-    * collapse runs of spaces, trim — the preprocessing contract upstream of
-    * every hash-based dedup (two docs differing only in case/punctuation
-    * must collide). Pure narrow projection, codegen regex; the oracle
-    * pins the exact normal form cross-engine via md5 of the result, so any
-    * engine/regex divergence is a hash mismatch, not a silent drift. */
-  /** The normal form as a column (TextOpsSpec drives it over adversarial
-    * mixed-case/punctuation strings; the corpus oracle covers engine
-    * parity — the synthetic corpus is already canonical, so `changed` is
-    * its false-everywhere fixed point there). */
+  /** The canonical normal form as a column — lowercase, strip
+    * non-alphanumerics, collapse runs of spaces, trim (TextOpsSpec drives
+    * it over adversarial mixed-case/punctuation strings). */
   def normalizeCol(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Canonical text normalization audit — the preprocessing contract
+    * upstream of every hash-based dedup (two docs differing only in
+    * case/punctuation must collide). Pure narrow projection, codegen
+    * regex; the oracle pins the exact normal form cross-engine via md5 of
+    * the result, so any engine/regex divergence is a hash mismatch, not a
+    * silent drift (the synthetic corpus is already canonical, so `changed`
+    * is its false-everywhere fixed point there). */
   def normalizeText(spark: SparkSession, dir: String): DataFrame = {
     val norm = normalizeCol(col("text"))
     documents(spark, dir)
@@ -393,22 +404,13 @@ object TextOps {
     * [[jaccardPairs]] (never a cross join), same hot-shingle cap applies at
     * corpus scale. */
   def containmentPairs(spark: SparkSession, dir: String,
-                       threshold: Double = 0.9, k: Int = 3): DataFrame = {
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
-    val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    ex.as("x").join(ex.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+                       threshold: Double = 0.9, k: Int = 3,
+                       maxShingleFreq: Option[Int] = None): DataFrame =
+    shingleIntersections(spark, dir, k, maxShingleFreq)
       .select(col("id_a"), col("id_b"),
-        round(col("i").cast("double") / least(col("ca.n"), col("cb.n")), 6)
+        round(col("i").cast("double") / least(col("na"), col("nb")), 6)
           .as("containment"))
       .filter(col("containment") >= threshold)
-  }
 
   /** Inter-source contamination matrix: exact Jaccard between the distinct
     * shingle SETS of every source pair sharing at least one shingle — the
