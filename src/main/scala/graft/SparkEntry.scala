@@ -94,6 +94,9 @@ object SparkEntry {
     "q_pivot_langs" -> ((s, d) => CorpusOps.pivotLangs(s, d)),
     // r4: lag-window interarrival profile per user (µs-exact gaps)
     "q_user_gaps" -> ((s, d) => CorpusOps.userGaps(s, d)),
+    // r4: SpaceSaving heavy-hitters sketch Aggregator (bounded-memory
+    // top-k; exact at the shipped capacity — the oracle proves it)
+    "q_heavy_hitters" -> ((s, d) => CorpusOps.heavyHitters(s, d)),
     // r4: ordered aggregation — top user-journey prefixes
     "q_session_paths" -> ((s, d) => CorpusOps.sessionPaths(s, d)),
     // r4: UNPIVOT round trip of the pivot matrix (zero cells preserved)
@@ -599,6 +602,16 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // exact per-source top-3 — the sketch at capacity >> distinct IS exact
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT source, w AS word, count(*) AS n
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY source ORDER BY n DESC, word) AS rk
+               FROM c)
+         SELECT source, word, n, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
     // ordered string_agg ≡ sort_array(collect_list(struct)) composition
     "q_session_paths" ->
       """WITH r AS (SELECT user_id, event_type,

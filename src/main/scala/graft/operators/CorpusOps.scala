@@ -1344,6 +1344,27 @@ object CorpusOps {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Per-source heavy hitters via the [[graft.functions.SpaceSaving]]
+    * sketch Aggregator — bounded-memory top-k: partial sketches build
+    * map-side and merge at the shuffle, so per-group state is `capacity`
+    * entries regardless of group size (exact top-k shuffles the whole
+    * vocabulary; this is its 100 TB replacement). The shipped capacity is
+    * far above the per-source distinct count, making the sketch exact (the
+    * oracle recomputes true counts); eviction-mode error bounds are
+    * spec-tested at small capacity. */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   k: Int = 3, capacity: Int = 4096): DataFrame = {
+    val ss = org.apache.spark.sql.functions.udaf(
+      new graft.functions.SpaceSaving(capacity, k),
+      org.apache.spark.sql.Encoders.STRING)
+    documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy("source").agg(ss(col("word")).as("hh"))
+      .select(col("source"), posexplode(col("hh")))
+      .select(col("source"), col("col.word").as("word"),
+        col("col.n").as("n"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Zipf audit: least-squares fit of ln(count) against ln(rank) over the
     * top-N vocabulary — slope ≈ −1 is the healthy-natural-text signature;
     * a flat slope flags templated/boilerplate corpora, a cliff flags

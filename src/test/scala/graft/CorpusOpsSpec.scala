@@ -910,4 +910,36 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       assert(n === direct.getOrElse((s2, l), 0L))
     }
   }
+
+  test("space saving: exact at wide capacity; bounded overestimate and no missed heavy key under eviction") {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.SpaceSaving
+    val stream: Seq[String] =
+      Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c") ++
+        (1 to 20).map(i => s"x$i")
+    val trueCounts = stream.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val ds = stream.toDF("w").repartition(4) // force partial-sketch merges
+    def run(cap: Int, k: Int) = {
+      val agg = udaf(new SpaceSaving(cap, k), Encoders.STRING)
+      ds.agg(agg(col("w")).as("hh")).head.getAs[collection.Seq[org.apache.spark.sql.Row]](0)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    // capacity >= distinct: the sketch IS the exact count map
+    val exact = run(1000, 100)
+    assert(exact.map(t => t._1 -> t._2).toMap === trueCounts)
+    assert(exact.forall(_._3 === 0L))
+    // eviction mode: estimate-err <= true <= estimate for survivors, and
+    // every key heavier than N/capacity is retained (SpaceSaving guarantee)
+    val small = run(8, 8)
+    val n = stream.size
+    small.foreach { case (w, est, err) =>
+      val t = trueCounts.getOrElse(w, 0L)
+      assert(est >= t, s"$w underestimated: $est < $t")
+      assert(est - err <= t, s"$w bound violated: $est-$err > $t")
+    }
+    val kept = small.map(_._1).toSet
+    trueCounts.filter(_._2 > n / 8).keys.foreach { w =>
+      assert(kept.contains(w), s"heavy key $w evicted")
+    }
+  }
 }
