@@ -850,4 +850,36 @@ test("time travel: snapshots read the pre-compaction table; vacuum honors retent
     (0 until 4).foreach(b => assert(sink.accountsFor(b)))
     assert(!sink.addBatchMerged(2, batch(3, "replay"), "event_id"))
   }
+
+  test("SpaceSaving sketch aggregates in a streaming groupBy (bounded per-group state)") {
+    // the heavy-hitters Aggregator as STREAMING state: partial sketches
+    // live in the state store per group (capacity-bounded), update across
+    // microbatches, and at capacity >= distinct the final sketch is the
+    // exact count map — proved against a batch recount of the same rows
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.udaf
+    val mem = MemoryStream[InputRow]
+    val agg = udaf(new graft.functions.SpaceSaving(1024, 5), Encoders.STRING)
+    val counts = mem.toDF()
+      .groupBy(col("source"))
+      .agg(agg(col("doc_id")).as("hh"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("ss_stream")
+      .option("checkpointLocation", tmp("ss_cp"))
+      .start()
+    // two microbatches: the sketch must merge state across them
+    mem.addData(inputRows(0, 200): _*); q.processAllAvailable()
+    mem.addData(inputRows(200, 400): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_stream").collect().map { r =>
+      r.getString(0) -> r.getAs[collection.Seq[org.apache.spark.sql.Row]](1)
+        .map(h => (h.getString(0), h.getLong(1))).toSeq
+    }.toMap
+    val expect = inputRows(0, 400).groupBy(_.source).map { case (src, rows) =>
+      src -> rows.groupBy(_.doc_id).map { case (d, g) => (d, g.size.toLong) }
+        .toSeq.sortBy { case (d, n) => (-n, d) }.take(5)
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (src, top) => assert(got(src) === top, s"source $src") }
+  }
 }
