@@ -94,6 +94,8 @@ object SparkEntry {
     "q_pivot_langs" -> ((s, d) => CorpusOps.pivotLangs(s, d)),
     // r4: lag-window interarrival profile per user (µs-exact gaps)
     "q_user_gaps" -> ((s, d) => CorpusOps.userGaps(s, d)),
+    // r4: PMI collocations (multi-word units worth merging pre-tokenizer)
+    "q_pmi_bigrams" -> ((s, d) => CorpusOps.pmiBigrams(s, d)),
     // r4: SpaceSaving heavy-hitters sketch Aggregator (bounded-memory
     // top-k; exact at the shipped capacity — the oracle proves it)
     "q_heavy_hitters" -> ((s, d) => CorpusOps.heavyHitters(s, d)),
@@ -602,6 +604,29 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // PMI with the engine's exact left-assoc double arithmetic
+    "q_pmi_bigrams" ->
+      """WITH uni AS (SELECT w, count(*) AS n
+             FROM (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1),
+         t1 AS (SELECT CAST(sum(n) AS DOUBLE) AS t1 FROM uni),
+         bi AS (SELECT b, count(*) AS n_ab
+                FROM (SELECT array_to_string(w[k:k+1], ' ') AS b
+                      FROM (SELECT string_split(text, ' ') AS w
+                            FROM documents),
+                      unnest(generate_series(1, len(w) - 1)) t(k))
+                GROUP BY 1),
+         t2 AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS t2 FROM bi),
+         j AS (SELECT bi.b AS bigram, bi.n_ab,
+                 round(ln(CAST(bi.n_ab AS DOUBLE) * t1.t1 * t1.t1 /
+                   (t2.t2 * ua.n * ub.n)), 6) AS pmi
+               FROM bi
+               JOIN uni ua ON ua.w = string_split(bi.b, ' ')[1]
+               JOIN uni ub ON ub.w = string_split(bi.b, ' ')[2]
+               CROSS JOIN t1 CROSS JOIN t2
+               WHERE bi.n_ab >= 5)
+         SELECT bigram, n_ab, pmi FROM j
+         ORDER BY pmi DESC, bigram LIMIT 20""",
     // exact per-source top-3 — the sketch at capacity >> distinct IS exact
     "q_heavy_hitters" ->
       """WITH c AS (SELECT source, w AS word, count(*) AS n

@@ -1365,6 +1365,40 @@ object CorpusOps {
         col("col.n").as("n"), (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Collocation mining: top bigrams by pointwise mutual information —
+    * PMI = ln(p(ab) / (p(a)·p(b))) — the signal that finds multi-word
+    * units worth merging before tokenizer training (high-PMI pairs co-occur
+    * far above chance). Occurrence (non-distinct) bigram counts via the
+    * native all-shingles expression; unigram and bigram frequencies are
+    * vocab-keyed shuffle joins (never a forced broadcast — vocabulary is
+    * corpus-unbounded); the two grand totals are one-row broadcasts. The
+    * PMI arithmetic is written with explicit left-associative double
+    * multiplication mirrored in the oracle (the product n_ab·T1² overflows
+    * int64 at corpus scale, so both engines compute in double from the
+    * start), and ranking uses the ROUNDED value with a bigram tie-break. */
+  def pmiBigrams(spark: SparkSession, dir: String,
+                 minCount: Int = 5, topN: Int = 20): DataFrame = {
+    val docs = documents(spark, dir)
+    val uni = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val t1 = uni.agg(sum("n").cast("double").as("t1"))
+    val bi = docs.select(
+        explode(graft.functions.Signatures.shinglesAllCol(col("text"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_ab"))
+    val t2 = bi.agg(sum("n_ab").cast("double").as("t2"))
+    bi.filter(col("n_ab") >= minCount)
+      .withColumn("wa", split(col("b"), " ").getItem(0))
+      .withColumn("wb", split(col("b"), " ").getItem(1))
+      .join(uni.select(col("w").as("wa"), col("n").as("na")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("n").as("nb")), Seq("wb"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("pmi", round(log(
+        col("n_ab").cast("double") * col("t1") * col("t1") /
+          (col("t2") * col("na") * col("nb"))), 6))
+      .select(col("b").as("bigram"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topN)
+  }
+
   /** Zipf audit: least-squares fit of ln(count) against ln(rank) over the
     * top-N vocabulary — slope ≈ −1 is the healthy-natural-text signature;
     * a flat slope flags templated/boilerplate corpora, a cliff flags
