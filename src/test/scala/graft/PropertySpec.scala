@@ -78,8 +78,12 @@ class PropertySpec extends SparkSuite {
     check(forAll(junk, Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) { (bytes, w, h) =>
       val m = graft.operators.MediaOps.sniff(1L, bytes)
       val r = graft.operators.MediaOps.resizeBmp(bytes, w, h)
-      // sniff always classifies; resize only succeeds on genuinely valid BMPs
-      (m.kind == "bmp" || m.kind == "wav" || m.kind == "unknown") &&
+      // sniff always classifies; resize only succeeds on genuinely valid
+      // BMPs. The kind set is the FULL r3+ classifier range: random bytes
+      // hit the 2-byte JPEG magic (FF D8) with probability 2^-16, so a
+      // bmp/wav/unknown-only assertion is a latent fuzz failure, not a
+      // parser bug (caught live by this property on 2026-08-17)
+      Set("bmp", "wav", "png", "jpeg", "mp4", "unknown").contains(m.kind) &&
         (r.isEmpty || graft.operators.MediaOps.sniff(1L, r.get).valid)
     })
   }
