@@ -27,7 +27,15 @@ case class HeavyHitter(word: String, n: Long, err: Long)
   *
   * All tie-breaks (eviction victim, trim, final ranking) are (count, word)
   * lexicographic — deterministic across partitionings at the exact
-  * configuration. */
+  * configuration.
+  *
+  * Cost note: this immutable-Map formulation pays an O(capacity) argmin
+  * scan per eviction (evictions dominate on a heavy-tail stream), which is
+  * fine for the audit capacities shipped here (≤ 4096) but NOT the
+  * asymptotic optimum — the production refinement is the Stream-Summary
+  * linked-bucket structure (O(1) per update) carried in a custom-encoded
+  * buffer; the merge/guarantee semantics above are unchanged by that
+  * swap. */
 class SpaceSaving(capacity: Int, k: Int)
     extends Aggregator[String, SSBuf, Seq[HeavyHitter]] {
 
@@ -47,10 +55,22 @@ class SpaceSaving(capacity: Int, k: Int)
     }
 
   override def merge(a: SSBuf, b: SSBuf): SSBuf = {
+    // Mergeable-summaries semantics (Agarwal et al. 2013): a SATURATED
+    // sketch that lacks a key may still have absorbed up to min(counts) of
+    // its mass through evictions, so the absent side contributes its
+    // minimum count (as both estimate and error bound) — getOrElse(0)
+    // there UNDERestimates and silently drops heavy keys evicted on one
+    // partition (caught by review + the forced-eviction merge spec). A
+    // non-saturated sketch's absence genuinely means zero.
+    val minA = if (a.counts.size >= capacity) a.counts.values.min else 0L
+    val minB = if (b.counts.size >= capacity) b.counts.values.min else 0L
     val keys = a.counts.keySet ++ b.counts.keySet
     val summed = keys.toSeq.map { kw =>
-      (kw, a.counts.getOrElse(kw, 0L) + b.counts.getOrElse(kw, 0L),
-        a.errs.getOrElse(kw, 0L) + b.errs.getOrElse(kw, 0L))
+      val (ca, ea) = a.counts.get(kw)
+        .map(c => (c, a.errs.getOrElse(kw, 0L))).getOrElse((minA, minA))
+      val (cb, eb) = b.counts.get(kw)
+        .map(c => (c, b.errs.getOrElse(kw, 0L))).getOrElse((minB, minB))
+      (kw, ca + cb, ea + eb)
     }
     val kept =
       if (summed.size <= capacity) summed

@@ -928,9 +928,13 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
     val exact = run(1000, 100)
     assert(exact.map(t => t._1 -> t._2).toMap === trueCounts)
     assert(exact.forall(_._3 === 0L))
-    // eviction mode: estimate-err <= true <= estimate for survivors, and
-    // every key heavier than N/capacity is retained (SpaceSaving guarantee)
-    val small = run(8, 8)
+    // eviction mode: capacity 4 << 8 distinct keys per partition, so the
+    // reduce eviction branch fires in every partial sketch (capacity 8
+    // equalled the per-partition distinct count and made these assertions
+    // vacuous — review finding). Guarantees: estimate-err <= true <=
+    // estimate for survivors, and every key heavier than N/capacity is
+    // retained.
+    val small = run(4, 4)
     val n = stream.size
     small.foreach { case (w, est, err) =>
       val t = trueCounts.getOrElse(w, 0L)
@@ -938,8 +942,26 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       assert(est - err <= t, s"$w bound violated: $est-$err > $t")
     }
     val kept = small.map(_._1).toSet
-    trueCounts.filter(_._2 > n / 8).keys.foreach { w =>
+    trueCounts.filter(_._2 > n / 4).keys.foreach { w =>
       assert(kept.contains(w), s"heavy key $w evicted")
+    }
+    // the cross-partition underestimation scenario the merge must survive:
+    // sketch A evicted h (absorbing its mass into the survivors), sketch B
+    // holds only h — merged h must still be an overestimate of true=4
+    val agg2 = new SpaceSaving(2, 10)
+    val bufA = Seq("h", "a", "b", "b", "b", "a", "a")
+      .foldLeft(agg2.zero)(agg2.reduce)
+    val bufB = Seq("h", "h", "h").foldLeft(agg2.zero)(agg2.reduce)
+    for (m <- Seq(agg2.merge(bufA, bufB), agg2.merge(bufB, bufA))) {
+      val hh = agg2.finish(m).map(h => h.word -> h).toMap
+      hh.get("h").foreach { h =>
+        assert(h.n >= 4, s"merge underestimates evicted heavy key: ${h.n}")
+        assert(h.n - h.err <= 4)
+      }
+      // a, b (true 3-4 each, both retained in A) must remain overestimates
+      Seq("a" -> 3L, "b" -> 3L).foreach { case (w, t) =>
+        hh.get(w).foreach(h => assert(h.n >= t && h.n - h.err <= t + 1))
+      }
     }
   }
 }
