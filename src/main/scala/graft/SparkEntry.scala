@@ -94,6 +94,10 @@ object SparkEntry {
     "q_pivot_langs" -> ((s, d) => CorpusOps.pivotLangs(s, d)),
     // r4: lag-window interarrival profile per user (µs-exact gaps)
     "q_user_gaps" -> ((s, d) => CorpusOps.userGaps(s, d)),
+    // r4: KL(source || corpus) unigram drift — mixture-planning audit
+    "q_kl_source_drift" -> ((s, d) => CorpusOps.sourceDrift(s, d)),
+    // r4: per-doc unigram entropy (information-theoretic repetition view)
+    "q_text_entropy" -> ((s, d) => CorpusOps.textEntropy(s, d)),
     // r4: PMI collocations (multi-word units worth merging pre-tokenizer)
     "q_pmi_bigrams" -> ((s, d) => CorpusOps.pmiBigrams(s, d)),
     // r4: SpaceSaving heavy-hitters sketch Aggregator (bounded-memory
@@ -604,6 +608,39 @@ object SparkEntry {
              FROM s)
          SELECT vec_id, round(scale,6) AS scale, round(max_err,6) AS max_err,
                 round(cos,6) AS cos FROM d""",
+    // KL terms mirror the engine's division/ln composition exactly
+    "q_kl_source_drift" ->
+      """WITH sw AS (SELECT source, w, count(*) AS c_sw
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+                FROM sw GROUP BY 1),
+         wt AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+                FROM sw GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_s) AS DOUBLE) AS n_tot FROM st)
+         SELECT sw.source,
+                round(sum((CAST(c_sw AS DOUBLE) / n_s) *
+                  ln((CAST(c_sw AS DOUBLE) / n_s) /
+                     (CAST(c_w AS DOUBLE) / n_tot))), 6) AS kl,
+                count(*) AS n_terms
+         FROM sw
+         JOIN st ON st.source = sw.source
+         JOIN wt ON wt.w = sw.w
+         CROSS JOIN tot
+         GROUP BY 1""",
+    // -sum(p ln p) over per-doc word frequencies
+    "q_text_entropy" ->
+      """WITH c AS (SELECT doc_id, w, count(*) AS c
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+               FROM c GROUP BY 1)
+         SELECT c.doc_id,
+                round(-sum((CAST(c.c AS DOUBLE) / n.n) *
+                  ln(CAST(c.c AS DOUBLE) / n.n)), 6) AS entropy,
+                count(*) AS n_distinct
+         FROM c JOIN n ON n.doc_id = c.doc_id
+         GROUP BY 1""",
     // PMI with the engine's exact left-assoc double arithmetic
     "q_pmi_bigrams" ->
       """WITH uni AS (SELECT w, count(*) AS n

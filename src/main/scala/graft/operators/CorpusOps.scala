@@ -1365,6 +1365,50 @@ object CorpusOps {
         col("col.n").as("n"), (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Per-source distribution drift: KL(source ∥ corpus) over unigram
+    * distributions — the mixture-planning audit that flags a source whose
+    * language has drifted from the corpus it feeds (support of a source is
+    * a subset of the corpus support, so every term is finite). Work
+    * shapes: (source, word) counts combine map-side; the two marginals are
+    * roll-ups of that same frame; the corpus total is a one-row broadcast;
+    * per-term arithmetic is written identically to the oracle
+    * (exact-integer-derived doubles through ln). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sw = documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val wTot = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val tot = srcTot.agg(sum("n_s").cast("double").as("n_tot"))
+    sw.join(srcTot, "source").join(wTot, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("c_sw").cast("double") / col("n_s")) *
+          log((col("c_sw").cast("double") / col("n_s")) /
+            (col("c_w").cast("double") / col("n_tot"))))
+      .groupBy("source")
+      .agg(round(sum("term"), 6).as("kl"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** Per-document unigram entropy H = −Σ p ln p (nats) — low entropy flags
+    * repetitive/templated text, complementing the ratio-based repetition
+    * signals with the information-theoretic view. One (doc, word) count
+    * aggregation; the per-doc total arrives via a window over the same
+    * doc-keyed partition, so both aggregates share one exchange. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val perWord = documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wd = Window.partitionBy("doc_id")
+    perWord
+      .withColumn("n", sum("c").over(wd))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy("doc_id")
+      .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"),
+        count(lit(1)).as("n_distinct"))
+  }
+
   /** Collocation mining: top bigrams by pointwise mutual information —
     * PMI = ln(p(ab) / (p(a)·p(b))) — the signal that finds multi-word
     * units worth merging before tokenizer training (high-PMI pairs co-occur

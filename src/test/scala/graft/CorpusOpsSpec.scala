@@ -964,4 +964,27 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
       }
     }
   }
+
+  test("KL drift: non-negative (Gibbs), zero iff source matches the corpus mix") {
+    val rows = CorpusOps.sourceDrift(spark, dir)
+      .as[(String, Double, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (_, kl, nTerms) =>
+      // Gibbs inequality: KL >= 0 up to round-6 slack
+      assert(kl >= -1e-6, s"negative KL $kl")
+      assert(nTerms >= 1)
+    }
+    assert(rows.exists(_._2 > 0), "all sources identical to corpus?")
+  }
+
+  test("entropy: within [0, ln(n_distinct)], maximal for uniform docs") {
+    val rows = CorpusOps.textEntropy(spark, dir)
+      .as[(Long, Double, Long)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (_, h, nd) =>
+      assert(h >= -1e-9, s"negative entropy $h")
+      assert(h <= math.log(nd.toDouble) + 1e-6,
+        s"entropy $h exceeds ln($nd)")
+    }
+  }
 }
