@@ -199,10 +199,19 @@ object Bench {
       rs.filter(r =>
         levels.forall(c => math.abs(r(c) - med(c)) <= 0.20 * med(c)))
     }
-    while (quietOf(perRound.toSeq).size < 3 && perRound.size < maxRounds) {
+    // extension condition counts surviving RATIOS, not just rounds: a round
+    // can pass the level-drift test yet have its N→4N ratio discarded by
+    // the >1.05 cap, and a 2-ratio "median" is one noisy sample away from
+    // the gate (the r4 85-query run published 0.836 off exactly that shape
+    // before this tightening — review finding)
+    def n4nRatios(rs: Seq[Map[Int, Double]]): Int =
+      quietOf(rs).map(r => (r(8) / r(2)) / 4.0).count(_ <= 1.05)
+    while ((quietOf(perRound.toSeq).size < 3 || n4nRatios(perRound.toSeq) < 3) &&
+        perRound.size < maxRounds) {
       System.err.println(
-        s"bench: only ${quietOf(perRound.toSeq).size} of ${perRound.size} " +
-          "rounds survive drift rejection — running an extra round")
+        s"bench: ${quietOf(perRound.toSeq).size} of ${perRound.size} rounds " +
+          s"survive drift rejection, ${n4nRatios(perRound.toSeq)} N→4N " +
+          "ratios survive the cap — running an extra round")
       perRound += levels.map(c => c -> streamingRun(c, inputPath)).toMap
     }
     val best = levels.map(c => c -> perRound.map(_(c)).max).toMap

@@ -621,7 +621,7 @@ object SparkEntry {
          SELECT sw.source,
                 round(sum((CAST(c_sw AS DOUBLE) / n_s) *
                   ln((CAST(c_sw AS DOUBLE) / n_s) /
-                     (CAST(c_w AS DOUBLE) / n_tot))), 6) AS kl,
+                     (CAST(c_w AS DOUBLE) / n_tot))), 6) + 0.0 AS kl,
                 count(*) AS n_terms
          FROM sw
          JOIN st ON st.source = sw.source
@@ -637,7 +637,7 @@ object SparkEntry {
                FROM c GROUP BY 1)
          SELECT c.doc_id,
                 round(-sum((CAST(c.c AS DOUBLE) / n.n) *
-                  ln(CAST(c.c AS DOUBLE) / n.n)), 6) AS entropy,
+                  ln(CAST(c.c AS DOUBLE) / n.n)), 6) + 0.0 AS entropy,
                 count(*) AS n_distinct
          FROM c JOIN n ON n.doc_id = c.doc_id
          GROUP BY 1""",
@@ -662,7 +662,7 @@ object SparkEntry {
                JOIN uni ub ON ub.w = string_split(bi.b, ' ')[2]
                CROSS JOIN t1 CROSS JOIN t2
                WHERE bi.n_ab >= 5)
-         SELECT bigram, n_ab, pmi FROM j
+         SELECT bigram, n_ab, pmi + 0.0 AS pmi FROM j
          ORDER BY pmi DESC, bigram LIMIT 20""",
     // exact per-source top-3 — the sketch at capacity >> distinct IS exact
     "q_heavy_hitters" ->

@@ -1387,15 +1387,18 @@ object CorpusOps {
           log((col("c_sw").cast("double") / col("n_s")) /
             (col("c_w").cast("double") / col("n_tot"))))
       .groupBy("source")
-      .agg(round(sum("term"), 6).as("kl"),
+      .agg((round(sum("term"), 6) + lit(0.0)).as("kl"),
         count(lit(1)).as("n_terms"))
   }
 
   /** Per-document unigram entropy H = −Σ p ln p (nats) — low entropy flags
     * repetitive/templated text, complementing the ratio-based repetition
     * signals with the information-theoretic view. One (doc, word) count
-    * aggregation; the per-doc total arrives via a window over the same
-    * doc-keyed partition, so both aggregates share one exchange. */
+    * aggregation, then a doc-keyed window for the per-doc total (its own
+    * exchange — (doc_id, word) hash partitioning does not satisfy the
+    * window's doc_id clustering) whose partitioning the final per-doc
+    * roll-up reuses: two exchanges total, same as the join formulation,
+    * with one fewer aggregation pass. */
   def textEntropy(spark: SparkSession, dir: String): DataFrame = {
     val perWord = documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
@@ -1405,7 +1408,10 @@ object CorpusOps {
       .withColumn("n", sum("c").over(wd))
       .withColumn("p", col("c").cast("double") / col("n"))
       .groupBy("doc_id")
-      .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"),
+      // "+ 0.0" normalizes IEEE -0.0 on BOTH engines (DuckDB's round
+      // preserves the sign of zero; Spark's BigDecimal round does not —
+      // without the term a zero-entropy doc hashes differently)
+      .agg((round(-sum(col("p") * log(col("p"))), 6) + lit(0.0)).as("entropy"),
         count(lit(1)).as("n_distinct"))
   }
 
@@ -1439,7 +1445,8 @@ object CorpusOps {
       .withColumn("pmi", round(log(
         col("n_ab").cast("double") * col("t1") * col("t1") /
           (col("t2") * col("na") * col("nb"))), 6))
-      .select(col("b").as("bigram"), col("n_ab"), col("pmi"))
+      .select(col("b").as("bigram"), col("n_ab"),
+        (col("pmi") + lit(0.0)).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram")).limit(topN)
   }
 
