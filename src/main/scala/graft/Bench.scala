@@ -178,7 +178,8 @@ object Bench {
     // low-parallelism run was most depressed by host load "wins" — it once
     // emitted a physically impossible 2.37), so: (1) a round is valid only
     // if every level's throughput is within 20% of that level's
-    // cross-round median (drift rejection); (2) a per-round ratio > 1.05
+    // cross-round MAX (drift rejection — see quietOf for why max, not
+    // median); (2) a per-round ratio > 1.05
     // is an invalid measurement, not a result (super-linearity on this
     // harness can only mean the denominator run was load-depressed);
     // (3) the reported efficiency is the MEDIAN of the surviving ratios,
@@ -194,10 +195,20 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // Round validity is referenced to each level's cross-round MAX, not its
+    // median: host load only ever SUBTRACTS throughput, so when loaded
+    // rounds are the majority a symmetric band around the median keeps the
+    // loaded rounds and rejects the quiet ones — the r4 driver artifact
+    // rejected its two quietest rounds (thr8 = 180k, honest ratios
+    // 0.863/0.949) and published 0.718 from three loaded survivors, while
+    // the max-referenced rule on the very same rounds selects the quiet
+    // trio and publishes 0.863. "Within 20% of the level's best" is not
+    // upward-biased cherry-picking because the ratio still comes from
+    // SAME-ROUND pairs and the >1.05 cap below is unchanged — the max only
+    // decides which whole rounds are trustworthy.
     def quietOf(rs: Seq[Map[Int, Double]]): Seq[Map[Int, Double]] = {
-      val med = levels.map(c => c -> median(rs.map(_(c)))).toMap
-      rs.filter(r =>
-        levels.forall(c => math.abs(r(c) - med(c)) <= 0.20 * med(c)))
+      val best = levels.map(c => c -> rs.map(_(c)).max).toMap
+      rs.filter(r => levels.forall(c => r(c) >= 0.80 * best(c)))
     }
     // extension condition counts surviving RATIOS, not just rounds: a round
     // can pass the level-drift test yet have its N→4N ratio discarded by

@@ -60,8 +60,16 @@ object SparkEntry {
     // r4: REAL MP4 box-walk round trip — deterministic containers built and
     // decoded in one narrow pass, closed-form oracle incl. quarantined rows
     "q_mp4_meta" -> ((s, d) => graft.operators.MediaOps.mp4MetaQuery(s, d)),
-    "q_frame_sample" -> ((s, d) => TextOps.frameSample(s, d)
-      .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx", "byte_offset")),
+    // r5: REAL sample-byte extraction — stsz+stsc+stco/co64 → per-sample
+    // (offset,size) → md5 of the sliced payload; the oracle recomputes
+    // every hash from the closed-form payload strings
+    "q_mp4_samples" -> ((s, d) => graft.operators.MediaOps.mp4SamplesQuery(s, d)),
+    // r5 (stub retired): frames are every 4th REAL extracted video-track
+    // sample, fingerprinted by payload md5 — codec-bound work is now only
+    // DECODING a frame, not finding/slicing/hashing it
+    "q_frame_sample" -> ((s, d) => graft.operators.MediaOps.frameSampleQuery(s, d)
+      .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
+        "CAST(sample_idx AS BIGINT) AS sample_idx", "size", "frame_md5")),
     // ---- corpus-preparation ops (CorpusOps) ------------------------------
     "q_rep_signals" -> ((s, d) => CorpusOps.repetitionSignals(s, d)),
     "q_seq_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
@@ -346,12 +354,17 @@ object SparkEntry {
          FROM o4 GROUP BY 1
          HAVING sum(CASE WHEN qclick THEN 1 ELSE 0 END) > 0""",
     // DuckDB's NATIVE ASOF JOIN is the oracle — an independent algorithm
-    // (sorted probe) checking the union+window implementation
+    // (sorted probe) checking the union+window implementation. Tied views
+    // (same user, same ts) are collapsed to max(event_id) BEFORE the ASOF
+    // join, mirroring the engine's deterministic (ts, kind, event_id)
+    // tie-break — otherwise which tied view either engine picks is
+    // unspecified and the hash compare is a coin flip
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events
                          WHERE event_type='click'),
-            views  AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type='view')
+            views  AS (SELECT max(event_id) AS event_id, user_id, ts
+                       FROM events WHERE event_type='view'
+                       GROUP BY user_id, ts)
          SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
                 round(CAST(epoch(c.ts) - epoch(v.ts) AS DOUBLE), 6) AS lag_sec
          FROM clicks c ASOF LEFT JOIN views v
@@ -401,12 +414,22 @@ object SparkEntry {
                 64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 256 AS height,
                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
          FROM documents""",
+    // frames = every 4th sample of the video track; the md5 is recomputed
+    // from the closed-form payload string, so the hash compare proves the
+    // engine sliced the REAL bytes at the stsc/stco-derived offsets
     "q_frame_sample" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 9 AS maxidx FROM documents
+                    WHERE doc_id % 17 <> 0),
          f AS (SELECT doc_id,
-                      unnest(generate_series(0, CAST(greatest(1, n // 64) AS BIGINT) - 1)) AS frame_idx
-               FROM d)
-         SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset FROM f""",
+                      unnest(generate_series(0, maxidx // 4)) * 4 AS sample_idx
+               FROM d),
+         p AS (SELECT doc_id, sample_idx,
+                      doc_id::VARCHAR || '-1-' || sample_idx::VARCHAR AS payload
+               FROM f)
+         SELECT doc_id, sample_idx // 4 AS frame_idx, sample_idx,
+                CAST(length(payload) AS BIGINT) AS "size",
+                md5(payload) AS frame_md5
+         FROM p""",
     "q_cos_topk" -> cosTopkOracle,
     // exact-recall ANN configurations reuse the brute-force oracle: LSH
     // 48×4 has verified recall 1.0 at test sf; IVF nProbe=nCells is exact
@@ -1041,6 +1064,27 @@ object SparkEntry {
                      ELSE 90 + (doc_id % 8) * 30 END AS height,
                 doc_id % 17 <> 0 AS valid
          FROM documents""",
+    // per-sample byte extraction: track 1 has doc_id%50+10 samples, track 2
+    // (present when doc_id%3=0) has doc_id%7+2; sample i of track t carries
+    // the ASCII payload "id-t-i" — DuckDB recomputes every md5, so the
+    // whole stsz+stsc+stco/co64 offset reconstruction is hash-gated
+    "q_mp4_samples" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+         t1 AS (SELECT doc_id, 1 AS track_id,
+                       unnest(generate_series(0, doc_id % 50 + 9)) AS sample_idx
+                FROM d),
+         t2 AS (SELECT doc_id, 2 AS track_id,
+                       unnest(generate_series(0, doc_id % 7 + 1)) AS sample_idx
+                FROM d WHERE doc_id % 3 = 0),
+         s AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+         p AS (SELECT doc_id, track_id, sample_idx,
+                      doc_id::VARCHAR || '-' || track_id::VARCHAR || '-' ||
+                        sample_idx::VARCHAR AS payload
+               FROM s)
+         SELECT doc_id, track_id, sample_idx,
+                CAST(length(payload) AS BIGINT) AS "size",
+                md5(payload) AS payload_md5
+         FROM p""",
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $dupPairsCte,
          edges AS (SELECT id_a AS u, id_b AS v FROM pairs

@@ -66,11 +66,25 @@ object XapiTemplates {
       else None
     } else None
   private def nonNegNum(v: JsonNode): Boolean = numOf(v).exists(_ >= 0)
+  /** Int-field variant of [[numOf]]: pydantic v2 lax int REJECTS
+    * exponent-notation strings ("1e2" is not an int literal even though its
+    * value is integral), so the string path requires a plain
+    * integer-or-float literal; the integral-value test below still applies
+    * (what admits "3.0" via the int-from-float rule and rejects "3.5"). */
+  private val IntLaxRe = Pattern.compile("^[+-]?\\d+(\\.\\d*)?$")
+  private def numOfInt(v: JsonNode): Option[Double] =
+    if (v == null) None
+    else if (v.isNumber) Some(v.asDouble)
+    else if (v.isTextual) {
+      val s = v.asText.trim
+      if (IntLaxRe.matcher(s).matches()) Some(java.lang.Double.parseDouble(s))
+      else None
+    } else None
   private def posInt(v: JsonNode): Boolean =
-    numOf(v).exists(d => d == Math.floor(d) && !d.isInfinite && d > 0)
+    numOfInt(v).exists(d => d == Math.floor(d) && !d.isInfinite && d > 0)
   /** Lax-mode pydantic `int`: integral value, fractional part rejected. */
   private def intNum(v: JsonNode): Boolean =
-    numOf(v).exists(d => d == Math.floor(d) && !d.isInfinite)
+    numOfInt(v).exists(d => d == Math.floor(d) && !d.isInfinite)
   /** Lax-mode pydantic `bool`. */
   private def boolish(v: JsonNode): Boolean =
     v != null && (v.isBoolean ||

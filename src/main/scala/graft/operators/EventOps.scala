@@ -172,11 +172,18 @@ object EventOps {
     val ev = events(spark, dir)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("eid"),
         col("event_id").as("view_id"), lit(null).cast("long").as("click_id"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id").as("eid"),
         lit(null).cast("long").as("view_id"), col("event_id").as("click_id"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+    // event_id is the FINAL order key: two views by one user at the same
+    // timestamp would otherwise make last()'s pick nondeterministic (and
+    // potentially diverge from the oracle's ASOF pick) — with it, the
+    // max-event_id view deterministically wins a tie, and the oracle
+    // collapses tied views to max(event_id) to match (r4 ADVICE)
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "eid")
       .rowsBetween(Window.unboundedPreceding, 0)
     views.unionByName(clicks)
       .withColumn("attr_view", last(col("view_id"), ignoreNulls = true).over(w))

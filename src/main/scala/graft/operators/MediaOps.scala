@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * counts — all length-prefixed layout outside the entropy-coded mdat).
   * What stays codec-bound is decoding PIXELS/FRAMES from entropy-coded
   * payloads; that (and only that) remains behind the documented stub in
-  * [[TextOps.multimodalMeta]]/[[TextOps.frameSample]].
+  * [[TextOps.multimodalMeta]] — sample LOCATION + slicing + hashing is
+  * real ([[extractMp4Samples]]).
   *
   * Execution shape is the one a 100 TB media pipeline needs: the payload
   * travels as an opaque binary column, the decode runs partition-batched
@@ -291,6 +292,129 @@ object MediaOps {
     bin.mapPartitions(_.map { case (id, bytes) => sniffMp4(id, bytes) }).toDF()
   }
 
+  // ---- MP4 sample-byte extraction (stsz + stsc + stco/co64, codec-free) --
+
+  final case class Mp4Sample(
+      doc_id: Long, track_id: Int, sample_idx: Int, offset: Long, size: Long,
+      payload_md5: String)
+
+  private def md5Hex(b: Array[Byte], off: Long, len: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(b, off.toInt, len.toInt)
+    md.digest().map(x => f"$x%02x").mkString
+  }
+
+  /** Real per-sample byte extraction from an ISO-BMFF container — the
+    * codec-free step the r4 box walk enables: `stsz` gives per-sample
+    * sizes, `stsc` maps samples to chunks (run-length: first_chunk,
+    * samples_per_chunk), `stco`/`co64` gives absolute chunk offsets, and
+    * samples sit consecutively inside each chunk — so every sample's
+    * (offset, size) is pure table arithmetic, and slicing + hashing the
+    * payload bytes makes frame-level exact dedup and sample-integrity
+    * audits REAL without touching a codec (the entropy-coded content is
+    * hashed, not decoded). Track ids are the 1-based `trak` ordinal.
+    *
+    * Quarantine contract (same as [[sniff]]): a track whose sample tables
+    * are missing, inconsistent (non-ascending stsc first_chunk, zero
+    * samples_per_chunk, a sample range outside the file) or adversarial
+    * (size fields that would wrap Int math — all cursor/size arithmetic is
+    * Long) contributes NO rows; other tracks of the same file still
+    * extract. Never throws. */
+  def extractMp4Samples(id: Long, bytes: Array[Byte]): Seq[Mp4Sample] = {
+    if (bytes == null || bytes.length < 12 || ascii(bytes, 4, 4) != "ftyp")
+      return Seq.empty
+    val n = bytes.length.toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+    var trackOrd = 0
+    walkBoxes(bytes, 0L, n) { (t, ps, pe) =>
+      if (t == "moov") walkBoxes(bytes, ps, pe) { (t2, p2s, p2e) =>
+        if (t2 == "trak") {
+          trackOrd += 1
+          val track = trackOrd
+          var sizes: Array[Long] = null
+          var runs: Array[(Long, Long)] = null // (first_chunk 1-based, samples_per_chunk)
+          var chunkOffs: Array[Long] = null
+          var corrupt = false
+          walkBoxes(bytes, p2s, p2e) { (t3, p3s, p3e) =>
+            if (t3 == "mdia") walkBoxes(bytes, p3s, p3e) { (t4, p4s, p4e) =>
+              if (t4 == "minf") walkBoxes(bytes, p4s, p4e) { (t5, p5s, p5e) =>
+                if (t5 == "stbl") walkBoxes(bytes, p5s, p5e) { (t6, p6s, p6e) =>
+                  t6 match {
+                    case "stsz" if p6s + 12 <= p6e =>
+                      // ver+flags(4) sample_size(4) sample_count(4)
+                      // [+ count×size(4) when sample_size==0]
+                      val uniform = be32(bytes, p6s.toInt + 4)
+                      val cnt = be32(bytes, p6s.toInt + 8)
+                      if (cnt < 0 || cnt > (1L << 22)) corrupt = true // alloc bomb
+                      else if (uniform > 0) sizes = Array.fill(cnt.toInt)(uniform)
+                      else if (p6s + 12 + cnt * 4 <= p6e)
+                        sizes = Array.tabulate(cnt.toInt)(i =>
+                          be32(bytes, (p6s + 12 + i * 4L).toInt))
+                      else corrupt = true
+                    case "stsc" if p6s + 8 <= p6e =>
+                      val cnt = be32(bytes, p6s.toInt + 4)
+                      if (cnt < 0 || p6s + 8 + cnt * 12 > p6e) corrupt = true
+                      else {
+                        runs = Array.tabulate(cnt.toInt) { i =>
+                          val base = (p6s + 8 + i * 12L).toInt
+                          (be32(bytes, base), be32(bytes, base + 4))
+                        }
+                        // zero-progress and ordering guards: first_chunk
+                        // strictly ascending from 1, samples_per_chunk ≥ 1
+                        if (runs.isEmpty || runs.head._1 != 1L ||
+                            runs.exists(_._2 <= 0) ||
+                            runs.sliding(2).exists {
+                              case Array(a, b) => b._1 <= a._1
+                              case _ => false
+                            }) corrupt = true
+                      }
+                    case "stco" if p6s + 8 <= p6e =>
+                      val cnt = be32(bytes, p6s.toInt + 4)
+                      if (cnt < 0 || p6s + 8 + cnt * 4 > p6e) corrupt = true
+                      else chunkOffs = Array.tabulate(cnt.toInt)(i =>
+                        be32(bytes, (p6s + 8 + i * 4L).toInt))
+                    case "co64" if p6s + 8 <= p6e =>
+                      val cnt = be32(bytes, p6s.toInt + 4)
+                      if (cnt < 0 || p6s + 8 + cnt * 8 > p6e) corrupt = true
+                      else chunkOffs = Array.tabulate(cnt.toInt)(i =>
+                        be64(bytes, (p6s + 8 + i * 8L).toInt))
+                    case _ => ()
+                  }
+                }
+              }
+            }
+          }
+          if (!corrupt && sizes != null && runs != null && chunkOffs != null) {
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+            var si = 0
+            var ci = 0
+            var ri = 0
+            var ok = true
+            while (ok && ci < chunkOffs.length && si < sizes.length) {
+              while (ri + 1 < runs.length && runs(ri + 1)._1 <= ci + 1) ri += 1
+              val spc = runs(ri)._2
+              var within = 0L
+              var off = chunkOffs(ci)
+              while (ok && within < spc && si < sizes.length) {
+                val sz = sizes(si)
+                if (off < 0 || sz < 0 || off + sz > n) ok = false // range escape
+                else {
+                  rows += Mp4Sample(id, track, si, off, sz, md5Hex(bytes, off, sz))
+                  off += sz; si += 1; within += 1
+                }
+              }
+              ci += 1
+            }
+            // all-or-nothing per track: a partially-extracted track is a
+            // worse audit artifact than a quarantined one
+            if (ok && si == sizes.length) out ++= rows
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   // ---- Deterministic MP4 synthesis (oracle-gated round trip) -------------
 
   private def mkBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
@@ -301,6 +425,8 @@ object MediaOps {
   }
   private def i32(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def i64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
 
   /** Deterministic ISO-BMFF bytes for doc `id` — closed-form metadata so a
     * SQL oracle can recompute what [[sniffMp4]] must decode
@@ -309,7 +435,18 @@ object MediaOps {
     * samples, plus a dimension-less second track of (id%7+2) samples when
     * id%3==0. Every 17th doc is a truncated container (ftyp prefix only) —
     * the quarantine path must hold inside the driver gate too, not just in
-    * the spec fuzz. */
+    * the spec fuzz.
+    *
+    * r5: the container is now FULLY formed down to the sample tables —
+    * track sample `i` of track `t` carries the ASCII payload "id-t-i" in
+    * `mdat`, per-sample sizes in `stsz`, chunk runs of 4 samples (ragged
+    * tail gets its own `stsc` run) and absolute chunk offsets in `stco`
+    * (or `co64` on every 5th doc, so both offset widths stay exercised),
+    * making [[extractMp4Samples]]'s (offset, size) reconstruction + md5
+    * closed-form checkable by the `q_mp4_samples` DuckDB oracle. Two-pass
+    * assembly: the moov is built once with zeroed offsets to learn its
+    * length (stco size depends only on chunk COUNT), then rebuilt with the
+    * real absolute offsets. */
   def synthMp4(id: Long): Array[Byte] = {
     val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), i32(512),
       "isomiso2".getBytes("US-ASCII"))
@@ -326,17 +463,53 @@ object MediaOps {
       b.position(76); b.putInt(w << 16); b.putInt(h << 16)
       b.array()
     }
-    def stsz(n: Long): Array[Byte] = i32(0) ++ i32(0) ++ i32(n)
-    def trak(tk: Array[Byte], samples: Long): Array[Byte] =
+    val us = java.nio.charset.StandardCharsets.US_ASCII
+    def sample(t: Int, i: Int): Array[Byte] = s"$id-$t-$i".getBytes(us)
+    val s1 = (0 until (id % 50 + 10).toInt).map(sample(1, _))
+    val hasT2 = id % 3 == 0
+    val s2 = if (hasT2) (0 until (id % 7 + 2).toInt).map(sample(2, _))
+             else IndexedSeq.empty[Array[Byte]]
+    val useCo64 = id % 5 == 0
+    // chunks of 4 samples, ragged tail = its own stsc run
+    def chunkSizes(ss: Seq[Array[Byte]]): Vector[Long] =
+      ss.grouped(4).map(_.map(_.length.toLong).sum).toVector
+    def stszFor(ss: Seq[Array[Byte]]): Array[Byte] =
+      i32(0) ++ i32(0) ++ i32(ss.length) ++
+        ss.toArray.flatMap(p => i32(p.length))
+    def stscFor(nSamples: Int): Array[Byte] = {
+      val m = (nSamples + 3) / 4
+      val rem = nSamples - 4 * (m - 1)
+      val entries =
+        if (m == 1) Seq((1, nSamples))
+        else if (rem == 4) Seq((1, 4))
+        else Seq((1, 4), (m, rem))
+      i32(0) ++ i32(entries.length) ++
+        entries.toArray.flatMap { case (f, s) => i32(f) ++ i32(s) ++ i32(1) }
+    }
+    def offsBox(offs: Seq[Long]): Array[Byte] =
+      if (useCo64) mkBox("co64", i32(0) ++ i32(offs.length) ++ offs.toArray.flatMap(i64))
+      else mkBox("stco", i32(0) ++ i32(offs.length) ++ offs.toArray.flatMap(i32))
+    def trak(tk: Array[Byte], ss: Seq[Array[Byte]], offs: Seq[Long]): Array[Byte] =
       mkBox("trak", mkBox("tkhd", tk),
-        mkBox("mdia", mkBox("minf", mkBox("stbl", mkBox("stsz", stsz(samples))))))
+        mkBox("mdia", mkBox("minf", mkBox("stbl",
+          mkBox("stsz", stszFor(ss)), mkBox("stsc", stscFor(ss.length)),
+          offsBox(offs)))))
     val w = 160 + (id % 8).toInt * 40
     val h = 90 + (id % 8).toInt * 30
-    val t1 = trak(tkhd(1, w, h), id % 50 + 10)
-    val tracks =
-      if (id % 3 == 0) t1 ++ trak(tkhd(2, 0, 0), id % 7 + 2) else t1
-    ftyp ++ mkBox("moov", mkBox("mvhd", mvhd(1000, (id % 120 + 1) * 500L)),
-      tracks) ++ mkBox("mdat", Array.fill(8)(0.toByte))
+    val c1 = chunkSizes(s1)
+    val c2 = chunkSizes(s2)
+    def moov(off1: Seq[Long], off2: Seq[Long]): Array[Byte] = {
+      val t1 = trak(tkhd(1, w, h), s1, off1)
+      val tracks = if (hasT2) t1 ++ trak(tkhd(2, 0, 0), s2, off2) else t1
+      mkBox("moov", mkBox("mvhd", mvhd(1000, (id % 120 + 1) * 500L)), tracks)
+    }
+    val moovLen = moov(c1.map(_ => 0L), c2.map(_ => 0L)).length
+    val mdatPayloadStart = ftyp.length.toLong + moovLen + 8 // + mdat header
+    def cum(cs: Vector[Long], start: Long): Vector[Long] =
+      cs.scanLeft(start)(_ + _).dropRight(1)
+    val off1 = cum(c1, mdatPayloadStart)
+    val off2 = cum(c2, mdatPayloadStart + c1.sum)
+    ftyp ++ moov(off1, off2) ++ mkBox("mdat", (s1 ++ s2).toArray.flatten)
   }
 
   /** `q_mp4_meta`: synthesize the deterministic container per document,
@@ -350,6 +523,41 @@ object MediaOps {
       .toDF()
       .select("doc_id", "duration_ms", "timescale", "n_tracks", "n_samples",
         "width", "height", "valid")
+  }
+
+  /** `q_mp4_samples`: synthesize the deterministic container per document,
+    * extract REAL per-sample byte ranges via stsz+stsc+stco/co64, hash the
+    * sliced payloads. Build + extract happen inside ONE flatMap pass —
+    * container bytes never shuffle; only (id, track, idx, size, md5) rows
+    * do. The DuckDB oracle recomputes every md5 from the closed-form
+    * payload strings, so a single mis-reconstructed (offset, size) anywhere
+    * in the chunk walk flips the hash compare. Corrupt containers (every
+    * 17th doc) contribute zero rows — the quarantine contract under the
+    * driver gate. */
+  def mp4SamplesQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextOps.documents(spark, dir).select("doc_id").as[Long]
+      .flatMap(id => extractMp4Samples(id, synthMp4(id)))
+      .toDF()
+      .select("doc_id", "track_id", "sample_idx", "size", "payload_md5")
+  }
+
+  /** `q_frame_sample` (r5, stub retired): frame sampling now reads REAL
+    * extracted sample bytes — every `stride`-th sample of the video track
+    * (the keyframe-stride shape of a video pipeline), identified by its
+    * payload hash. What remains codec-bound is DECODING the sampled frame,
+    * not finding, slicing, or fingerprinting it. */
+  def frameSampleQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    TextOps.documents(spark, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        extractMp4Samples(id, synthMp4(id)).iterator
+          .filter(s => s.track_id == 1 && s.sample_idx % stride == 0)
+          .map(s => (s.doc_id, s.sample_idx / stride, s.sample_idx, s.size,
+            s.payload_md5))
+      }
+      .toDF("doc_id", "frame_idx", "sample_idx", "size", "frame_md5")
   }
 
   // ---- Real pixel ops on uncompressed BMP (raw BGR byte math) ------------

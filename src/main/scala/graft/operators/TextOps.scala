@@ -281,26 +281,10 @@ object TextOps {
     }.toDF("doc_id", "n_bytes", "width", "height", "kind")
   }
 
-  /** Frame sampling: one media payload → N frame rows (the 1→many decode
-    * shape of a video pipeline). Frame extraction itself is a STUB
-    * (deterministic fake frames); the explode/batch plumbing — binary in,
-    * frame rows with (index, offset, thumbnail bytes) out — is real. */
-  def frameSample(spark: SparkSession, dir: String, everyNBytes: Int = 64): DataFrame = {
-    import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        // STUB decode: a real implementation seeks key-frames; we emit one
-        // "frame" per everyNBytes window with a deterministic thumbnail
-        val n = math.max(1, bytes.length / everyNBytes)
-        (0 until n).map { f =>
-          val off = f * everyNBytes
-          val thumb = bytes.slice(off, math.min(off + 8, bytes.length))
-          (id, f, off.toLong, thumb)
-        }
-      }.toDF("doc_id", "frame_idx", "byte_offset", "thumb")
-  }
+  // Frame sampling moved to [[MediaOps.frameSampleQuery]] (r5): it now reads
+  // REAL per-sample byte ranges extracted from the synthesized MP4
+  // containers via stsz+stsc+stco — the deterministic-fake-frames stub this
+  // slot used to hold is retired.
 
   // ---- Feature-hash text embeddings (text → vector, no model) ------------
 

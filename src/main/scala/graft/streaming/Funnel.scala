@@ -68,10 +68,26 @@ object Funnel {
       }
     }
 
-    state.update(FState(rest, wm, lastView, lastQClick))
-    // re-arm so the buffer drains as soon as the watermark reaches its
-    // earliest pending event, even if no further rows arrive for this key
-    if (rest.nonEmpty) state.setTimeoutTimestamp(math.max(rest.head._1, wm + 1))
+    // State hygiene: once pending has drained AND both remembered stage
+    // timestamps are too old to ever qualify a future event (any future
+    // click/purchase arrives above the watermark, so its gap to a stage
+    // older than wm - bound exceeds the bound), the machine is re-creatable
+    // from zero state — remove the key instead of keeping (frontier,
+    // lastViewMs, lastQClickMs) forever. Without this, state-store size
+    // grows with lifetime-distinct users, not active ones.
+    val expired = rest.isEmpty &&
+      (lastView == Long.MinValue || lastView < wm - boundMs) &&
+      (lastQClick == Long.MinValue || lastQClick < wm - boundMs)
+    if (expired) state.remove()
+    else {
+      state.update(FState(rest, wm, lastView, lastQClick))
+      // re-arm so the buffer drains as soon as the watermark reaches its
+      // earliest pending event, even if no further rows arrive for this key;
+      // a drained-but-live key re-arms at the moment its stages expire so
+      // the removal above actually happens without new arrivals
+      if (rest.nonEmpty) state.setTimeoutTimestamp(math.max(rest.head._1, wm + 1))
+      else state.setTimeoutTimestamp(math.max(lastView, lastQClick) + boundMs + 1)
+    }
     out.iterator
   }
 

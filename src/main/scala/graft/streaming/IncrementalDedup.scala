@@ -77,11 +77,18 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
   private def compactIfWide(): Unit = if (bandDeltas.size >= 64) {
     val b = bandDeltas.reduce(_ union _).localCheckpoint(true)
     val s = shingleDeltas.reduce(_ union _).localCheckpoint(true)
-    (bandDeltas ++ shingleDeltas).foreach(df =>
-      try { df.unpersist(); () } catch { case _: Exception => () })
+    (bandDeltas ++ shingleDeltas).foreach(release)
     bandDeltas = Vector(b)
     shingleDeltas = Vector(s)
   }
+
+  /** Dead checkpointed generation → free its executor-storage blocks NOW.
+    * `df.unpersist()` alone does not release localCheckpoint RDD blocks
+    * (they wait for ContextCleaner GC); the bridge unpersists the
+    * underlying checkpoint RDD itself (review r4 ADVICE). */
+  private def release(df: DataFrame): Unit =
+    try { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df) }
+    catch { case _: Exception => () }
 
   import IncrementalDedup.BatchStats
 
@@ -133,6 +140,11 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     var nNodes = 0L
     var nTouched = 0L
     var rounds = 0
+    // batch-scoped checkpoints (candidates, verified pairs, contraction
+    // graph, component labels) are dead once the batch commits — released
+    // before returning so a long-lived session's storage is deltas + labels
+    // only, not scratch from every batch ever processed
+    val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](cands, verified)
     if (nVerified > 0) {
       // collapse existing endpoints to their current reps (docs without a
       // label row — new docs and old singletons — represent themselves)
@@ -145,6 +157,7 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
           .select(coalesce(col("rep_a"), col("id_a")).as("id_a"),
             coalesce(col("rep_b"), col("id_b")).as("id_b"))
       }.filter(col("id_a") =!= col("id_b")).distinct().localCheckpoint(true)
+      scratch += collapsed
       nNodes = collapsed.select(explode(array(col("id_a"), col("id_b"))))
         .distinct().count()
 
@@ -153,6 +166,7 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
           CorpusOps.connectedComponentsWithRounds(collapsed)
         rounds = it
         val comp = comp0.toDF("node", "new_rep").localCheckpoint(true)
+        scratch += comp
         nTouched = labelsState.fold(0L)(lbl =>
           comp.join(lbl.select(col("rep").as("node")).distinct(), Seq("node"))
             .count())
@@ -175,7 +189,7 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
         val prev = labelsState
         labelsState = Some(nextLabels.localCheckpoint(true))
         // the replaced generation's checkpoint blocks are dead — drop them
-        prev.foreach(p => try { p.unpersist(); () } catch { case _: Exception => () })
+        prev.foreach(release)
       }
     } else if (labelsState.isEmpty && nNew > 0) {
       // schema-stable empty label table so `labels` is callable after any
@@ -190,6 +204,7 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
       shingleDeltas :+= newShingles
       compactIfWide()
     }
+    scratch.foreach(release)
     BatchStats(nNew, nCands, nVerified, nNodes, nTouched, rounds)
   }
 }

@@ -88,7 +88,15 @@ class LakeSink(val path: String) extends Serializable {
       }
     val v = math.max(recorded, snapshotVersions().lastOption.getOrElse(0L)) + 1
     Files.createDirectories(snapshotDir)
-    Files.writeString(hwPath, v.toString)
+    // temp-file + ATOMIC_MOVE (the manifest-swap pattern): a crash mid-write
+    // of the highwater itself must not leave a torn file that parses as 0 —
+    // after vacuum has expired snapshots, the max(existing)+1 fallback could
+    // then re-issue an already-issued version id, violating the never-reuse
+    // rule exactly in the crash window this file exists to guard
+    val tmp = snapshotDir.resolve("_highwater.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, hwPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     v
   }
 

@@ -13,4 +13,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly free the executor-storage blocks behind a `localCheckpoint`-ed
+    * DataFrame. `df.unpersist()` is NOT enough: checkpoint RDD blocks are
+    * reclaimed only via ContextCleaner GC, so a long-lived session that
+    * replaces checkpointed generations (IncrementalDedup's label table)
+    * leaks storage until the driver GCs the RDD reference. The checkpointed
+    * frame's analyzed plan is a `LogicalRDD` leaf wrapping the persisted
+    * RDD — unpersist THAT. Safe only when the frame is truly dead:
+    * a locally-checkpointed RDD cannot be recomputed after its blocks go. */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        }
+      case _ => ()
+    }
 }

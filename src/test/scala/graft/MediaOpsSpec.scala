@@ -427,4 +427,142 @@ class MediaOpsSpec extends SparkSuite {
       assert(out.n_bytes === len.toLong)
     }
   }
+
+  // ---- per-sample byte extraction (stsz + stsc + stco/co64) ---------------
+
+  private def md5hex(s: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s)
+      .map(b => f"$b%02x").mkString
+
+  test("MP4 sample extraction round-trips closed-form payloads (q_mp4_samples contract)") {
+    (0L until 200L).foreach { id =>
+      val samples = MediaOps.extractMp4Samples(id, MediaOps.synthMp4(id))
+      if (id % 17 == 0) assert(samples.isEmpty, s"id $id should be quarantined")
+      else {
+        val n1 = (id % 50 + 10).toInt
+        val n2 = if (id % 3 == 0) (id % 7 + 2).toInt else 0
+        assert(samples.length === n1 + n2, s"id $id sample count")
+        samples.foreach { s =>
+          // the md5 here is computed from the EXPECTED closed-form string;
+          // the engine's came from slicing container bytes at the
+          // stsc/stco-reconstructed offset — equality proves the walk
+          val want = s"$id-${s.track_id}-${s.sample_idx}"
+          assert(s.size === want.length.toLong, s"id $id size")
+          assert(s.payload_md5 === md5hex(want.getBytes("US-ASCII")),
+            s"id $id track ${s.track_id} idx ${s.sample_idx}")
+        }
+        assert(samples.filter(_.track_id == 1).map(_.sample_idx).sorted ===
+          (0 until n1), s"id $id track-1 indexes")
+        if (n2 > 0)
+          assert(samples.filter(_.track_id == 2).map(_.sample_idx).sorted ===
+            (0 until n2), s"id $id track-2 indexes")
+      }
+    }
+  }
+
+  test("MP4 sample extraction: uniform stsz, mdat-first layout, adversarial quarantine per track") {
+    def stszSized(sizes: Seq[Int]): Array[Byte] =
+      box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
+        sizes.toArray.flatMap(s => be32a(s.toLong)))
+    def stszUniform(size: Int, n: Int): Array[Byte] =
+      box("stsz", be32a(0) ++ be32a(size.toLong) ++ be32a(n.toLong))
+    def stsc(runs: (Int, Int)*): Array[Byte] =
+      box("stsc", be32a(0) ++ be32a(runs.length.toLong) ++
+        runs.toArray.flatMap { case (f, s) =>
+          be32a(f.toLong) ++ be32a(s.toLong) ++ be32a(1L) })
+    def stco(offs: Long*): Array[Byte] =
+      box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
+        offs.toArray.flatMap(be32a))
+    def co64(offs: Long*): Array[Byte] =
+      box("co64", be32a(0) ++ be32a(offs.length.toLong) ++
+        offs.toArray.flatMap(be64a))
+
+    // mdat BEFORE moov (spec-legal order) so absolute offsets are knowable
+    // up front: payload starts at ftyp.length + 8
+    val data = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII") // 3 x 8 bytes
+    val pre = ftyp ++ box("mdat", data)
+    val ps = ftyp.length.toLong + 8L
+    def mk(traks: Array[Byte]*): Array[Byte] =
+      pre ++ box("moov", box("mvhd", mvhd(1000, 1000)) ++ traks.flatten.toArray)
+
+    // per-sample sizes, ragged chunking (2 + 1)
+    val good = mk(trak(tkhd(1, 64, 64), stszSized(Seq(8, 8, 8)),
+      stsc(1 -> 2, 2 -> 1), stco(ps, ps + 16)))
+    val gs = MediaOps.extractMp4Samples(1L, good)
+    assert(gs.map(_.payload_md5) ===
+      Seq(md5hex(data.slice(0, 8)), md5hex(data.slice(8, 16)),
+        md5hex(data.slice(16, 24))))
+    assert(gs.map(_.offset) === Seq(ps, ps + 8, ps + 16))
+
+    // uniform sample_size path (no per-sample table) + co64 offsets
+    val uni = mk(trak(tkhd(1, 64, 64), stszUniform(8, 3),
+      stsc(1 -> 3), co64(ps)))
+    assert(MediaOps.extractMp4Samples(2L, uni).map(_.payload_md5) ===
+      gs.map(_.payload_md5))
+
+    // adversarial tables quarantine the TRACK, never throw
+    val badCases = Seq(
+      "stsc first_chunk not 1" ->
+        mk(trak(tkhd(1, 8, 8), stszSized(Seq(8)), stsc(2 -> 1), stco(ps))),
+      "stsc zero samples_per_chunk" ->
+        mk(trak(tkhd(1, 8, 8), stszSized(Seq(8)), stsc(1 -> 0), stco(ps))),
+      "stsc non-ascending runs" ->
+        mk(trak(tkhd(1, 8, 8), stszSized(Seq(8, 8)),
+          stsc(1 -> 1, 1 -> 1), stco(ps, ps + 8))),
+      "stco offset past EOF" ->
+        mk(trak(tkhd(1, 8, 8), stszSized(Seq(8)), stsc(1 -> 1),
+          stco(1 << 20))),
+      "stsz count not covered by chunks" ->
+        mk(trak(tkhd(1, 8, 8), stszSized(Seq(8, 8, 8)), stsc(1 -> 1),
+          stco(ps))),
+      "stsz alloc bomb (count 2^30, uniform)" ->
+        mk(trak(tkhd(1, 8, 8), stszUniform(8, 1 << 30), stsc(1 -> 1),
+          stco(ps))),
+      "stsz size table truncated" ->
+        mk(trak(tkhd(1, 8, 8), box("stsz", be32a(0) ++ be32a(0) ++ be32a(99)),
+          stsc(1 -> 1), stco(ps))))
+    badCases.foreach { case (what, f) =>
+      assert(MediaOps.extractMp4Samples(3L, f).isEmpty, what)
+    }
+
+    // quarantine is per-track: a corrupt second track must not take down
+    // the healthy first one
+    val mixed = mk(
+      trak(tkhd(1, 64, 64), stszSized(Seq(8, 8, 8)), stsc(1 -> 3), stco(ps)),
+      trak(tkhd(2, 0, 0), stszSized(Seq(8)), stsc(1 -> 1), stco(1 << 20)))
+    val ms = MediaOps.extractMp4Samples(4L, mixed)
+    assert(ms.nonEmpty && ms.forall(_.track_id == 1) && ms.length === 3)
+
+    // fuzz: random stbl contents and random ftyp-prefixed bytes never throw
+    val rnd = new scala.util.Random(11)
+    (0 until 2000).foreach { i =>
+      val len = rnd.nextInt(120)
+      val junk = new Array[Byte](len)
+      rnd.nextBytes(junk)
+      MediaOps.extractMp4Samples(i.toLong, mk(trak(tkhd(1, 8, 8), junk)))
+      val raw = new Array[Byte](12 + rnd.nextInt(200))
+      rnd.nextBytes(raw)
+      System.arraycopy(ftyp, 0, raw, 0, math.min(ftyp.length, raw.length))
+      MediaOps.extractMp4Samples(i.toLong, raw)
+    }
+  }
+
+  test("frame sampling reads real extracted sample bytes (q_frame_sample contract)") {
+    val frames = graft.operators.MediaOps
+      .frameSampleQuery(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "frame_idx", "sample_idx", "size", "frame_md5")
+      .as[(Long, Int, Int, Long, String)].collect()
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, f, si, sz, h) =>
+      assert(id % 17 != 0 && si === f * 4)
+      val want = s"$id-1-$si"
+      assert(sz === want.length.toLong)
+      assert(h === md5hex(want.getBytes("US-ASCII")))
+    }
+    // stride coverage: every doc contributes ceil(n1/4) frames
+    frames.groupBy(_._1).foreach { case (id, g) =>
+      val n1 = (id % 50 + 10).toInt
+      assert(g.length === (n1 + 3) / 4, s"doc $id frame count")
+    }
+  }
 }

@@ -89,18 +89,8 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
-  test("frame sampling explodes one payload into deterministic frame rows") {
-    val frames = TextOps.frameSample(spark, dir)
-      .select("doc_id", "frame_idx", "byte_offset").as[(Long, Int, Long)].collect()
-    val byDoc = frames.groupBy(_._1)
-    byDoc.foreach { case (_, g) =>
-      assert(g.map(_._2).sorted.toSeq === (0 until g.length))
-      assert(g.forall(f => f._3 === f._2 * 64L))
-    }
-    // thumbnails are payload slices
-    val t = TextOps.frameSample(spark, dir).select("thumb").limit(1).collect()
-    assert(t.head.getAs[Array[Byte]](0).length > 0)
-  }
+  // frame sampling now lives in MediaOps (real extracted sample bytes) —
+  // see MediaOpsSpec's q_mp4_samples/q_frame_sample contract tests
 
   test("multimodal metadata is a pure function of the payload bytes") {
     val a = TextOps.multimodalMeta(spark, dir).orderBy("doc_id").collect()
