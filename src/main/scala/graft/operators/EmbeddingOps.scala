@@ -31,13 +31,31 @@ object EmbeddingOps {
 
   /** The shared ranking tail of every top-k variant: per-query rank by
     * similarity (ties broken by vec_id) — ONE definition of the output
-    * contract `(qid, nid, sim, rank)`. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
-  }
+    * contract `(qid, nid, sim, rank)`. r5: two-phase bounded aggregation
+    * ([[graft.functions.TopKAgg]]) instead of a per-qid row_number window —
+    * the window sorted a corpus-sized partition per query (the skew hazard
+    * VERDICT r4 flagged); the aggregator keeps ≤k rows per map task and
+    * merges, so no single-partition sort exists at any scale. Null sims
+    * (zero-norm vectors) are excluded up front — the window's DESC NULLS
+    * LAST only ever surfaced them when a query had fewer than k real
+    * candidates. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.filter(col("sim").isNotNull)
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topk(k, col("sim"), col("vec_id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("nid"), col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** Top-`n` candidate ids per query by `score` (desc, vec_id asc) — the
+    * two-phase candidate-selection stage shared by the compressed-scan →
+    * exact-rerank ANN paths. Same aggregator as [[topK]]; emits
+    * `(qid, vec_id)` for the rerank join. */
+  private def topCandidates(scored: DataFrame, score: Column, n: Int): DataFrame =
+    scored.filter(score.isNotNull)
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.topk(n, score, col("vec_id")).as("tk"))
+      .select(col("qid"), explode(col("tk.id")).as("vec_id"))
 
   /** Brute-force top-k: queries broadcast against the full table. */
   def bruteTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -117,15 +135,16 @@ object EmbeddingOps {
     val idx = spark.read.parquet(indexPath)
     val q = embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val wq = Window.partitionBy("qid").orderBy(desc("qsim"), asc("vec_id"))
-    val cand = idx.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("qsim",
-        graft.functions.Int8CosSim.int8CosSim(col("codes"), col("qv")))
-      .withColumn("rr", row_number().over(wq))
-      .filter(col("rr") <= rerank)
-      .select("qid", "qv", "vec_id")
+    val cand = topCandidates(
+      idx.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qsim",
+          graft.functions.Int8CosSim.int8CosSim(col("codes"), col("qv"))),
+      col("qsim"), rerank)
+    // qv re-attaches by qid (it is functionally determined by it) — cheaper
+    // than carrying the vector through the candidate aggregation
     val rescored = embeddings(spark, dir).join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
       .withColumn("sim", round(cosineSim(col("qv"), col("embedding")), 6))
     topK(rescored, k)
   }
@@ -581,11 +600,7 @@ object EmbeddingOps {
     // rank of a true top-5 neighbour is ~120 at the largest test sf — the
     // rerank=256 window holds recall 1.0 with ~2× margin (EmbeddingSpec)
     val books = trainPqCodebooks(all, m, kCodes, iters = 4, maxSample = 2048)
-    val candWin = Window.partitionBy("qid").orderBy(desc("asim"), asc("vec_id"))
-    val cands = adcScored(all, books, nQueries)
-      .withColumn("crank", row_number().over(candWin))
-      .filter(col("crank") <= rerank)
-      .select("qid", "vec_id")
+    val cands = topCandidates(adcScored(all, books, nQueries), col("asim"), rerank)
     val qVecs = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = cands
@@ -673,10 +688,7 @@ object EmbeddingOps {
       .withColumn("asim", cosineSim(col("qv"),
         graft.functions.PqDecodeResidual.pqDecodeResidual(
           col("codes"), col("cluster"), books, cents)))
-    val candWin = Window.partitionBy("qid").orderBy(desc("asim"), asc("vec_id"))
-    val cands = approx.withColumn("crank", row_number().over(candWin))
-      .filter(col("crank") <= rerank)
-      .select("qid", "vec_id")
+    val cands = topCandidates(approx, col("asim"), rerank)
     val qVecs = queries.select(col("qid"), col("qv"))
     val scored = cands
       .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")), Seq("vec_id"))

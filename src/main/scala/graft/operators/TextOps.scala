@@ -328,14 +328,17 @@ object TextOps {
     val q = emb.filter(pmod(col("doc_id"), lit(101)) === 0 &&
         col("doc_id") < lit(101L * nQueries))
       .select(col("doc_id").as("query_id"), col("cv").as("qv"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
+    // r5: two-phase bounded top-k (TopKAgg) — the per-query row_number
+    // window sorted a corpus-sized partition per query; the aggregator
+    // keeps ≤k per map task and merges (same ordering contract)
     emb.filter(pmod(col("doc_id"), lit(101)) =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cos", round(intCosineCol(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk(k, col("cos"), col("doc_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.sim").as("cos"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Per-document novelty: the fraction of a doc's distinct k-shingles whose
