@@ -195,15 +195,127 @@ object BpeTrainer {
 
   /** The tokenizer side: apply a learned merge table to any sequence (e.g.
     * new documents at encode time). Merges must be applied in learned
-    * order — later merges may consume earlier merge outputs. */
+    * order — later merges may consume earlier merge outputs.
+    *
+    * This fold is O(n_merges · len) per document (one full pass per merge,
+    * matched or not) — the SPEC of the encode semantics and the oracle
+    * [[applyMergesFast]] is fuzz-tested against, but not the shipped hot
+    * path: at a real 32k vocab it is 32k passes per document (VERDICT r4
+    * prescription #6). */
   def applyMerges(seq: Array[Int], merges: Seq[Merge]): Array[Int] =
     merges.foldLeft(seq)((s, m) => mergeOnce(s, m.left, m.right, m.newId))
 
+  /** Prebuilt encode table for [[applyMergesFast]] — build ONCE per merge
+    * table (the rank map is vocab-sized). `monotone` records whether every
+    * merge references only base tokens or newIds of STRICTLY EARLIER
+    * merges, with no duplicate pair — the property trained tables have by
+    * construction (fresh ids ascend) and the precondition under which the
+    * rank-order encoder equals the fold. */
+  final class EncodeTable(val left: Array[Int], val right: Array[Int],
+                          val newId: Array[Int],
+                          val rankOf: scala.collection.mutable.LongMap[Int],
+                          val monotone: Boolean) extends Serializable
+
+  def encodeTable(merges: Seq[Merge]): EncodeTable = {
+    val n = merges.size
+    val l = new Array[Int](n)
+    val r = new Array[Int](n)
+    val id = new Array[Int](n)
+    val rk = new scala.collection.mutable.LongMap[Int](math.max(1, n * 2))
+    val rankOfNewId = merges.zipWithIndex.map { case (m, i) => m.newId -> i }.toMap
+    var monotone = true
+    merges.zipWithIndex.foreach { case (m, i) =>
+      l(i) = m.left; r(i) = m.right; id(i) = m.newId
+      // a token equal to a later-or-same merge's output breaks rank order
+      Seq(m.left, m.right).foreach(t =>
+        rankOfNewId.get(t).foreach(j => if (j >= i) monotone = false))
+      val key = packPair(m.left, m.right)
+      if (rk.contains(key)) monotone = false // duplicate pair: fold applies first
+      rk(key) = i
+    }
+    new EncodeTable(l, r, id, rk, monotone)
+  }
+
+  /** One-pass priority-queue encoder (the standard BPE apply — the shape
+    * every production tokenizer uses): a doubly-linked token list plus a
+    * min-heap of (merge rank, position) candidates. Pops are lazily
+    * validated against the CURRENT tokens at the position (a popped entry
+    * whose pair no longer matches its rank's (left, right) is stale —
+    * earlier merges consumed a side), so each merge is O(log len) and a
+    * document costs O(len log len) TOTAL, independent of vocabulary size —
+    * vs the fold's O(n_merges · len).
+    *
+    * Equivalence with the in-order fold holds exactly when the table is
+    * monotone ([[encodeTable]]): base-token pairs are never CREATED by any
+    * merge (a merge's output token flanks every new adjacency), and
+    * inductively every pair of rank k present when rank k pops is exactly
+    * the set the fold's pass k would see, in the same left-to-right order
+    * (heap ties break by position). A non-monotone hand-built table (a
+    * merge consuming a LATER merge's id — something training can never
+    * emit) would diverge, so [[encode]] falls back to the fold there.
+    * BpeTrainerSpec fuzzes equality across random corpora + trained and
+    * random monotone tables. */
+  def applyMergesFast(seq: Array[Int], t: EncodeTable): Array[Int] = {
+    val n = seq.length
+    if (n < 2 || t.newId.length == 0) return seq
+    val tok = seq.clone()
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    var i = 0
+    while (i < n) { nxt(i) = i + 1; prv(i) = i - 1; i += 1 }
+    nxt(n - 1) = -1
+    val alive = new Array[Boolean](n)
+    java.util.Arrays.fill(alive, true)
+    // packed (rank << 32 | pos): natural Long order IS (rank, pos) —
+    // lowest rank first, leftmost occurrence first within a rank
+    val heap = new java.util.PriorityQueue[java.lang.Long]()
+    def push(a: Int): Unit = {
+      val b = nxt(a)
+      if (b != -1) {
+        val r = t.rankOf.getOrElse(packPair(tok(a), tok(b)), -1)
+        if (r >= 0) { heap.add((r.toLong << 32) | a.toLong); () }
+      }
+    }
+    i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    var count = n
+    while (!heap.isEmpty) {
+      val e = heap.poll().longValue()
+      val r = (e >> 32).toInt
+      val a = e.toInt
+      if (alive(a)) {
+        val b = nxt(a)
+        // lazy staleness check: the pair at this position must still BE
+        // this rank's pair (either side may have been consumed or rewritten
+        // by an earlier merge since the entry was pushed)
+        if (b != -1 && tok(a) == t.left(r) && tok(b) == t.right(r)) {
+          tok(a) = t.newId(r)
+          alive(b) = false
+          val c = nxt(b)
+          nxt(a) = c
+          if (c != -1) prv(c) = a
+          count -= 1
+          if (prv(a) != -1) push(prv(a))
+          push(a)
+        }
+      }
+    }
+    val out = new Array[Int](count)
+    var p = 0
+    var j = 0
+    while (p != -1) { out(j) = tok(p); j += 1; p = nxt(p) }
+    out
+  }
+
   /** Encode a whole dataset with a learned merge table — one narrow pass
-    * (the merge table broadcasts inside the closure). */
+    * (the prebuilt table broadcasts inside the closure). Trained tables are
+    * monotone → the O(len log len) heap encoder; anything else falls back
+    * to the fold, whose semantics are the contract. */
   def encode(seqs: Dataset[Array[Int]], merges: Seq[Merge]): Dataset[Array[Int]] = {
     import seqs.sparkSession.implicits._
-    seqs.map(applyMerges(_, merges))
+    val t = encodeTable(merges)
+    if (t.monotone) seqs.map(applyMergesFast(_, t))
+    else seqs.map(applyMerges(_, merges))
   }
 
   /** The detokenizer side: recursively expand merge ids back to base
@@ -256,10 +368,11 @@ object BpeTrainer {
     // session (Verify runs ~60 queries in one session)
     trained.unpersist(blocking = false)
     val exp = expansionTable(merges) // built once, rides the closure
+    val table = encodeTable(merges)  // heap encoder: O(len log len)/doc
     import org.apache.spark.sql.functions.{count, lit, sum}
     docs.as[(Long, String)].map { case (_, text) =>
       val orig = graft.functions.TokenCodec.encodeString(text)
-      val enc = applyMerges(orig, merges)
+      val enc = applyMergesFast(orig, table)
       val ok = java.util.Arrays.equals(unmergeWith(enc, exp), orig)
       (orig.length.toLong, enc.length.toLong, if (ok) 1L else 0L)
     }.toDF("orig", "enc", "ok")

@@ -174,4 +174,84 @@ test("unmerge inverts applyMerges; round-trip audit is perfect and compresses") 
       .reduce(_ + _)
     assert(encTok < audit.getLong(2), s"encoded $encTok !< orig ${audit.getLong(2)}")
   }
+
+  test("heap encoder == fold encoder across trained tables and fuzzed corpora") {
+    val rnd = new scala.util.Random(2026)
+    // trained tables (monotone by construction), tie-heavy tiny vocabs,
+    // overlapping runs, self-pairs — every shape the fold handles
+    (1 to 8).foreach { trial =>
+      val vocab = 2 + rnd.nextInt(5)
+      val corpus = Seq.fill(6)(
+        Array.fill(30 + rnd.nextInt(120))(rnd.nextInt(vocab))).toDS()
+      val (merges, _) = BpeTrainer.trainBatched(corpus, nMerges = 12)
+      val t = BpeTrainer.encodeTable(merges)
+      assert(t.monotone, s"trial $trial: trained table must be monotone")
+      (1 to 20).foreach { _ =>
+        val seq = Array.fill(rnd.nextInt(200))(rnd.nextInt(vocab))
+        assert(BpeTrainer.applyMergesFast(seq, t).toSeq ===
+          BpeTrainer.applyMerges(seq, merges).toSeq, s"trial $trial")
+      }
+      // degenerate inputs
+      assert(BpeTrainer.applyMergesFast(Array.empty[Int], t).isEmpty)
+      assert(BpeTrainer.applyMergesFast(Array(1), t).toSeq === Seq(1))
+    }
+    // hand-built MONOTONE chains (merge outputs consumed by later merges,
+    // self-pairs) — fuzzed beyond what training happens to produce
+    (1 to 30).foreach { trial =>
+      val vocab = 2 + rnd.nextInt(4)
+      var nextId = vocab
+      val merges = (0 until 10).map { _ =>
+        val l = rnd.nextInt(nextId) // may be a prior merge's output
+        val r = rnd.nextInt(nextId)
+        val m = BpeTrainer.Merge(l, r, nextId, 1L)
+        nextId += 1
+        m
+      }.filterNot(m => m.left == m.newId || m.right == m.newId)
+      val dedup = merges.foldLeft(Vector.empty[BpeTrainer.Merge])((acc, m) =>
+        if (acc.exists(p => p.left == m.left && p.right == m.right)) acc
+        else acc :+ m)
+      val t = BpeTrainer.encodeTable(dedup)
+      assert(t.monotone, s"trial $trial fixture should be monotone")
+      (1 to 20).foreach { _ =>
+        val seq = Array.fill(rnd.nextInt(150))(rnd.nextInt(vocab))
+        assert(BpeTrainer.applyMergesFast(seq, t).toSeq ===
+          BpeTrainer.applyMerges(seq, dedup).toSeq, s"monotone trial $trial")
+      }
+    }
+    // NON-monotone table (merge 0 consumes merge 1's output — training can
+    // never emit this): encodeTable must flag it so encode() takes the fold
+    val bad = Seq(BpeTrainer.Merge(11, 1, 10, 1L), BpeTrainer.Merge(0, 0, 11, 1L))
+    assert(!BpeTrainer.encodeTable(bad).monotone)
+    val badIn = Seq(Array(0, 0, 1)).toDS()
+    assert(BpeTrainer.encode(badIn, bad).collect().head.toSeq ===
+      BpeTrainer.applyMerges(Array(0, 0, 1), bad).toSeq)
+  }
+
+  test("heap encoder is >=5x the fold at a 256-merge table (the 32k-vocab trajectory)") {
+    // deterministic long corpus with enough pair diversity to learn 256
+    // merges: the fold pays 256 full passes per doc, the heap pays one
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(24)(Array.fill(2000)(rnd.nextInt(24))).toDS()
+    val (merges, _) = BpeTrainer.trainBatched(docs, nMerges = 256, batchK = 64)
+    assert(merges.length >= 200, s"fixture learned only ${merges.length} merges")
+    val t = BpeTrainer.encodeTable(merges)
+    val seqs = Seq.fill(64)(Array.fill(2000)(rnd.nextInt(24)))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths (JIT), then measure
+    seqs.take(4).foreach { s =>
+      BpeTrainer.applyMergesFast(s, t); BpeTrainer.applyMerges(s, merges)
+    }
+    val fast = time(seqs.foreach(BpeTrainer.applyMergesFast(_, t)))
+    val fold = time(seqs.foreach(BpeTrainer.applyMerges(_, merges)))
+    info(f"fold ${fold}%.3fs vs heap ${fast}%.3fs — ${fold / fast}%.1fx at 256 merges")
+    assert(fold / fast >= 5.0,
+      f"heap encoder only ${fold / fast}%.1fx the fold (want >=5x; " +
+        "ratio grows with vocab — 32k would be ~100x)")
+    // and they agree on this fixture too
+    seqs.take(8).foreach(s =>
+      assert(BpeTrainer.applyMergesFast(s, t).toSeq ===
+        BpeTrainer.applyMerges(s, merges).toSeq))
+  }
 }

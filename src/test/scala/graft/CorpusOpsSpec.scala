@@ -965,6 +965,52 @@ test("curriculum: banded rank is the exact global row_number, epochs balanced") 
     }
   }
 
+  test("stream-summary buffer: output-identical to the r4 Map formulation, faster under eviction") {
+    import graft.functions.SpaceSaving
+    // reference = the r4 immutable-Map reduce/merge/finish, verbatim
+    // semantics: O(capacity) argmin per eviction, (count, word) tie-breaks
+    final case class RefBuf(counts: Map[String, Long], errs: Map[String, Long])
+    def refReduce(cap: Int)(b: RefBuf, w: String): RefBuf =
+      b.counts.get(w) match {
+        case Some(c) => b.copy(counts = b.counts.updated(w, c + 1))
+        case None if b.counts.size < cap =>
+          RefBuf(b.counts.updated(w, 1L), b.errs.updated(w, 0L))
+        case None =>
+          val (mw, mc) = b.counts.minBy { case (kw, c) => (c, kw) }
+          RefBuf(b.counts - mw + (w -> (mc + 1)), b.errs - mw + (w -> mc))
+      }
+    def refFinish(k: Int)(b: RefBuf): Seq[(String, Long, Long)] =
+      b.counts.toSeq.map { case (w, c) => (w, c, b.errs.getOrElse(w, 0L)) }
+        .sortBy(t => (-t._2, t._1)).take(k)
+
+    val rnd = new scala.util.Random(31)
+    // parity: random zipf-ish streams at exact AND eviction-heavy configs
+    (1 to 6).foreach { trial =>
+      val stream = Seq.fill(3000)(s"w${math.min(rnd.nextInt(400), rnd.nextInt(400))}")
+      Seq(8, 64, 1000).foreach { cap =>
+        val agg = new SpaceSaving(cap, 20)
+        val got = stream.foldLeft(agg.zero)(agg.reduce)
+        val want = stream.foldLeft(RefBuf(Map.empty, Map.empty))(refReduce(cap))
+        assert(agg.finish(got).map(h => (h.word, h.n, h.err)) ===
+          refFinish(20)(want), s"trial $trial cap $cap diverged from r4 semantics")
+      }
+    }
+    // eviction-heavy throughput: capacity 1024, ~every update evicts
+    val heavy = Seq.fill(60000)(s"k${rnd.nextInt(100000)}")
+    val agg = new SpaceSaving(1024, 10)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm
+    heavy.take(5000).foldLeft(agg.zero)(agg.reduce)
+    heavy.take(5000).foldLeft(RefBuf(Map.empty, Map.empty))(refReduce(1024))
+    val tNew = time(heavy.foldLeft(agg.zero)(agg.reduce))
+    val tRef = time(heavy.foldLeft(RefBuf(Map.empty, Map.empty))(refReduce(1024)))
+    info(f"eviction-heavy 60k updates @cap 1024: map ${tRef}%.3fs vs stream-summary ${tNew}%.3fs — ${tRef / tNew}%.1fx")
+    assert(tRef / tNew >= 3.0,
+      f"stream-summary only ${tRef / tNew}%.1fx the O(capacity)-scan formulation")
+  }
+
   test("KL drift: non-negative (Gibbs), zero iff source matches the corpus mix") {
     val rows = CorpusOps.sourceDrift(spark, dir)
       .as[(String, Double, Long)].collect()
