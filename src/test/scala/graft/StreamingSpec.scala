@@ -777,6 +777,62 @@ class StreamingSpec extends SparkSuite {
       Set(1L -> 1L, 3L -> 1L))
   }
 
+  test("durable incremental dedup: restart rebuilds from the lake with label parity, replay exactly-once") {
+    import graft.streaming.{DurableIncrementalDedup, IncrementalDedup}
+    val bChanges = Seq(3 -> "b3", 7 -> "b7", 11 -> "b11", 15 -> "b15", 19 -> "b19")
+    val batch1: Seq[(Long, String)] = Seq(
+      0L -> dedupDoc(), 1L -> dedupDoc(25 -> "a1x"),
+      2L -> dedupDoc(bChanges: _*), 3L -> dedupDoc(bChanges :+ (23 -> "b23"): _*),
+      4L -> saltedDoc("s0w"), 5L -> saltedDoc("s1w"))
+    val batch2: Seq[(Long, String)] = Seq(
+      6L -> dedupDoc(21 -> "a2x"), 7L -> saltedDoc("s0w", 25 -> "d0x"),
+      8L -> saltedDoc("e0w"), 9L -> saltedDoc("e0w", 25 -> "e1x"),
+      10L -> saltedDoc("fw"))
+    val batch3: Seq[(Long, String)] = Seq(11L -> dedupDoc(3 -> "b3", 7 -> "b7"))
+    val lake = tmp("declake")
+
+    val d1 = new DurableIncrementalDedup(spark, lake, threshold = 0.5)
+    d1.addBatch(0L, batch1.toDF("doc_id", "text"))
+    d1.addBatch(1L, batch2.toDF("doc_id", "text"))
+    val afterTwo = Set(0L -> 0L, 1L -> 0L, 6L -> 0L, 2L -> 2L, 3L -> 2L,
+      4L -> 4L, 7L -> 4L, 8L -> 8L, 9L -> 8L)
+    assert(d1.labels.as[(Long, Long)].collect().toSet === afterTwo)
+
+    // "kill" the driver: drop the instance, rebuild over the same lake —
+    // the manifests are the only state that matters
+    val d2 = new DurableIncrementalDedup(spark, lake, threshold = 0.5)
+    assert(d2.labels.as[(Long, Long)].collect().toSet === afterTwo,
+      "restart lost committed state")
+    val s3 = d2.addBatch(2L, batch3.toDF("doc_id", "text"))
+    assert(s3.nVerifiedPairs > 0)
+    val want = Set(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 6L -> 0L, 11L -> 0L,
+      4L -> 4L, 7L -> 4L, 8L -> 8L, 9L -> 8L)
+    assert(d2.labels.as[(Long, Long)].collect().toSet === want)
+
+    // parity with an UNINTERRUPTED in-memory run over the same batches
+    val mem = new IncrementalDedup(threshold = 0.5)
+    Seq(batch1, batch2, batch3).foreach(b => mem.addBatch(b.toDF("doc_id", "text")))
+    assert(mem.labels.as[(Long, Long)].collect().toSet === want)
+
+    // crash-redelivery of an already-committed batch: exactly-once no-op
+    val replay = d2.addBatch(2L, batch3.toDF("doc_id", "text"))
+    assert(replay.nNewDocs === 0L && replay.nVerifiedPairs === 0L)
+    assert(d2.labels.as[(Long, Long)].collect().toSet === want)
+
+    // a third instance after the replay still reads the same table
+    assert(new DurableIncrementalDedup(spark, lake, threshold = 0.5)
+      .labels.as[(Long, Long)].collect().toSet === want)
+
+    // and the lake-backed oracle driver converges to the recursive-CTE
+    // answer on real data, like the in-memory one (the optional
+    // q_dup_clusters_incremental path): spot-check at sf0.001
+    val viaLake = IncrementalDedup.replayClustersDurable(
+      spark, sf("sf0.001"), tmp("declake2"))
+    val viaMem = IncrementalDedup.replayClusters(spark, sf("sf0.001"))
+    assert(viaLake.as[(Long, Long)].collect().toSet ===
+      viaMem.as[(Long, Long)].collect().toSet)
+  }
+
   test("streaming CEP funnel: buffered-until-watermark machine ≡ the batch windowed machine") {
     import graft.streaming.Funnel
     val dir = sf("sf0.001")
