@@ -64,6 +64,10 @@ object SparkEntry {
     // (offset,size) → md5 of the sliced payload; the oracle recomputes
     // every hash from the closed-form payload strings
     "q_mp4_samples" -> ((s, d) => graft.operators.MediaOps.mp4SamplesQuery(s, d)),
+    // r5: frame-level exact dedup over the REAL extracted sample bytes —
+    // hash-keyed groupBy across the corpus, planted positives (payloads
+    // keyed by doc_id mod 97), oracle recomputes every duplicate group
+    "q_frame_dedup" -> ((s, d) => graft.operators.MediaOps.frameDedupQuery(s, d)),
     // r5 (stub retired): frames are every 4th REAL extracted video-track
     // sample, fingerprinted by payload md5 — codec-bound work is now only
     // DECODING a frame, not finding/slicing/hashing it
@@ -418,18 +422,29 @@ object SparkEntry {
     // from the closed-form payload string, so the hash compare proves the
     // engine sliced the REAL bytes at the stsc/stco-derived offsets
     "q_frame_sample" ->
-      """WITH d AS (SELECT doc_id, doc_id % 50 + 9 AS maxidx FROM documents
-                    WHERE doc_id % 17 <> 0),
-         f AS (SELECT doc_id,
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS g, doc_id % 50 + 9 AS maxidx
+                    FROM documents WHERE doc_id % 17 <> 0),
+         f AS (SELECT doc_id, g,
                       unnest(generate_series(0, maxidx // 4)) * 4 AS sample_idx
                FROM d),
          p AS (SELECT doc_id, sample_idx,
-                      doc_id::VARCHAR || '-1-' || sample_idx::VARCHAR AS payload
+                      g::VARCHAR || '-1-' || sample_idx::VARCHAR AS payload
                FROM f)
          SELECT doc_id, sample_idx // 4 AS frame_idx, sample_idx,
                 CAST(length(payload) AS BIGINT) AS "size",
                 md5(payload) AS frame_md5
          FROM p""",
+    // duplicate frame payloads across documents: same residue class mod 97
+    // shares frame bytes (up to differing sample counts) — the oracle
+    // reproduces every (md5, n_copies, keeper) group from the closed form
+    "q_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS g, doc_id % 50 + 9 AS maxidx
+                    FROM documents WHERE doc_id % 17 <> 0),
+         s AS (SELECT doc_id, g, unnest(generate_series(0, maxidx)) AS i
+               FROM d)
+         SELECT md5(g::VARCHAR || '-1-' || i::VARCHAR) AS payload_md5,
+                COUNT(*) AS n_copies, min(doc_id) AS keep_doc
+         FROM s GROUP BY 1 HAVING COUNT(*) > 1""",
     "q_cos_topk" -> cosTopkOracle,
     // exact-recall ANN configurations reuse the brute-force oracle: LSH
     // 48×4 has verified recall 1.0 at test sf; IVF nProbe=nCells is exact
@@ -1066,7 +1081,7 @@ object SparkEntry {
          FROM documents""",
     // per-sample byte extraction: track 1 has doc_id%50+10 samples, track 2
     // (present when doc_id%3=0) has doc_id%7+2; sample i of track t carries
-    // the ASCII payload "id-t-i" — DuckDB recomputes every md5, so the
+    // the ASCII payload "(id%97)-t-i" — DuckDB recomputes every md5, so the
     // whole stsz+stsc+stco/co64 offset reconstruction is hash-gated
     "q_mp4_samples" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
@@ -1078,7 +1093,7 @@ object SparkEntry {
                 FROM d WHERE doc_id % 3 = 0),
          s AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
          p AS (SELECT doc_id, track_id, sample_idx,
-                      doc_id::VARCHAR || '-' || track_id::VARCHAR || '-' ||
+                      (doc_id % 97)::VARCHAR || '-' || track_id::VARCHAR || '-' ||
                         sample_idx::VARCHAR AS payload
                FROM s)
          SELECT doc_id, track_id, sample_idx,

@@ -438,7 +438,7 @@ object MediaOps {
     * the spec fuzz.
     *
     * r5: the container is now FULLY formed down to the sample tables —
-    * track sample `i` of track `t` carries the ASCII payload "id-t-i" in
+    * sample `i` of track `t` carries the ASCII payload "(id%97)-t-i" in
     * `mdat`, per-sample sizes in `stsz`, chunk runs of 4 samples (ragged
     * tail gets its own `stsc` run) and absolute chunk offsets in `stco`
     * (or `co64` on every 5th doc, so both offset widths stay exercised),
@@ -464,7 +464,11 @@ object MediaOps {
       b.array()
     }
     val us = java.nio.charset.StandardCharsets.US_ASCII
-    def sample(t: Int, i: Int): Array[Byte] = s"$id-$t-$i".getBytes(us)
+    // frame payloads are keyed by id MOD 97, not id: documents in the same
+    // residue class carry IDENTICAL frame bytes (up to their differing
+    // sample counts), so frame-level exact dedup across documents has real
+    // positives to find (`q_frame_dedup`) while staying closed-form
+    def sample(t: Int, i: Int): Array[Byte] = s"${id % 97}-$t-$i".getBytes(us)
     val s1 = (0 until (id % 50 + 10).toInt).map(sample(1, _))
     val hasT2 = id % 3 == 0
     val s2 = if (hasT2) (0 until (id % 7 + 2).toInt).map(sample(2, _))
@@ -540,6 +544,25 @@ object MediaOps {
       .flatMap(id => extractMp4Samples(id, synthMp4(id)))
       .toDF()
       .select("doc_id", "track_id", "sample_idx", "size", "payload_md5")
+  }
+
+  /** `q_frame_dedup`: frame-level EXACT dedup across documents — the audit
+    * the sample extraction exists for: hash every video-track sample's real
+    * bytes, group corpus-wide, report each frame payload stored more than
+    * once with its keeper (min doc_id). One flatMap + one hash-keyed
+    * groupBy; the md5s shuffle, never the frame bytes. The synth corpus
+    * plants true positives (payloads keyed by doc_id mod 97), and the
+    * oracle recomputes every group from the closed form. */
+  def frameDedupQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    TextOps.documents(spark, dir).select("doc_id").as[Long]
+      .flatMap(id => extractMp4Samples(id, synthMp4(id)).iterator
+        .filter(_.track_id == 1))
+      .toDF()
+      .groupBy("payload_md5")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc"))
+      .filter(col("n_copies") > 1)
   }
 
   /** `q_frame_sample` (r5, stub retired): frame sampling now reads REAL

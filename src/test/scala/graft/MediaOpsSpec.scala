@@ -446,7 +446,7 @@ class MediaOpsSpec extends SparkSuite {
           // the md5 here is computed from the EXPECTED closed-form string;
           // the engine's came from slicing container bytes at the
           // stsc/stco-reconstructed offset — equality proves the walk
-          val want = s"$id-${s.track_id}-${s.sample_idx}"
+          val want = s"${id % 97}-${s.track_id}-${s.sample_idx}"
           assert(s.size === want.length.toLong, s"id $id size")
           assert(s.payload_md5 === md5hex(want.getBytes("US-ASCII")),
             s"id $id track ${s.track_id} idx ${s.sample_idx}")
@@ -555,7 +555,7 @@ class MediaOpsSpec extends SparkSuite {
     assert(frames.nonEmpty)
     frames.foreach { case (id, f, si, sz, h) =>
       assert(id % 17 != 0 && si === f * 4)
-      val want = s"$id-1-$si"
+      val want = s"${id % 97}-1-$si"
       assert(sz === want.length.toLong)
       assert(h === md5hex(want.getBytes("US-ASCII")))
     }
