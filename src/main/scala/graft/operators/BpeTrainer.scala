@@ -372,7 +372,11 @@ object BpeTrainer {
     import org.apache.spark.sql.functions.{count, lit, sum}
     docs.as[(Long, String)].map { case (_, text) =>
       val orig = graft.functions.TokenCodec.encodeString(text)
-      val enc = applyMergesFast(orig, table)
+      // same monotone precondition as encode(): the heap encoder's
+      // equivalence proof needs it, and unmergeWith would mask a divergence
+      // (it inverts ANY valid application, so ok would still read 1)
+      val enc = if (table.monotone) applyMergesFast(orig, table)
+                else applyMerges(orig, merges)
       val ok = java.util.Arrays.equals(unmergeWith(enc, exp), orig)
       (orig.length.toLong, enc.length.toLong, if (ok) 1L else 0L)
     }.toDF("orig", "enc", "ok")

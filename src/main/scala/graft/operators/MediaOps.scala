@@ -319,8 +319,16 @@ object MediaOps {
     * samples_per_chunk, a sample range outside the file) or adversarial
     * (size fields that would wrap Int math — all cursor/size arithmetic is
     * Long) contributes NO rows; other tracks of the same file still
-    * extract. Never throws. */
-  def extractMp4Samples(id: Long, bytes: Array[Byte]): Seq[Mp4Sample] = {
+    * extract. Never throws.
+    *
+    * `keep(track_id, sample_idx)` selects which samples are HASHED and
+    * emitted — the (offset, size) walk and its all-or-nothing range
+    * validation always cover every sample (table corruption anywhere still
+    * quarantines the track), but md5 work is only spent on kept samples,
+    * so a stride-4 single-track caller pays ~1/4 of the hashing instead of
+    * filtering rows it forced the extractor to fingerprint. */
+  def extractMp4Samples(id: Long, bytes: Array[Byte],
+                        keep: (Int, Int) => Boolean = (_, _) => true): Seq[Mp4Sample] = {
     if (bytes == null || bytes.length < 12 || ascii(bytes, 4, 4) != "ftyp")
       return Seq.empty
     val n = bytes.length.toLong
@@ -399,7 +407,8 @@ object MediaOps {
                 val sz = sizes(si)
                 if (off < 0 || sz < 0 || off + sz > n) ok = false // range escape
                 else {
-                  rows += Mp4Sample(id, track, si, off, sz, md5Hex(bytes, off, sz))
+                  if (keep(track, si))
+                    rows += Mp4Sample(id, track, si, off, sz, md5Hex(bytes, off, sz))
                   off += sz; si += 1; within += 1
                 }
               }
@@ -557,8 +566,8 @@ object MediaOps {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, min}
     TextOps.documents(spark, dir).select("doc_id").as[Long]
-      .flatMap(id => extractMp4Samples(id, synthMp4(id)).iterator
-        .filter(_.track_id == 1))
+      .flatMap(id => extractMp4Samples(id, synthMp4(id),
+        keep = (track, _) => track == 1))
       .toDF()
       .groupBy("payload_md5")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc"))
@@ -575,8 +584,9 @@ object MediaOps {
     import spark.implicits._
     TextOps.documents(spark, dir).select("doc_id").as[Long]
       .flatMap { id =>
-        extractMp4Samples(id, synthMp4(id)).iterator
-          .filter(s => s.track_id == 1 && s.sample_idx % stride == 0)
+        extractMp4Samples(id, synthMp4(id),
+          keep = (track, idx) => track == 1 && idx % stride == 0)
+          .iterator
           .map(s => (s.doc_id, s.sample_idx / stride, s.sample_idx, s.size,
             s.payload_md5))
       }

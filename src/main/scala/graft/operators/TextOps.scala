@@ -334,6 +334,10 @@ object TextOps {
     emb.filter(pmod(col("doc_id"), lit(101)) =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cos", round(intCosineCol(col("qv"), col("cv")), 6))
+      // null sim (null text → null vector) would crash the typed aggregator
+      // input; the replaced window ranked nulls last — dropping them keeps
+      // the same top-k (every other TopKAgg call site has this guard)
+      .filter(col("cos").isNotNull)
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk(k, col("cos"), col("doc_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))

@@ -75,7 +75,14 @@ object Funnel {
     // from zero state — remove the key instead of keeping (frontier,
     // lastViewMs, lastQClickMs) forever. Without this, state-store size
     // grows with lifetime-distinct users, not active ones.
-    val expired = rest.isEmpty &&
+    // `frontierMs < wm` keeps removal indistinguishable from a live key:
+    // a live key drops ts <= frontier; Spark's watermark filter drops only
+    // ts < wm. Removing while frontier == wm would let a redelivered event
+    // with ts == wm convert on an expired key but not on a live one —
+    // breaking the "pure function of (input set, watermark policy)"
+    // contract at the boundary. Once frontier < wm, everything a live key
+    // would drop is already below the watermark, so zero state is exact.
+    val expired = rest.isEmpty && cur.frontierMs < wm &&
       (lastView == Long.MinValue || lastView < wm - boundMs) &&
       (lastQClick == Long.MinValue || lastQClick < wm - boundMs)
     if (expired) state.remove()
@@ -86,7 +93,11 @@ object Funnel {
       // a drained-but-live key re-arms at the moment its stages expire so
       // the removal above actually happens without new arrivals
       if (rest.nonEmpty) state.setTimeoutTimestamp(math.max(rest.head._1, wm + 1))
-      else state.setTimeoutTimestamp(math.max(lastView, lastQClick) + boundMs + 1)
+      // wm+1 floor: with the frontier guard above, this branch is reachable
+      // with stages already older than wm - bound (kept only until the
+      // watermark passes the frontier) — Spark rejects a timeout <= wm
+      else state.setTimeoutTimestamp(
+        math.max(math.max(lastView, lastQClick) + boundMs + 1, wm + 1))
     }
     out.iterator
   }

@@ -79,7 +79,13 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
   }
 
   /** Current labels `(doc_id, rep)` — same shape + semantics as
-    * [[CorpusOps.dupClusters]] over the union of all batches so far. */
+    * [[CorpusOps.dupClusters]] over the union of all batches so far.
+    *
+    * Validity window: the frame is a live view of the CURRENT generation.
+    * The next label-changing `addBatch` releases that generation's
+    * checkpoint blocks (locally-checkpointed lineage cannot recompute), so
+    * a handle held across batches throws on evaluation — materialize
+    * (collect / write / cache-and-count) before ingesting further. */
   def labels: DataFrame =
     labelsState.getOrElse(
       throw new IllegalStateException("no batch ingested yet"))
@@ -323,18 +329,27 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
   private def readState(sink: LakeSink): Option[DataFrame] =
     if (sink.committed().exists(_.rows > 0)) Some(strip(sink.read(spark))) else None
 
+  /** Newest committed label generation, read from its ONE segment dir —
+    * never the whole history filtered back down (each label-changing batch
+    * commits a full table; reading all generations to keep one would be
+    * O(history) I/O per call). The label sink is generation-snapshot, so
+    * compaction must never run on it: readGeneration fails loudly if the
+    * newest segment was folded, and the negative-id guard catches a
+    * compacted manifest before max() would select the fold segment. */
+  private def latestLabelGen(): Option[DataFrame] = {
+    val gens = labelSink.committed()
+    require(gens.forall(_.batch >= 0),
+      "label sink was compacted — generation-snapshot semantics are gone")
+    if (gens.isEmpty) None
+    else Some(strip(labelSink.readGeneration(spark, gens.map(_.batch).max)))
+  }
+
   /** Current labels: the newest committed generation (empty frame with the
     * right schema when no batch has produced pairs yet). */
   def labels: DataFrame = {
-    val gens = labelSink.committed()
     require(shingleSink.committed().nonEmpty, "no batch ingested yet")
-    if (gens.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"), col("id").as("rep"))
-    else {
-      val latest = gens.map(_.batch).max
-      val all = labelSink.read(spark)
-      strip(all.filter(col("_batch_id") === latest))
-    }
+    latestLabelGen().getOrElse(
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("rep")))
   }
 
   /** Ingest one microbatch `(doc_id, text)` under the replay protocol
@@ -358,12 +373,7 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
       val nVerified = verified.count()
       stats = stats.copy(nCandidatePairs = cands.count(), nVerifiedPairs = nVerified)
       if (nVerified > 0) {
-        val labelsState = {
-          val gens = labelSink.committed()
-          if (gens.isEmpty) None
-          else Some(strip(labelSink.read(spark)
-            .filter(col("_batch_id") === gens.map(_.batch).max)))
-        }
+        val labelsState = latestLabelGen()
         labelMerge(verified, labelsState).foreach { m =>
           stats = stats.copy(nGraphNodes = m.nNodes,
             nTouchedReps = touchedReps(m.comp, labelsState), ccRounds = m.ccRounds)

@@ -445,6 +445,19 @@ class LakeSink(val path: String) extends Serializable {
     * the first file's footer wins and evolved columns silently vanish. */
   def read(spark: SparkSession): DataFrame = readEntries(spark, committed())
 
+  /** One committed segment only — for GENERATION-SNAPSHOT readers (tables
+    * where each commit is a full table and only the newest is current):
+    * they must not pay a read of the whole history just to filter it back
+    * down to one `_batch_id`, and they must fail loudly if the segment was
+    * folded away (compaction unions generations into nonsense for them). */
+  def readGeneration(spark: SparkSession, batchId: Long): DataFrame = {
+    val e = committed().filter(_.batch == batchId)
+    require(e.nonEmpty, s"segment for batch $batchId is not in the manifest " +
+      "(never committed, or folded by compaction — generation-snapshot " +
+      "sinks must never be compacted)")
+    readEntries(spark, e)
+  }
+
   private def readEntries(spark: SparkSession, entries: Seq[Committed]): DataFrame = {
     val batches = entries.map(_.batch)
     if (batches.isEmpty) {

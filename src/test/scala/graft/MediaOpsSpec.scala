@@ -460,6 +460,20 @@ class MediaOpsSpec extends SparkSuite {
     }
   }
 
+  test("keep-predicate extraction equals post-filtered full extraction") {
+    // the predicate skips md5 work, never validation — the emitted rows
+    // must be exactly the default extraction filtered after the fact,
+    // including on quarantined (id%17) containers
+    (0L until 60L).foreach { id =>
+      val bytes = MediaOps.synthMp4(id)
+      val full = MediaOps.extractMp4Samples(id, bytes)
+      val kept = MediaOps.extractMp4Samples(id, bytes,
+        keep = (track, idx) => track == 1 && idx % 4 == 0)
+      assert(kept === full.filter(s => s.track_id == 1 && s.sample_idx % 4 == 0),
+        s"id $id")
+    }
+  }
+
   test("MP4 sample extraction: uniform stsz, mdat-first layout, adversarial quarantine per track") {
     def stszSized(sizes: Seq[Int]): Array[Byte] =
       box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++

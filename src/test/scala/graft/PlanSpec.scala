@@ -80,9 +80,14 @@ class PlanSpec extends SparkSuite {
       assert(!plan.contains("Window"), s"$name still plans a window sort:\n$plan")
       assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
         s"$name lacks the bounded aggregate:\n$plan")
-      // partial (map-side) stage present → shuffle carries ≤k rows per task
-      assert(plan.contains("partial_topkagg") || plan.contains("partial"),
-        s"$name lacks a partial aggregation stage:\n$plan")
+      // partial (map-side) stage ON THE BOUNDED AGGREGATE ITSELF → the
+      // shuffle carries ≤k rows per task. A bare plan.contains("partial")
+      // is a tautology (any unrelated partial_count matches); the mode
+      // prints on the aggregate node's own line, so gate there.
+      assert(plan.linesIterator.exists(l =>
+          (l.contains("ObjectHashAggregate") || l.contains("SortAggregate")) &&
+            l.toLowerCase.contains("partial")),
+        s"$name lacks a partial stage on the bounded aggregate:\n$plan")
     }
   }
 

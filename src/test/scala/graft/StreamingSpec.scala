@@ -833,6 +833,22 @@ class StreamingSpec extends SparkSuite {
       viaMem.as[(Long, Long)].collect().toSet)
   }
 
+  test("readGeneration reads exactly one segment and fails loudly after compaction") {
+    import graft.streaming.LakeSink
+    import spark.implicits._
+    val sink = new LakeSink(tmp("gensink"))
+    sink.addBatch(0L, Seq((1L, "a")).toDF("doc_id", "rep"))
+    sink.addBatch(1L, Seq((1L, "a"), (2L, "b")).toDF("doc_id", "rep"))
+    // generation-snapshot read: ONLY the requested segment's rows
+    assert(sink.readGeneration(spark, 1L).count() === 2L)
+    assert(sink.readGeneration(spark, 0L).count() === 1L)
+    intercept[IllegalArgumentException](sink.readGeneration(spark, 7L))
+    // compaction folds segments → generation reads must fail loudly, not
+    // serve a unioned (or empty) table as if it were one generation
+    sink.compactInPlace(spark)
+    intercept[IllegalArgumentException](sink.readGeneration(spark, 1L))
+  }
+
   test("streaming CEP funnel: buffered-until-watermark machine ≡ the batch windowed machine") {
     import graft.streaming.Funnel
     val dir = sf("sf0.001")
