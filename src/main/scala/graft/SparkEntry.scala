@@ -115,6 +115,17 @@ object SparkEntry {
     // r4: SpaceSaving heavy-hitters sketch Aggregator (bounded-memory
     // top-k; exact at the shipped capacity — the oracle proves it)
     "q_heavy_hitters" -> ((s, d) => CorpusOps.heavyHitters(s, d)),
+    // r5: KLL-shaped mergeable quantile sketch (exact at the oracle
+    // capacity — matches DuckDB quantile_disc bit-for-bit; production
+    // dial's rank-error floor pinned in QuantileSpec)
+    "q_quantile_sketch" -> ((s, d) => EventOps.quantileSketchQuery(s, d)),
+    // r5: fixed-point PageRank over a deterministic synthetic link graph
+    // (iterative join+agg, int64 micro-units — order-independent, oracle
+    // is a recursive-CTE power iteration)
+    "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRankQuery(s, d)),
+    // r5: PII detect+redact with planted positives (RE2∩Java patterns,
+    // redacted text md5-gated)
+    "q_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     // r4: ordered aggregation — top user-journey prefixes
     "q_session_paths" -> ((s, d) => CorpusOps.sessionPaths(s, d)),
     // r4: UNPIVOT round trip of the pivot matrix (zero cells preserved)
@@ -702,6 +713,60 @@ object SparkEntry {
                WHERE bi.n_ab >= 5)
          SELECT bigram, n_ab, pmi + 0.0 AS pmi FROM j
          ORDER BY pmi DESC, bigram LIMIT 20""",
+    // exact-config sketch: capacity 2^16 ≥ any group, so the sketch holds
+    // every value and its discrete-quantile rule IS quantile_disc's
+    // (idx = max(0, ceil(q·n)−1), verified over 2442 (n,q) cases)
+    "q_quantile_sketch" ->
+      """WITH qd AS (SELECT event_type,
+                quantile_disc(value, [0.1,0.25,0.5,0.75,0.9,0.99]) AS qs
+              FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT event_type,
+                CAST(unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS DOUBLE) AS q,
+                round(CAST(unnest(qs) AS DOUBLE), 6) AS est
+         FROM qd""",
+    // fixed-point int64 power iteration — integer sums are associative, so
+    // the recursive CTE and the Spark join+agg loop agree bit-for-bit;
+    // cycle edge (id+1 mod n) keeps min in-degree ≥ 1 so no vertex leaves
+    // the recursion, the two non-bijective maps skew in-degree
+    "q_pagerank" ->
+      """WITH RECURSIVE
+         n AS (SELECT count(*) AS n FROM documents),
+         nodes AS (SELECT doc_id FROM documents),
+         edges AS (
+           SELECT doc_id AS src, (doc_id+1) % n.n AS dst FROM nodes, n
+           UNION ALL SELECT doc_id, (doc_id*doc_id+1) % n.n FROM nodes, n
+           UNION ALL SELECT doc_id, (doc_id//3+7) % n.n FROM nodes, n),
+         pr(iter, doc_id, score) AS (
+           SELECT 0, doc_id, 1000000::BIGINT FROM nodes
+           UNION ALL
+           SELECT iter+1, e.dst, 150000 + (85 * sum(pr.score // 3)) // 100
+           FROM pr JOIN edges e ON e.src = pr.doc_id
+           WHERE iter < 10
+           GROUP BY iter+1, e.dst)
+         SELECT doc_id, score AS pagerank_fp FROM pr WHERE iter = 10
+         ORDER BY pagerank_fp DESC, doc_id LIMIT 50""",
+    // identical regex patterns both engines (RE2∩Java dialect: classes,
+    // bounded repetition, non-capturing groups — no lookaround); planted
+    // positives are closed-form, redacted text md5-gated bit-for-bit
+    "q_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact u' || doc_id || '@ex' || (doc_id%7) || '.com' ||
+           CASE WHEN doc_id%3=0 THEN ' cc u' || doc_id || '.alt@ex.org'
+                ELSE '' END ||
+           ' call +1-555-' || lpad((doc_id%10000)::VARCHAR, 4, '0') ||
+           ' from 10.' || (doc_id%200) || '.0.' || (doc_id%250) AS t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phone,
+           len(regexp_extract_all(t,
+             '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+         FROM d""",
     // exact per-source top-3 — the sketch at capacity >> distinct IS exact
     "q_heavy_hitters" ->
       """WITH c AS (SELECT source, w AS word, count(*) AS n

@@ -217,7 +217,10 @@ object CorpusOps {
   /** Regex PII redaction over a free-text column: emails, IPv4 addresses
     * and long digit runs (phone-ish) are replaced with typed placeholders,
     * and the redaction count per row is reported. Codegen-friendly chained
-    * `regexp_replace` — no UDF. */
+    * `regexp_replace` — no UDF. (The oracle-gated per-type variant with
+    * planted positives is [[TextOps.piiRedact]] / `q_pii_redact`; this one
+    * is the generic any-DataFrame engine op, `\b`-anchored so it can use
+    * Java-only word boundaries the cross-engine oracle dialect can't.) */
   val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Rx = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val LongNumRx = "\\b\\d{7,}\\b"

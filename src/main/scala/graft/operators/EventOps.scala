@@ -262,4 +262,25 @@ object EventOps {
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
         col("week_off"), col("n_users"))
   }
+
+  /** `q_quantile_sketch`: per-event-type value quantiles via the mergeable
+    * KLL-shaped sketch ([[graft.functions.QuantileSketch]]). The oracle
+    * config is EXACT — capacity 2^16 ≥ any group at the test scale factors,
+    * so no compaction fires and the output matches DuckDB `quantile_disc`
+    * bit-for-bit; the production dial is a small capacity whose rank-error
+    * floor QuantileSpec pins. The plan is one partial-aggregating
+    * ObjectHashAggregate: the shuffle carries one O(k log(n/k)) buffer per
+    * (task, type), never the 100 TB of values. */
+  def quantileSketchQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val qs = QuantileSketch.DefaultQs
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(QuantileSketch.qsketch(1 << 16, qs, col("value")).as("ests"))
+      .select(col("event_type"), posexplode(col("ests")))
+      .select(col("event_type"),
+        element_at(lit(qs.toArray), col("pos").cast("int") + 1).as("q"),
+        round(col("col"), 6).as("est"))
+  }
 }

@@ -427,4 +427,48 @@ object TextOps {
         round(col("i").cast("double") /
           (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
   }
+
+  /** `q_pii_redact`: PII detection + redaction — the scrub every released
+    * training corpus runs (emails, phone numbers, IPs → typed
+    * placeholders). The generic any-DataFrame engine op is
+    * [[CorpusOps.redactPii]]; this is the oracle-gated variant with
+    * per-type counts. Patterns stay in the RE2∩Java-regex common dialect
+    * (character classes, bounded repetition, non-capturing groups — no
+    * lookaround), so the DuckDB oracle applies the IDENTICAL patterns and
+    * the redacted text is md5-gated bit-for-bit. The synthetic corpus has
+    * no PII, so positives are PLANTED deterministically (email per doc +
+    * a second one on every 3rd, one phone, one IP — the closed form the
+    * oracle rebuilds), same pattern as the frame-dedup planted duplicates.
+    *
+    * Shape at scale: one narrow codegen projection per document — counts
+    * via `regexp_extract_all` + size, redaction via chained
+    * `regexp_replace`, output (id, 3 counts, md5) — nothing shuffles but
+    * the final rows; the regex evaluation is Spark-native (commons-RE
+    * under codegen), never a ScalaUDF. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val planted = concat(col("text"),
+      lit(" contact u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7)),
+      lit(".com"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" cc u"), col("doc_id"), lit(".alt@ex.org"))).otherwise(lit("")),
+      lit(" call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(200)), lit(".0."),
+      pmod(col("doc_id"), lit(250)))
+    documents(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0)))
+          .cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+          .as("redacted_md5"))
+  }
 }

@@ -156,7 +156,7 @@ object IncrementalDedup {
     * `df.unpersist()` alone does not release localCheckpoint RDD blocks
     * (they wait for ContextCleaner GC); the bridge unpersists the
     * underlying checkpoint RDD itself (review r4 ADVICE). */
-  private[streaming] def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     try { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df) }
     catch { case _: Exception => () }
 
