@@ -46,8 +46,12 @@ object GraphOps {
       val contrib = e.join(scores, e("src") === scores("doc_id"))
         .select(col("dst"), expr(s"score div $outDeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      val next = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
-        .select(nodes("doc_id"),
+      // vertex set = the previous generation's keys (one row per doc_id by
+      // construction) — re-reading the checkpoint instead of re-evaluating
+      // the `nodes` lineage saves a full vertex-source scan per iteration
+      val prevIds = scores.select("doc_id")
+      val next = prevIds.join(contrib, prevIds("doc_id") === contrib("dst"), "left")
+        .select(prevIds("doc_id"),
           (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("score"))
         .localCheckpoint(true)
       // release the replaced generation's blocks (plan is already truncated)
@@ -55,6 +59,8 @@ object GraphOps {
       scores = next
       it += 1
     }
+    // the edge checkpoint is dead once the last generation is materialized
+    graft.streaming.IncrementalDedup.release(e)
     scores
   }
 

@@ -446,7 +446,7 @@ object TextOps {
     * the final rows; the regex evaluation is Spark-native (commons-RE
     * under codegen), never a ScalaUDF. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val email = CorpusOps.EmailRx // one definition; oracle SQL mirrors it
     val phone = "\\+1-555-[0-9]{4}"
     val ip = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
     val planted = concat(col("text"),

@@ -68,6 +68,21 @@ class QuantileSpec extends SparkSuite {
     assert(maxErr <= (0.025 * n).toLong, s"rank error $maxErr exceeds 2.5% of n")
   }
 
+  test("oracle capacity covers every group at the largest driver sf (exactness precondition)") {
+    // q_quantile_sketch's hash-exact oracle REQUIRES no compaction ever
+    // firing: every event_type group must hold <= 2^16 non-null values.
+    // sf0.1's largest group is ~20.3k (3.2x headroom); if a future fixture
+    // crosses the capacity, fail HERE with the cause, not in the driver
+    // gate with a confusing value mismatch.
+    val maxGroup = graft.operators.EventOps.events(spark, sf("sf0.1"))
+      .filter(col("value").isNotNull)
+      .groupBy("event_type").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxGroup <= (1 << 16).toLong,
+      s"largest group $maxGroup exceeds the oracle-exact capacity 65536 — " +
+        "raise k in EventOps.quantileSketchQuery or shrink the fixture")
+  }
+
   test("exact config is merge-order independent: repartition(2) == repartition(7)") {
     def run(parts: Int): Seq[(String, Double, Double)] = {
       val ev = graft.operators.EventOps.events(spark, sf("sf0.001"))
