@@ -126,6 +126,10 @@ object SparkEntry {
     // r5: PII detect+redact with planted positives (RE2∩Java patterns,
     // redacted text md5-gated)
     "q_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
+    // r5: KMV bottom-k sketch set ops — per-source distinct-shingle
+    // cardinalities and pairwise union/intersection (exact at the oracle
+    // k; small-k dial is bit-deterministic, error pinned in KmvSpec)
+    "q_kmv_overlap" -> ((s, d) => TextOps.kmvSourceOverlap(s, d)),
     // r4: ordered aggregation — top user-journey prefixes
     "q_session_paths" -> ((s, d) => CorpusOps.sessionPaths(s, d)),
     // r4: UNPIVOT round trip of the pivot matrix (zero cells preserved)
@@ -967,6 +971,27 @@ object SparkEntry {
                    GROUP BY 1, 2)
          SELECT src_a, src_b, CAST(i AS BIGINT) AS i,
                 round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.source = src_a
+         JOIN cnt cb ON cb.source = src_b""",
+    // KMV at k ≥ every per-source set and pairwise union holds the whole
+    // hashed set → all four cardinalities are exact (up to 64-bit hash
+    // collisions, p≈n²/2⁶⁵, deterministic) and match exact distinct counts
+    "q_kmv_overlap" ->
+      """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT source, array_to_string(w[k:k+2], ' ') AS s
+                FROM w, unnest(generate_series(1, len(w) - 2)) t(k)),
+         cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                          count(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT src_a, src_b,
+                CAST(ca.n AS BIGINT) AS d_a, CAST(cb.n AS BIGINT) AS d_b,
+                CAST(ca.n + cb.n - i AS BIGINT) AS d_union,
+                CAST(i AS BIGINT) AS d_intersect
          FROM inter
          JOIN cnt ca ON ca.source = src_a
          JOIN cnt cb ON cb.source = src_b""",

@@ -428,6 +428,47 @@ object TextOps {
           (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
   }
 
+  /** `q_kmv_overlap`: source-pair set cardinalities (|A|, |B|, |A∪B|,
+    * |A∩B| over distinct shingle sets) via the KMV bottom-k sketch
+    * ([[graft.functions.KmvSketch]]) — the sketch-sized version of
+    * [[sourceSim]]'s exact matrix. One pass, one groupBy: duplicates need
+    * no pre-`distinct()` (a set sketch absorbs them), so the exact
+    * variant's distinct-shuffle disappears; per-source sketches are
+    * catalog-sized rows combined pairwise ON THE DRIVER (20 sources → 190
+    * pairs — the same catalog-constant bound that justifies sourceSim's
+    * source² fan-out), union = merge-keep-k-smallest, intersection by
+    * inclusion-exclusion. The oracle config's k exceeds every per-source
+    * set AND every pairwise union at the test scale factors, so all four
+    * counts are exact and gated against DuckDB's exact distinct counts;
+    * KmvSpec pins the small-k production dial's relative error, which is
+    * bit-deterministic regardless of partitioning (the k smallest hashes
+    * are a function of the input SET — stronger than KLL/HLL). */
+  def kmvSourceOverlap(spark: SparkSession, dir: String,
+                       k: Int = 1 << 15): DataFrame = {
+    import graft.functions.KmvSketch
+    val perSource = documents(spark, dir)
+      .select(col("source"), explode(shingleArr(col("text"), 3)).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("h"))
+      .groupBy("source").agg(KmvSketch.kmv(k, col("h")).as("keys"))
+      .collect() // catalog-sized: one sketch row per source
+      .map(r => (r.getString(0),
+        r.getAs[collection.Seq[Long]](1).toIndexedSeq))
+      .sortBy(_._1)
+    val rows = for {
+      i <- perSource.indices
+      j <- (i + 1) until perSource.length
+      (sa, ka) = perSource(i)
+      (sb, kb) = perSource(j)
+      dA = math.round(KmvSketch.estimate(ka, k))
+      dB = math.round(KmvSketch.estimate(kb, k))
+      dU = math.round(KmvSketch.estimate(KmvSketch.unionKeys(ka, kb, k), k))
+      dI = math.max(0L, dA + dB - dU)
+      if dI > 0
+    } yield (sa, sb, dA, dB, dU, dI)
+    import spark.implicits._
+    rows.toSeq.toDF("src_a", "src_b", "d_a", "d_b", "d_union", "d_intersect")
+  }
+
   /** `q_pii_redact`: PII detection + redaction — the scrub every released
     * training corpus runs (emails, phone numbers, IPs → typed
     * placeholders). The generic any-DataFrame engine op is
