@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Link-graph analytics for corpus curation. Web-scale pretraining
   * pipelines weight pages by link centrality (the Common-Crawl-rank /
   * harmonic-centrality signal quality filters consume); the operator here
-  * is the classic damped PageRank power iteration, expressed as the
-  * iterative join+aggregate Spark plan — a Pregel superstep without the
-  * RDD API.
+  * is the classic damped PageRank power iteration (Brin & Page 1998),
+  * expressed as the iterative join+aggregate Spark plan — a Pregel
+  * superstep without the RDD API.
   *
   * Scale notes (the part that matters at 10^12 edges):
   *  - each iteration is ONE shuffle of (dst, contribution) pairs keyed by

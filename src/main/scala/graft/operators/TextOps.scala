@@ -443,13 +443,21 @@ object TextOps {
     * KmvSpec pins the small-k production dial's relative error, which is
     * bit-deterministic regardless of partitioning (the k smallest hashes
     * are a function of the input SET — stronger than KLL/HLL). */
-  def kmvSourceOverlap(spark: SparkSession, dir: String,
-                       k: Int = 1 << 15): DataFrame = {
+  /** Per-source KMV sketch frame — exposed so PlanSpec can gate the
+    * map-side partial aggregation (the shuffle must carry one ≤k-key
+    * buffer per (task, source), never the shingle stream). */
+  def kmvPerSource(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.functions.KmvSketch
-    val perSource = documents(spark, dir)
+    documents(spark, dir)
       .select(col("source"), explode(shingleArr(col("text"), 3)).as("s"))
       .select(col("source"), xxhash64(col("s")).as("h"))
       .groupBy("source").agg(KmvSketch.kmv(k, col("h")).as("keys"))
+  }
+
+  def kmvSourceOverlap(spark: SparkSession, dir: String,
+                       k: Int = 1 << 15): DataFrame = {
+    import graft.functions.KmvSketch
+    val perSource = kmvPerSource(spark, dir, k)
       .collect() // catalog-sized: one sketch row per source
       .map(r => (r.getString(0),
         r.getAs[collection.Seq[Long]](1).toIndexedSeq))
