@@ -36,24 +36,31 @@ final class KmvBuf extends Serializable {
   /** Keys stored in unsigned order as signed longs: u = h ^ Long.MinValue
     * (flipping the sign bit maps unsigned comparison onto signed). */
   val keys = new java.util.TreeSet[java.lang.Long]()
+  /** Cached k-th smallest (= keys.last) once at capacity: the hot path is
+    * the reject — one primitive compare instead of an O(log k) last(). */
+  private var threshold: Long = Long.MaxValue
+  private var full: Boolean = false
 
-  def offer(hash: Long, k: Int): Unit = {
-    val u = hash ^ Long.MinValue
-    if (keys.size < k) { keys.add(u); () }
-    else if (u < keys.last()) {
-      keys.add(u)
-      if (keys.size > k) { keys.pollLast(); () }
-    }
+  /** Single insert/cap/poll body for BOTH the reduce and merge paths —
+    * diverging them would break the "k smallest are a function of the
+    * input set" determinism KmvSpec asserts. */
+  private def offerFlipped(u: Long, k: Int): Unit = {
+    if (full && u >= threshold) return
+    keys.add(u)
+    if (keys.size > k) { keys.pollLast(); () }
+    if (keys.size >= k) { full = true; threshold = keys.last() }
   }
+
+  def offer(hash: Long, k: Int): Unit = offerFlipped(hash ^ Long.MinValue, k)
 
   def absorbKeys(other: java.util.TreeSet[java.lang.Long], k: Int): Unit = {
     val it = other.iterator()
     var go = true
     while (go && it.hasNext) {
       val u = it.next().longValue()
-      if (keys.size < k) { keys.add(u); () }
-      else if (u < keys.last()) { keys.add(u); if (keys.size > k) keys.pollLast() }
-      else go = false // other is ascending: nothing later can qualify
+      // other is ascending: once one key can't qualify, none later can
+      if (full && u >= threshold) go = false
+      else offerFlipped(u, k)
     }
   }
 }

@@ -428,6 +428,17 @@ object TextOps {
           (col("ca.n") + col("cb.n") - col("i")), 6).as("jaccard"))
   }
 
+  /** Per-source KMV sketch frame — exposed so PlanSpec can gate the
+    * map-side partial aggregation (the shuffle must carry one ≤k-key
+    * buffer per (task, source), never the shingle stream). */
+  def kmvPerSource(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.functions.KmvSketch
+    documents(spark, dir)
+      .select(col("source"), explode(shingleArr(col("text"), 3)).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("h"))
+      .groupBy("source").agg(KmvSketch.kmv(k, col("h")).as("keys"))
+  }
+
   /** `q_kmv_overlap`: source-pair set cardinalities (|A|, |B|, |A∪B|,
     * |A∩B| over distinct shingle sets) via the KMV bottom-k sketch
     * ([[graft.functions.KmvSketch]]) — the sketch-sized version of
@@ -443,17 +454,6 @@ object TextOps {
     * KmvSpec pins the small-k production dial's relative error, which is
     * bit-deterministic regardless of partitioning (the k smallest hashes
     * are a function of the input SET — stronger than KLL/HLL). */
-  /** Per-source KMV sketch frame — exposed so PlanSpec can gate the
-    * map-side partial aggregation (the shuffle must carry one ≤k-key
-    * buffer per (task, source), never the shingle stream). */
-  def kmvPerSource(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    import graft.functions.KmvSketch
-    documents(spark, dir)
-      .select(col("source"), explode(shingleArr(col("text"), 3)).as("s"))
-      .select(col("source"), xxhash64(col("s")).as("h"))
-      .groupBy("source").agg(KmvSketch.kmv(k, col("h")).as("keys"))
-  }
-
   def kmvSourceOverlap(spark: SparkSession, dir: String,
                        k: Int = 1 << 15): DataFrame = {
     import graft.functions.KmvSketch
