@@ -130,6 +130,9 @@ object SparkEntry {
     // cardinalities and pairwise union/intersection (exact at the oracle
     // k; small-k dial is bit-deterministic, error pinned in KmvSpec)
     "q_kmv_overlap" -> ((s, d) => TextOps.kmvSourceOverlap(s, d)),
+    // r5: per-actor daily admission quota (batch twin of the streaming
+    // Quota machine — first n per (user, UTC day) in event-time order)
+    "q_rate_quota" -> ((s, d) => EventOps.rateQuota(s, d)),
     // r4: ordered aggregation — top user-journey prefixes
     "q_session_paths" -> ((s, d) => CorpusOps.sessionPaths(s, d)),
     // r4: UNPIVOT round trip of the pivot matrix (zero cells preserved)
@@ -974,6 +977,18 @@ object SparkEntry {
          FROM inter
          JOIN cnt ca ON ca.source = src_a
          JOIN cnt cb ON cb.source = src_b""",
+    // epoch-day by µs-integer division; (ts, event_id) tiebreak keeps the
+    // rank deterministic under same-timestamp events on both engines
+    "q_rate_quota" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                    epoch_us(ts) // 86400000000 AS day FROM events),
+         r AS (SELECT user_id, day, event_id,
+                      row_number() OVER (PARTITION BY user_id, day
+                                         ORDER BY ts, event_id) AS rk
+               FROM e)
+         SELECT user_id, CAST(day AS BIGINT) AS day, event_id,
+                CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 5""",
     // KMV at k ≥ every per-source set and pairwise union holds the whole
     // hashed set → all four cardinalities are exact (up to 64-bit hash
     // collisions, p≈n²/2⁶⁵, deterministic) and match exact distinct counts

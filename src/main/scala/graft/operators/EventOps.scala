@@ -263,6 +263,25 @@ object EventOps {
         col("week_off"), col("n_users"))
   }
 
+  /** `q_rate_quota`: per-actor daily admission quota — keep the first `n`
+    * events of each (user, UTC day) in (ts, event_id) order, the batch
+    * twin of the streaming [[graft.streaming.Quota]] machine (QuotaSpec
+    * proves per-event parity under shuffled arrival). The window is
+    * partitioned by (user, day) — thousands of small sort partitions, no
+    * global order; the epoch-day is µs-integer division (`unix_micros
+    * div 86400e6`, the cross-engine-exact arithmetic — epoch-seconds
+    * casts round on one engine and truncate on the other). */
+  def rateQuota(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val day = expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), day.as("day"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col("user_id"), col("day"), col("event_id"), col("rk"))
+  }
+
   /** `q_quantile_sketch`: per-event-type value quantiles via the mergeable
     * KLL-shaped sketch ([[graft.functions.QuantileSketch]]). The oracle
     * config is EXACT — capacity 2^16 ≥ any group at the test scale factors,

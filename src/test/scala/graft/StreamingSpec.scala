@@ -882,6 +882,40 @@ class StreamingSpec extends SparkSuite {
     assert(got === batchConv)
   }
 
+test("streaming quota: buffered-until-watermark admission ≡ the batch window rank") {
+    import graft.streaming.Quota
+    val dir = sf("sf0.001")
+    val batchAdmit = graft.operators.EventOps.rateQuota(spark, dir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(batchAdmit.nonEmpty)
+    // the quota actually bites at n=5 on this fixture (some rows dropped)
+    assert(batchAdmit.size <
+      graft.operators.EventOps.events(spark, dir).count())
+
+    val evs = graft.operators.EventOps.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"))
+      .as[Quota.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Quota.Ev]
+    val out = Quota(mem.toDS().withWatermark("ts", "30 minutes"))
+    val q = out.writeStream.format("memory").queryName("quota_admit")
+      .option("checkpointLocation", tmp("cpquota")).outputMode("append").start()
+    // time-contiguous chunks delivered in REVERSED arrival order: within
+    // the watermark horizon, arrival order must not change who wins
+    evs.grouped(evs.length / 3 + 1).foreach { c =>
+      mem.addData(c.reverse.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    // far-future sentinel drains the buffers through the timeout path
+    mem.addData(Quota.Ev(-1L,
+      new Timestamp(evs.last.ts.getTime + 48L * 3600 * 1000), -1L))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("quota_admit").select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    // the sentinel's own admission is the only expected extra
+    assert(got - ((-1L, -1L)) === batchAdmit)
+  }
+
 test("time travel: snapshots read the pre-compaction table; vacuum honors retention") {
     val sink = new LakeSink(tmp("laketravel"))
     val ts = Timestamp.valueOf("2024-01-01 05:00:00")
