@@ -265,7 +265,7 @@ object EventOps {
 
   /** `q_rate_quota`: per-actor daily admission quota — keep the first `n`
     * events of each (user, UTC day) in (ts, event_id) order, the batch
-    * twin of the streaming [[graft.streaming.Quota]] machine (QuotaSpec
+    * twin of the streaming [[graft.streaming.Quota]] machine (StreamingSpec
     * proves per-event parity under shuffled arrival). The window is
     * partitioned by (user, day) — thousands of small sort partitions, no
     * global order; the epoch-day is µs-integer division (`unix_micros

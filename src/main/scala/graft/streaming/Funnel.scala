@@ -31,11 +31,15 @@ object Funnel {
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
 
-  /** `pending` = buffered (tsMs, event_id, event_type) not yet below the
-    * watermark; `frontierMs` = watermark at last advance (arrivals at or
-    * below it are stragglers, dropped); sentinel Long.MinValue = "not seen". */
-  case class FState(pending: List[(Long, Long, String)], frontierMs: Long,
-                    lastViewMs: Long, lastQClickMs: Long)
+  /** `pending` = buffered (tsUs, event_id, event_type) not yet below the
+    * watermark; `frontierUs` = watermark at last advance (arrivals at or
+    * below it are stragglers, dropped); sentinel Long.MinValue = "not
+    * seen". Time is MICROSECONDS ([[Horizon]]): the batch twin orders and
+    * bounds at full timestamp precision, so ms truncation would diverge
+    * whenever two events share a millisecond across an order or bound
+    * boundary. */
+  case class FState(pending: List[(Long, Long, String)], frontierUs: Long,
+                    lastViewUs: Long, lastQClickUs: Long)
 
   case class Conversion(user_id: Long, event_id: Long, ts: Timestamp)
 
@@ -45,25 +49,25 @@ object Funnel {
       key: Long,
       rows: Iterator[Ev],
       state: GroupState[FState]): Iterator[Conversion] = {
-    val wm = state.getCurrentWatermarkMs()
+    val boundUs = boundMs * 1000L
+    val wmUs = Horizon.wmMicros(state)
     val cur = state.getOption.getOrElse(
       FState(Nil, Long.MinValue, Long.MinValue, Long.MinValue))
-    val fresh = rows.map(e => (e.ts.getTime, e.event_id, e.event_type))
-      .filter(_._1 > cur.frontierMs) // straggler policy: drop-before-frontier
-    val all = (cur.pending ++ fresh).sortBy(t => (t._1, t._2))
-    val (ready, rest) = all.partition(_._1 <= wm)
+    val (ready, rest) = Horizon.advance(cur.pending,
+      rows.map(e => (Horizon.micros(e.ts), e.event_id, e.event_type)),
+      cur.frontierUs, wmUs, (t: (Long, Long, String)) => t._1)
 
-    var lastView = cur.lastViewMs
-    var lastQClick = cur.lastQClickMs
+    var lastView = cur.lastViewUs
+    var lastQClick = cur.lastQClickUs
     val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
     ready.foreach { case (t, id, typ) =>
       typ match {
         case "view" => lastView = t
         case "click" =>
-          if (lastView != Long.MinValue && t - lastView <= boundMs) lastQClick = t
+          if (lastView != Long.MinValue && t - lastView <= boundUs) lastQClick = t
         case "purchase" =>
-          if (lastQClick != Long.MinValue && t - lastQClick <= boundMs)
-            out += Conversion(key, id, new Timestamp(t))
+          if (lastQClick != Long.MinValue && t - lastQClick <= boundUs)
+            out += Conversion(key, id, Horizon.toTimestamp(t))
         case _ => ()
       }
     }
@@ -72,32 +76,25 @@ object Funnel {
     // timestamps are too old to ever qualify a future event (any future
     // click/purchase arrives above the watermark, so its gap to a stage
     // older than wm - bound exceeds the bound), the machine is re-creatable
-    // from zero state — remove the key instead of keeping (frontier,
-    // lastViewMs, lastQClickMs) forever. Without this, state-store size
-    // grows with lifetime-distinct users, not active ones.
-    // `frontierMs < wm` keeps removal indistinguishable from a live key:
-    // a live key drops ts <= frontier; Spark's watermark filter drops only
-    // ts < wm. Removing while frontier == wm would let a redelivered event
-    // with ts == wm convert on an expired key but not on a live one —
-    // breaking the "pure function of (input set, watermark policy)"
-    // contract at the boundary. Once frontier < wm, everything a live key
-    // would drop is already below the watermark, so zero state is exact.
-    val expired = rest.isEmpty && cur.frontierMs < wm &&
-      (lastView == Long.MinValue || lastView < wm - boundMs) &&
-      (lastQClick == Long.MinValue || lastQClick < wm - boundMs)
+    // from zero state — remove the key instead of keeping state forever
+    // (else the store grows with lifetime-distinct users, not active
+    // ones). Horizon.frontierPassed guards the ts == wm boundary: removal
+    // must be indistinguishable from a live key's straggler filter.
+    val expired = rest.isEmpty && Horizon.frontierPassed(cur.frontierUs, wmUs) &&
+      (lastView == Long.MinValue || lastView < wmUs - boundUs) &&
+      (lastQClick == Long.MinValue || lastQClick < wmUs - boundUs)
     if (expired) state.remove()
     else {
-      state.update(FState(rest, wm, lastView, lastQClick))
+      state.update(FState(rest, wmUs, lastView, lastQClick))
       // re-arm so the buffer drains as soon as the watermark reaches its
-      // earliest pending event, even if no further rows arrive for this key;
-      // a drained-but-live key re-arms at the moment its stages expire so
-      // the removal above actually happens without new arrivals
-      if (rest.nonEmpty) state.setTimeoutTimestamp(math.max(rest.head._1, wm + 1))
-      // wm+1 floor: with the frontier guard above, this branch is reachable
-      // with stages already older than wm - bound (kept only until the
-      // watermark passes the frontier) — Spark rejects a timeout <= wm
+      // earliest pending event, even if no further rows arrive for this
+      // key; a drained-but-live key re-arms at the moment its stages
+      // expire so the removal above happens without new arrivals
+      val wmMs = state.getCurrentWatermarkMs()
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(Horizon.rearmMs(rest.head._1, wmMs))
       else state.setTimeoutTimestamp(
-        math.max(math.max(lastView, lastQClick) + boundMs + 1, wm + 1))
+        Horizon.rearmMs(math.max(lastView, lastQClick) + boundUs + 1000, wmMs))
     }
     out.iterator
   }

@@ -19,8 +19,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * which events win the quota — output is a pure function of
   * (input set, watermark policy), and the batch window-rank twin
   * ([[graft.operators.EventOps.rateQuota]], `q_rate_quota`) is its exact
-  * oracle (QuotaSpec proves per-event parity, including under shuffled
-  * arrival and redelivery).
+  * oracle (StreamingSpec proves per-event parity under reversed-order
+  * chunked delivery). At-least-once redelivery admits once: a duplicate
+  * inside the horizon collapses in the [[Horizon]] buffer, one behind the
+  * frontier is a straggler and drops — either way the decision matches
+  * the batch twin over the unique-row input set.
   *
   * State per user: the watermark-horizon buffer plus one (day, admitted)
   * counter for the newest day at or below the watermark — earlier days
@@ -33,49 +36,55 @@ object Quota {
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
 
-  /** `pending` = buffered (tsMs, event_id) above the watermark at last
-    * advance; `frontierMs` = that watermark (arrivals at or below it are
-    * stragglers, dropped — same policy as [[Funnel]]); `day`/`admitted` =
-    * the admission counter for the newest processed day (sentinel day =
-    * Long.MinValue before any admission). */
-  case class QState(pending: List[(Long, Long)], frontierMs: Long,
+  /** `pending` = buffered (tsUs, event_id) above the watermark at last
+    * advance; `frontierUs` = that watermark (arrivals at or below it are
+    * stragglers, dropped — the [[Horizon]] policy shared with [[Funnel]]);
+    * `day`/`admitted` = the admission counter for the newest processed day
+    * (sentinel day = Long.MinValue before any admission). Time is
+    * MICROSECONDS, and the epoch-day uses the same truncating division as
+    * the batch twin's `div` / the oracle's `//` — floorDiv would bucket
+    * pre-1970 timestamps into a different day than the twins. */
+  case class QState(pending: List[(Long, Long)], frontierUs: Long,
                     day: Long, admitted: Int)
 
   case class Admitted(user_id: Long, event_id: Long, ts: Timestamp)
 
-  private val DayMs = 86400000L
+  private val DayUs = 86400000000L
 
   def process(n: Int)(
       key: Long,
       rows: Iterator[Ev],
       state: GroupState[QState]): Iterator[Admitted] = {
-    val wm = state.getCurrentWatermarkMs()
+    val wmUs = Horizon.wmMicros(state)
     val cur = state.getOption.getOrElse(
       QState(Nil, Long.MinValue, Long.MinValue, 0))
-    val fresh = rows.map(e => (e.ts.getTime, e.event_id))
-      .filter(_._1 > cur.frontierMs)
-    val all = (cur.pending ++ fresh).sortBy(identity)
-    val (ready, rest) = all.partition(_._1 <= wm)
+    val (ready, rest) = Horizon.advance(cur.pending,
+      rows.map(e => (Horizon.micros(e.ts), e.event_id)),
+      cur.frontierUs, wmUs, (t: (Long, Long)) => t._1)
     var day = cur.day
     var admitted = cur.admitted
     val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
     ready.foreach { case (t, id) =>
-      val d = Math.floorDiv(t, DayMs)
+      val d = t / DayUs // truncating, == the batch twin's integer `div`
       if (d != day) { day = d; admitted = 0 } // ts-ordered: strictly newer day
-      if (admitted < n) { admitted += 1; out += Admitted(key, id, new Timestamp(t)) }
+      if (admitted < n) {
+        admitted += 1; out += Admitted(key, id, Horizon.toTimestamp(t))
+      }
     }
-    // state hygiene (the Funnel rule): forget the key only once the
+    // state hygiene (the Horizon rule): forget the key only once the
     // watermark has strictly passed the frontier AND the counter's whole
     // day is below it — a fresh machine then reproduces the same decisions
-    val expired = rest.isEmpty && cur.frontierMs < wm &&
-      (day == Long.MinValue || (day + 1) * DayMs <= wm)
+    val expired = rest.isEmpty && Horizon.frontierPassed(cur.frontierUs, wmUs) &&
+      (day == Long.MinValue || (day + 1) * DayUs <= wmUs)
     if (expired) state.remove()
     else {
-      state.update(QState(rest, wm, day, admitted))
-      // sentinel day would overflow (day+1)*DayMs — re-arm at wm+1 instead
-      val nextDayMs = if (day == Long.MinValue) wm + 1 else (day + 1) * DayMs
-      if (rest.nonEmpty) state.setTimeoutTimestamp(math.max(rest.head._1, wm + 1))
-      else state.setTimeoutTimestamp(math.max(nextDayMs, wm + 1))
+      state.update(QState(rest, wmUs, day, admitted))
+      val wmMs = state.getCurrentWatermarkMs()
+      // sentinel day would overflow (day+1)*DayUs — re-arm at wm+1 instead
+      val nextDayUs = if (day == Long.MinValue) wmUs + 1000 else (day + 1) * DayUs
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(Horizon.rearmMs(rest.head._1, wmMs))
+      else state.setTimeoutTimestamp(Horizon.rearmMs(nextDayUs, wmMs))
     }
     out.iterator
   }

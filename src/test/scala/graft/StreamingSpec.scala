@@ -901,9 +901,13 @@ test("streaming quota: buffered-until-watermark admission ≡ the batch window r
     val q = out.writeStream.format("memory").queryName("quota_admit")
       .option("checkpointLocation", tmp("cpquota")).outputMode("append").start()
     // time-contiguous chunks delivered in REVERSED arrival order: within
-    // the watermark horizon, arrival order must not change who wins
+    // the watermark horizon, arrival order must not change who wins.
+    // Every chunk is then REDELIVERED (at-least-once upstream): in-horizon
+    // duplicates must collapse in the buffer, behind-frontier ones must
+    // drop as stragglers — admission still happens exactly once
     evs.grouped(evs.length / 3 + 1).foreach { c =>
       mem.addData(c.reverse.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
     }
     // far-future sentinel drains the buffers through the timeout path
     mem.addData(Quota.Ev(-1L,
