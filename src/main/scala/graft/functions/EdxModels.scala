@@ -666,8 +666,9 @@ object EdxModels {
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
       } catch { case _: Exception =>
         try {
-          val t = java.sql.Timestamp.valueOf(s)
-          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          // one µs-conversion definition repo-wide (pre-1970 semantics
+          // differ between truncating getTime/1000 and the floorDiv form)
+          graft.streaming.Horizon.micros(java.sql.Timestamp.valueOf(s))
         } catch { case _: Exception => NoTs }
       }
     }

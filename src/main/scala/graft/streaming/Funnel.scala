@@ -37,9 +37,14 @@ object Funnel {
     * seen". Time is MICROSECONDS ([[Horizon]]): the batch twin orders and
     * bounds at full timestamp precision, so ms truncation would diverge
     * whenever two events share a millisecond across an order or bound
-    * boundary. */
+    * boundary.
+    * `unitVer` exists to FAIL FAST on restart from a checkpoint written by
+    * the millisecond-era state layout: the numeric fields reinterpret
+    * silently (ms read as µs = Jan 1970), but an added field changes the
+    * state schema, so Spark's compatibility check rejects the old
+    * checkpoint with a clear error instead of replaying garbage. */
   case class FState(pending: List[(Long, Long, String)], frontierUs: Long,
-                    lastViewUs: Long, lastQClickUs: Long)
+                    lastViewUs: Long, lastQClickUs: Long, unitVer: Int = 2)
 
   case class Conversion(user_id: Long, event_id: Long, ts: Timestamp)
 

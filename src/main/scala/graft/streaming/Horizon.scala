@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.GroupState
   * scaling it by 1000 is conservative in the right direction (an event in
   * the watermark's partial millisecond stays buffered one batch longer —
   * order, not membership, decides the output). */
-private[streaming] object Horizon {
+private[graft] object Horizon {
 
   /** Full-precision epoch microseconds (valid pre-1970: `getTime` carries
     * the ms and `getNanos` the entire sub-second). */

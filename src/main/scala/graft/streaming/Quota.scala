@@ -43,9 +43,11 @@ object Quota {
     * (sentinel day = Long.MinValue before any admission). Time is
     * MICROSECONDS, and the epoch-day uses the same truncating division as
     * the batch twin's `div` / the oracle's `//` — floorDiv would bucket
-    * pre-1970 timestamps into a different day than the twins. */
+    * pre-1970 timestamps into a different day than the twins.
+    * `unitVer` fails restarts from a ms-era checkpoint fast (added field →
+    * state-schema mismatch) instead of reinterpreting ms as µs. */
   case class QState(pending: List[(Long, Long)], frontierUs: Long,
-                    day: Long, admitted: Int)
+                    day: Long, admitted: Int, unitVer: Int = 2)
 
   case class Admitted(user_id: Long, event_id: Long, ts: Timestamp)
 

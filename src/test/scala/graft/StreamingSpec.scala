@@ -867,9 +867,13 @@ class StreamingSpec extends SparkSuite {
     val q = out.writeStream.format("memory").queryName("cep_conv")
       .option("checkpointLocation", cp).outputMode("append").start()
     // three time-contiguous chunks, each delivered in REVERSED arrival
-    // order: within the watermark horizon arrival order must not matter
+    // order (within the watermark horizon arrival order must not matter),
+    // then REDELIVERED (at-least-once upstream): in-horizon duplicates
+    // collapse in the Horizon buffer, behind-frontier ones drop as
+    // stragglers — each purchase must convert exactly once
     evs.grouped(evs.length / 3 + 1).foreach { c =>
       mem.addData(c.reverse.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
     }
     // far-future sentinel pushes the watermark past every real event so the
     // per-key buffers drain through the event-time timeout path
@@ -877,9 +881,12 @@ class StreamingSpec extends SparkSuite {
       new Timestamp(evs.last.ts.getTime + 48L * 3600 * 1000), -1L, "view"))
     q.processAllAvailable(); q.stop()
 
-    val got = spark.table("cep_conv").select("user_id", "event_id")
-      .as[(Long, Long)].collect().toSet
-    assert(got === batchConv)
+    val rows = spark.table("cep_conv").select("user_id", "event_id")
+      .as[(Long, Long)].collect()
+    // no double-fire: the sink must hold each conversion ONCE (a set
+    // compare alone would collapse duplicate emissions)
+    assert(rows.length === rows.toSet.size)
+    assert(rows.toSet === batchConv)
   }
 
 test("streaming quota: buffered-until-watermark admission ≡ the batch window rank") {
@@ -914,10 +921,12 @@ test("streaming quota: buffered-until-watermark admission ≡ the batch window r
       new Timestamp(evs.last.ts.getTime + 48L * 3600 * 1000), -1L))
     q.processAllAvailable(); q.stop()
 
-    val got = spark.table("quota_admit").select("user_id", "event_id")
-      .as[(Long, Long)].collect().toSet
+    val rows = spark.table("quota_admit").select("user_id", "event_id")
+      .as[(Long, Long)].collect()
+    // exactly-once emission: duplicate admissions would hide in a set
+    assert(rows.length === rows.toSet.size)
     // the sentinel's own admission is the only expected extra
-    assert(got - ((-1L, -1L)) === batchAdmit)
+    assert(rows.toSet - ((-1L, -1L)) === batchAdmit)
   }
 
 test("time travel: snapshots read the pre-compaction table; vacuum honors retention") {
