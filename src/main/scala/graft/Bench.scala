@@ -195,20 +195,28 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    // Round validity is referenced to each level's cross-round MAX, not its
-    // median: host load only ever SUBTRACTS throughput, so when loaded
-    // rounds are the majority a symmetric band around the median keeps the
-    // loaded rounds and rejects the quiet ones — the r4 driver artifact
-    // rejected its two quietest rounds (thr8 = 180k, honest ratios
-    // 0.863/0.949) and published 0.718 from three loaded survivors, while
-    // the max-referenced rule on the very same rounds selects the quiet
-    // trio and publishes 0.863. "Within 20% of the level's best" is not
-    // upward-biased cherry-picking because the ratio still comes from
-    // SAME-ROUND pairs and the >1.05 cap below is unchanged — the max only
-    // decides which whole rounds are trustworthy.
+    // Round validity is referenced to each level's cross-round SECOND-BEST
+    // (the "high quantile" variant of VERDICT r4 #1's prescription), not
+    // its median and not its pure max. Not the median: host load only ever
+    // SUBTRACTS throughput, so when loaded rounds are the majority a
+    // symmetric band around the median keeps the loaded rounds and
+    // rejects the quiet ones — the r4 driver artifact rejected its two
+    // quietest rounds (thr8 = 180k, honest ratios 0.863/0.949) and
+    // published 0.718 from three loaded survivors, while a best-referenced
+    // rule on the very same rounds selects the quiet trio and publishes
+    // 0.863. Not the pure max: a single spurious turbo/caching burst at
+    // one level would then invalidate every honest round at that level
+    // (recomputed on the r4 contract's own rounds, pure max leaves only 2
+    // survivors) — the second-best is immune to one outlier per level
+    // while still never rejecting a round for being fast. The ratio still
+    // comes from SAME-ROUND pairs and the >1.05 cap below is unchanged —
+    // the reference only decides which whole rounds are trustworthy.
     def quietOf(rs: Seq[Map[Int, Double]]): Seq[Map[Int, Double]] = {
-      val best = levels.map(c => c -> rs.map(_(c)).max).toMap
-      rs.filter(r => levels.forall(c => r(c) >= 0.80 * best(c)))
+      val ref = levels.map { c =>
+        val v = rs.map(_(c)).sorted(Ordering[Double].reverse)
+        c -> (if (v.length >= 2) v(1) else v.head)
+      }.toMap
+      rs.filter(r => levels.forall(c => r(c) >= 0.80 * ref(c)))
     }
     // extension condition counts surviving RATIOS, not just rounds: a round
     // can pass the level-drift test yet have its N→4N ratio discarded by

@@ -55,12 +55,12 @@ object GraphOps {
           (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("score"))
         .localCheckpoint(true)
       // release the replaced generation's blocks (plan is already truncated)
-      graft.streaming.IncrementalDedup.release(scores)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpointQuietly(scores)
       scores = next
       it += 1
     }
     // the edge checkpoint is dead once the last generation is materialized
-    graft.streaming.IncrementalDedup.release(e)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpointQuietly(e)
     scores
   }
 

@@ -405,7 +405,10 @@ object MediaOps {
               var off = chunkOffs(ci)
               while (ok && within < spc && si < sizes.length) {
                 val sz = sizes(si)
-                if (off < 0 || sz < 0 || off + sz > n) ok = false // range escape
+                // overflow-safe range check: `off + sz > n` wraps negative
+                // for a co64 offset near Long.MaxValue and would bypass
+                // the quarantine (n and sz are non-negative here)
+                if (off < 0 || sz < 0 || off > n - sz) ok = false // range escape
                 else {
                   if (keep(track, si))
                     rows += Mp4Sample(id, track, si, off, sz, md5Hex(bytes, off, sz))

@@ -139,6 +139,12 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
       bandDeltas :+= newBands
       shingleDeltas :+= newShingles
       compactIfWide()
+    } else {
+      // empty microbatch (idle stream tick): the two checkpoints were
+      // never appended, so they are scratch — without this, every empty
+      // batch leaks two orphaned RDDs for the session lifetime
+      scratch += newBands
+      scratch += newShingles
     }
     scratch.foreach(release)
     BatchStats(nNew, nCands, nVerified, nNodes, nTouched, rounds)
@@ -157,8 +163,7 @@ object IncrementalDedup {
     * (they wait for ContextCleaner GC); the bridge unpersists the
     * underlying checkpoint RDD itself (review r4 ADVICE). */
   private[graft] def release(df: DataFrame): Unit =
-    try { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df) }
-    catch { case _: Exception => () }
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpointQuietly(df)
 
   private[streaming] def shinglesOf(batch: DataFrame, k: Int): DataFrame =
     batch.select(col("doc_id"), TextOps.shingleArr(col("text"), k).as("sh"))

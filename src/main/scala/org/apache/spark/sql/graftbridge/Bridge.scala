@@ -32,4 +32,10 @@ object Bridge {
         }
       case _ => ()
     }
+
+  /** Never-throwing variant for cleanup paths (iterative operators,
+    * streaming state maintenance) — a failed release is a leak, not an
+    * error worth failing the job for. */
+  def releaseLocalCheckpointQuietly(df: org.apache.spark.sql.DataFrame): Unit =
+    try releaseLocalCheckpoint(df) catch { case _: Exception => () }
 }

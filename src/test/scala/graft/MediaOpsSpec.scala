@@ -534,7 +534,13 @@ class MediaOpsSpec extends SparkSuite {
           stco(ps))),
       "stsz size table truncated" ->
         mk(trak(tkhd(1, 8, 8), box("stsz", be32a(0) ++ be32a(0) ++ be32a(99)),
-          stsc(1 -> 1), stco(ps))))
+          stsc(1 -> 1), stco(ps))),
+      // off + sz wraps negative in naive Long math and would bypass the
+      // range check, sending an arbitrary int offset into MessageDigest —
+      // the overflow-safe `off > n - sz` form must quarantine instead
+      "co64 offset near Long.MaxValue (off+sz overflow)" ->
+        mk(trak(tkhd(1, 8, 8), stszSized(Seq(16)), stsc(1 -> 1),
+          co64(Long.MaxValue - 7L))))
     badCases.foreach { case (what, f) =>
       assert(MediaOps.extractMp4Samples(3L, f).isEmpty, what)
     }
