@@ -68,9 +68,9 @@ object SparkEntry {
     // hash-keyed groupBy across the corpus, planted positives (payloads
     // keyed by doc_id mod 97), oracle recomputes every duplicate group
     "q_frame_dedup" -> ((s, d) => graft.operators.MediaOps.frameDedupQuery(s, d)),
-    // r5 (stub retired): frames are every 4th REAL extracted video-track
-    // sample, fingerprinted by payload md5 — codec-bound work is now only
-    // DECODING a frame, not finding/slicing/hashing it
+    // r6 (keyframe-aware): frames are the video track's stss-designated
+    // SYNC samples, fingerprinted from REAL extracted bytes — codec-bound
+    // work is now only DECODING a frame, not finding/slicing/hashing it
     "q_frame_sample" -> ((s, d) => graft.operators.MediaOps.frameSampleQuery(s, d)
       .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
         "CAST(sample_idx AS BIGINT) AS sample_idx", "size", "frame_md5")),
@@ -190,6 +190,15 @@ object SparkEntry {
     // (same recursive-CTE oracle as q_dup_clusters)
     "q_dup_clusters_incremental" ->
       ((s, d) => graft.streaming.IncrementalDedup.replayClusters(s, d)),
+    // r6: the RESTART-DURABLE twin — the same 3-microbatch replay with every
+    // state table flowing through LakeSink manifests (the path a 100-TB
+    // deployment actually runs; VERDICT r5 Next #1). Fresh lake per
+    // invocation so bench rounds measure full maintenance, never a
+    // completed-marker no-op replay.
+    "q_dup_clusters_durable" ->
+      ((s, d) => graft.streaming.IncrementalDedup.replayClustersDurable(s, d,
+        java.nio.file.Files.createTempDirectory("graft-durdedup")
+          .toString)),
     "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
     // capstone: quality filter → near-dup survivor dedup → stratified
     // sample → packed training chunks, one composed pipeline
@@ -436,22 +445,26 @@ object SparkEntry {
                 64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 256 AS height,
                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
          FROM documents""",
-    // frames = every 4th sample of the video track; the md5 is recomputed
-    // from the closed-form payload string, so the hash compare proves the
-    // engine sliced the REAL bytes at the stsc/stco-derived offsets
+    // frames = the video track's SYNC samples per the planted stss (period
+    // doc_id%4+2; every 11th doc omits the box → all samples sync); the md5
+    // is recomputed from the closed-form payload string, so the hash
+    // compare proves the engine sliced the REAL bytes at the keyframes the
+    // stss table designates
     "q_frame_sample" ->
-      """WITH d AS (SELECT doc_id, doc_id % 97 AS g, doc_id % 50 + 9 AS maxidx
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS g, doc_id % 50 + 9 AS maxidx,
+                           CASE WHEN doc_id % 11 = 0 THEN 1
+                                ELSE doc_id % 4 + 2 END AS p
                     FROM documents WHERE doc_id % 17 <> 0),
-         f AS (SELECT doc_id, g,
-                      unnest(generate_series(0, maxidx // 4)) * 4 AS sample_idx
+         f AS (SELECT doc_id, g, p,
+                      unnest(generate_series(0, maxidx // p)) * p AS sample_idx
                FROM d),
-         p AS (SELECT doc_id, sample_idx,
-                      g::VARCHAR || '-1-' || sample_idx::VARCHAR AS payload
-               FROM f)
-         SELECT doc_id, sample_idx // 4 AS frame_idx, sample_idx,
+         pay AS (SELECT doc_id, sample_idx, p,
+                        g::VARCHAR || '-1-' || sample_idx::VARCHAR AS payload
+                 FROM f)
+         SELECT doc_id, sample_idx // p AS frame_idx, sample_idx,
                 CAST(length(payload) AS BIGINT) AS "size",
                 md5(payload) AS frame_md5
-         FROM p""",
+         FROM pay""",
     // duplicate frame payloads across documents: same residue class mod 97
     // shares frame bytes (up to differing sample counts) — the oracle
     // reproduces every (md5, n_copies, keeper) group from the closed form
@@ -1203,7 +1216,10 @@ object SparkEntry {
                FROM s)
          SELECT doc_id, track_id, sample_idx,
                 CAST(length(payload) AS BIGINT) AS "size",
-                md5(payload) AS payload_md5
+                md5(payload) AS payload_md5,
+                CASE WHEN track_id = 2 OR doc_id % 11 = 0 THEN TRUE
+                     ELSE sample_idx % (doc_id % 4 + 2) = 0
+                END AS is_sync
          FROM p""",
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $dupPairsCte,
@@ -1216,6 +1232,16 @@ object SparkEntry {
          SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1""",
     // incremental replay must converge to the identical batch answer
     "q_dup_clusters_incremental" ->
+      s"""WITH RECURSIVE $dupPairsCte,
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY 1""",
+    // the lake-backed durable path must also converge to the batch answer
+    "q_dup_clusters_durable" ->
       s"""WITH RECURSIVE $dupPairsCte,
          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),

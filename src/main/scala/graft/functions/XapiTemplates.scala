@@ -68,10 +68,12 @@ object XapiTemplates {
   private def nonNegNum(v: JsonNode): Boolean = numOf(v).exists(_ >= 0)
   /** Int-field variant of [[numOf]]: pydantic v2 lax int REJECTS
     * exponent-notation strings ("1e2" is not an int literal even though its
-    * value is integral), so the string path requires a plain
-    * integer-or-float literal; the integral-value test below still applies
+    * value is integral) AND trailing-dot strings ("3." raises in
+    * TypeAdapter(int).validate_python — r5 ADVICE), so the string path
+    * requires a plain integer-or-float literal with at least one digit on
+    * each side of any dot; the integral-value test below still applies
     * (what admits "3.0" via the int-from-float rule and rejects "3.5"). */
-  private val IntLaxRe = Pattern.compile("^[+-]?\\d+(\\.\\d*)?$")
+  private val IntLaxRe = Pattern.compile("^[+-]?\\d+(\\.\\d+)?$")
   private def numOfInt(v: JsonNode): Option[Double] =
     if (v == null) None
     else if (v.isNumber) Some(v.asDouble)

@@ -73,7 +73,16 @@ object GraphOps {
     * Top 50 by (score desc, doc_id) — a TakeOrderedAndProject tail. */
   def pageRankQuery(spark: SparkSession, dir: String): DataFrame = {
     val nodes = TextOps.documents(spark, dir).select("doc_id")
-    val n = nodes.count() // driver scalar: one catalog-sized count, bounded
+    // driver scalar: one 1-row agg. The synthetic edge maps below use
+    // `% n`, which is a permutation-free funnel ONLY over a dense id space:
+    // with gapped ids the engine would drop contributions to phantom dst
+    // ids while the recursive-CTE oracle still scores them — a silent
+    // divergence. Fail loudly instead of diverging quietly (r5 ADVICE).
+    val stats = nodes.agg(count("*"), min("doc_id"), max("doc_id")).head()
+    val n = stats.getLong(0)
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"pageRankQuery requires contiguous doc_id [0, n): saw " +
+        s"min=${stats.getLong(1)} max=${stats.getLong(2)} n=$n")
     val id = col("doc_id")
     val edges = nodes.select(id.as("src"), ((id + 1) % n).as("dst"))
       .unionAll(nodes.select(id.as("src"), ((id * id + 1) % n).as("dst")))

@@ -296,7 +296,7 @@ object MediaOps {
 
   final case class Mp4Sample(
       doc_id: Long, track_id: Int, sample_idx: Int, offset: Long, size: Long,
-      payload_md5: String)
+      payload_md5: String, is_sync: Boolean)
 
   private def md5Hex(b: Array[Byte], off: Long, len: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -321,14 +321,21 @@ object MediaOps {
     * Long) contributes NO rows; other tracks of the same file still
     * extract. Never throws.
     *
-    * `keep(track_id, sample_idx)` selects which samples are HASHED and
-    * emitted — the (offset, size) walk and its all-or-nothing range
-    * validation always cover every sample (table corruption anywhere still
-    * quarantines the track), but md5 work is only spent on kept samples,
-    * so a stride-4 single-track caller pays ~1/4 of the hashing instead of
-    * filtering rows it forced the extractor to fingerprint. */
+    * Sync samples (r6): the `stss` box — same run-free table arithmetic as
+    * the other four — marks which samples are keyframes; per ISO-BMFF, an
+    * ABSENT stss means every sample is sync, and a present one marks
+    * exactly its (1-based, strictly-ascending) entries. A malformed stss
+    * (non-ascending, entry < 1 or > sample_count, truncated table, alloc
+    * bomb) quarantines the track like any other table corruption.
+    *
+    * `keep(track_id, sample_idx, is_sync)` selects which samples are
+    * HASHED and emitted — the (offset, size) walk and its all-or-nothing
+    * range validation always cover every sample (table corruption anywhere
+    * still quarantines the track), but md5 work is only spent on kept
+    * samples, so a keyframes-only caller pays hashing for keyframes alone
+    * instead of filtering rows it forced the extractor to fingerprint. */
   def extractMp4Samples(id: Long, bytes: Array[Byte],
-                        keep: (Int, Int) => Boolean = (_, _) => true): Seq[Mp4Sample] = {
+                        keep: (Int, Int, Boolean) => Boolean = (_, _, _) => true): Seq[Mp4Sample] = {
     if (bytes == null || bytes.length < 12 || ascii(bytes, 4, 4) != "ftyp")
       return Seq.empty
     val n = bytes.length.toLong
@@ -342,6 +349,8 @@ object MediaOps {
           var sizes: Array[Long] = null
           var runs: Array[(Long, Long)] = null // (first_chunk 1-based, samples_per_chunk)
           var chunkOffs: Array[Long] = null
+          var syncTable: Array[Long] = null // 1-based sample numbers, ascending
+          var hasStss = false
           var corrupt = false
           walkBoxes(bytes, p2s, p2e) { (t3, p3s, p3e) =>
             if (t3 == "mdia") walkBoxes(bytes, p3s, p3e) { (t4, p4s, p4e) =>
@@ -386,17 +395,40 @@ object MediaOps {
                       if (cnt < 0 || p6s + 8 + cnt * 8 > p6e) corrupt = true
                       else chunkOffs = Array.tabulate(cnt.toInt)(i =>
                         be64(bytes, (p6s + 8 + i * 8L).toInt))
+                    case "stss" if p6s + 8 <= p6e =>
+                      // ver+flags(4) entry_count(4) count×sample_number(4);
+                      // entries are 1-based and must be strictly ascending
+                      // (range vs sample_count is checked once stsz is in
+                      // hand, at the emission gate below)
+                      val cnt = be32(bytes, p6s.toInt + 4)
+                      if (cnt < 0 || cnt > (1L << 22) ||
+                          p6s + 8 + cnt * 4 > p6e) corrupt = true
+                      else {
+                        hasStss = true
+                        syncTable = Array.tabulate(cnt.toInt)(i =>
+                          be32(bytes, (p6s + 8 + i * 4L).toInt))
+                        if (syncTable.exists(_ < 1) ||
+                            syncTable.sliding(2).exists {
+                              case Array(a, b) => b <= a
+                              case _ => false
+                            }) corrupt = true
+                      }
                     case _ => ()
                   }
                 }
               }
             }
           }
+          // stss entries must land inside [1, sample_count] — checkable
+          // only once stsz is in hand
+          if (hasStss && sizes != null && syncTable.nonEmpty &&
+              syncTable.last > sizes.length) corrupt = true
           if (!corrupt && sizes != null && runs != null && chunkOffs != null) {
             val rows = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
             var si = 0
             var ci = 0
             var ri = 0
+            var syncPtr = 0 // ascending walk in lockstep with si — O(1) amortized
             var ok = true
             while (ok && ci < chunkOffs.length && si < sizes.length) {
               while (ri + 1 < runs.length && runs(ri + 1)._1 <= ci + 1) ri += 1
@@ -410,8 +442,14 @@ object MediaOps {
                 // the quarantine (n and sz are non-negative here)
                 if (off < 0 || sz < 0 || off > n - sz) ok = false // range escape
                 else {
-                  if (keep(track, si))
-                    rows += Mp4Sample(id, track, si, off, sz, md5Hex(bytes, off, sz))
+                  val isSync = if (!hasStss) true else {
+                    while (syncPtr < syncTable.length &&
+                           syncTable(syncPtr) < si + 1) syncPtr += 1
+                    syncPtr < syncTable.length && syncTable(syncPtr) == si + 1
+                  }
+                  if (keep(track, si, isSync))
+                    rows += Mp4Sample(id, track, si, off, sz,
+                      md5Hex(bytes, off, sz), isSync)
                   off += sz; si += 1; within += 1
                 }
               }
@@ -505,18 +543,34 @@ object MediaOps {
     def offsBox(offs: Seq[Long]): Array[Byte] =
       if (useCo64) mkBox("co64", i32(0) ++ i32(offs.length) ++ offs.toArray.flatMap(i64))
       else mkBox("stco", i32(0) ++ i32(offs.length) ++ offs.toArray.flatMap(i32))
-    def trak(tk: Array[Byte], ss: Seq[Array[Byte]], offs: Seq[Long]): Array[Byte] =
+    // r6: track 1 carries a planted stss — every p-th sample is a keyframe
+    // (p = id%4+2, so GOP lengths 2..5 all occur), except every 11th doc
+    // OMITS the box entirely (ISO-BMFF: absent stss = all samples sync), so
+    // the oracle gates both the present- and absent-stss paths; track 2
+    // never has one. Closed form: sample i of track 1 is sync iff
+    // id%11==0 OR i % (id%4+2) == 0.
+    val syncPeriod = (id % 4 + 2).toInt
+    def stssFor(nSamples: Int): Array[Byte] = {
+      val entries = (0 until nSamples by syncPeriod).map(i => (i + 1).toLong)
+      i32(0) ++ i32(entries.length) ++ entries.toArray.flatMap(i32)
+    }
+    def trak(tk: Array[Byte], ss: Seq[Array[Byte]], offs: Seq[Long],
+             withStss: Boolean): Array[Byte] = {
+      val tables = Array(
+        mkBox("stsz", stszFor(ss)), mkBox("stsc", stscFor(ss.length))) ++
+        (if (withStss) Array(mkBox("stss", stssFor(ss.length))) else Array.empty[Array[Byte]]) :+
+        offsBox(offs)
       mkBox("trak", mkBox("tkhd", tk),
-        mkBox("mdia", mkBox("minf", mkBox("stbl",
-          mkBox("stsz", stszFor(ss)), mkBox("stsc", stscFor(ss.length)),
-          offsBox(offs)))))
+        mkBox("mdia", mkBox("minf", mkBox("stbl", tables.toIndexedSeq: _*))))
+    }
     val w = 160 + (id % 8).toInt * 40
     val h = 90 + (id % 8).toInt * 30
     val c1 = chunkSizes(s1)
     val c2 = chunkSizes(s2)
     def moov(off1: Seq[Long], off2: Seq[Long]): Array[Byte] = {
-      val t1 = trak(tkhd(1, w, h), s1, off1)
-      val tracks = if (hasT2) t1 ++ trak(tkhd(2, 0, 0), s2, off2) else t1
+      val t1 = trak(tkhd(1, w, h), s1, off1, withStss = id % 11 != 0)
+      val tracks = if (hasT2) t1 ++ trak(tkhd(2, 0, 0), s2, off2,
+        withStss = false) else t1
       mkBox("moov", mkBox("mvhd", mvhd(1000, (id % 120 + 1) * 500L)), tracks)
     }
     val moovLen = moov(c1.map(_ => 0L), c2.map(_ => 0L)).length
@@ -555,7 +609,8 @@ object MediaOps {
     TextOps.documents(spark, dir).select("doc_id").as[Long]
       .flatMap(id => extractMp4Samples(id, synthMp4(id)))
       .toDF()
-      .select("doc_id", "track_id", "sample_idx", "size", "payload_md5")
+      .select("doc_id", "track_id", "sample_idx", "size", "payload_md5",
+        "is_sync")
   }
 
   /** `q_frame_dedup`: frame-level EXACT dedup across documents — the audit
@@ -570,28 +625,32 @@ object MediaOps {
     import org.apache.spark.sql.functions.{col, count, lit, min}
     TextOps.documents(spark, dir).select("doc_id").as[Long]
       .flatMap(id => extractMp4Samples(id, synthMp4(id),
-        keep = (track, _) => track == 1))
+        keep = (track, _, _) => track == 1))
       .toDF()
       .groupBy("payload_md5")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc"))
       .filter(col("n_copies") > 1)
   }
 
-  /** `q_frame_sample` (r5, stub retired): frame sampling now reads REAL
-    * extracted sample bytes — every `stride`-th sample of the video track
-    * (the keyframe-stride shape of a video pipeline), identified by its
-    * payload hash. What remains codec-bound is DECODING the sampled frame,
-    * not finding, slicing, or fingerprinting it. */
-  def frameSampleQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       stride: Int = 4): DataFrame = {
+  /** `q_frame_sample` (r6: keyframe-aware): frame sampling reads the REAL
+    * extracted sample bytes of every SYNC sample of the video track — the
+    * `stss`-driven "sample every keyframe" shape real video pipelines use
+    * (r5's positional stride is retired along with the r4 stub). The keep
+    * predicate skips md5 work on non-keyframes; `frame_idx` is the
+    * keyframe ordinal (position among the kept samples, which the
+    * extractor emits in ascending sample order). What remains codec-bound
+    * is DECODING the sampled frame, not finding, slicing, or
+    * fingerprinting it. */
+  def frameSampleQuery(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
     import spark.implicits._
     TextOps.documents(spark, dir).select("doc_id").as[Long]
       .flatMap { id =>
         extractMp4Samples(id, synthMp4(id),
-          keep = (track, idx) => track == 1 && idx % stride == 0)
-          .iterator
-          .map(s => (s.doc_id, s.sample_idx / stride, s.sample_idx, s.size,
-            s.payload_md5))
+          keep = (track, _, sync) => track == 1 && sync)
+          .iterator.zipWithIndex
+          .map { case (s, fi) =>
+            (s.doc_id, fi, s.sample_idx, s.size, s.payload_md5) }
       }
       .toDF("doc_id", "frame_idx", "sample_idx", "size", "frame_md5")
   }

@@ -169,7 +169,14 @@ object IncrementalDedup {
     batch.select(col("doc_id"), TextOps.shingleArr(col("text"), k).as("sh"))
 
   /** Candidates: new↔new (band self-join, i<j) plus new↔existing (band
-    * index equi-join) — never a scan of old documents. */
+    * index equi-join) — never a scan of old documents. The new↔old side
+    * drops self-pairs (`o.doc_id =!= n.doc_id` — harmless in normal
+    * operation where old and new ids are disjoint, load-bearing on durable
+    * replay where the crashed batch's own bands are already in the index)
+    * and is normalized to (least, greatest) so a replay-induced reversed
+    * pair lands on the same row the self-join emitted and `distinct()`
+    * genuinely absorbs it — keeping the nCandidatePairs/nVerifiedPairs
+    * audit stats exact under redelivery, not just the labels (r5 ADVICE). */
   private[streaming] def candidatePairs(newBands: DataFrame,
                                         bandsState: Option[DataFrame]): DataFrame = {
     val newNew = newBands.as("x").join(newBands.as("y"),
@@ -178,8 +185,10 @@ object IncrementalDedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     val newOld = bandsState match {
       case Some(idx) => idx.as("o").join(newBands.as("n"),
-          col("o.band") === col("n.band") && col("o.bkey") === col("n.bkey"))
-        .select(col("o.doc_id").as("id_a"), col("n.doc_id").as("id_b"))
+          col("o.band") === col("n.band") && col("o.bkey") === col("n.bkey") &&
+            col("o.doc_id") =!= col("n.doc_id"))
+        .select(least(col("o.doc_id"), col("n.doc_id")).as("id_a"),
+          greatest(col("o.doc_id"), col("n.doc_id")).as("id_b"))
       case None => newNew.limit(0)
     }
     newNew.union(newOld).distinct()
@@ -307,11 +316,13 @@ object IncrementalDedup {
   *    skipped (its gen is the marker) and the deterministic band/shingle
   *    deltas are recomputed from the batch and committed (LakeSink's own
   *    accountsFor gate makes each idempotent);
-  *  - crash before the labels commit → full recompute. The label recompute
-  *    is consistent even when the crashed batch's bands ARE already
-  *    committed (possible only for batches that changed no labels — the
-  *    new↔old join then also yields the batch's own pairs, which the
-  *    new↔new self-join already yielded: `distinct()` absorbs them).
+  *  - crash before the labels commit → full recompute. The recompute is
+  *    consistent even when the crashed batch's bands ARE already committed
+  *    (possible only for batches that changed no labels): the new↔old join
+  *    then re-yields the batch's own pairs, but self-pairs are filtered at
+  *    the join and cross-pairs are normalized to (least, greatest) before
+  *    `distinct()`, so they collapse onto the new↔new self-join's rows —
+  *    labels AND audit stats match the uncrashed run exactly.
   *
   * Read amplification note: each batch reads the band index and shingle
   * store from parquet instead of session-cached frames — the price of

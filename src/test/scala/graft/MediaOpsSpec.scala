@@ -468,7 +468,7 @@ class MediaOpsSpec extends SparkSuite {
       val bytes = MediaOps.synthMp4(id)
       val full = MediaOps.extractMp4Samples(id, bytes)
       val kept = MediaOps.extractMp4Samples(id, bytes,
-        keep = (track, idx) => track == 1 && idx % 4 == 0)
+        keep = (track, idx, _) => track == 1 && idx % 4 == 0)
       assert(kept === full.filter(s => s.track_id == 1 && s.sample_idx % 4 == 0),
         s"id $id")
     }
@@ -574,15 +574,73 @@ class MediaOpsSpec extends SparkSuite {
       .as[(Long, Int, Int, Long, String)].collect()
     assert(frames.nonEmpty)
     frames.foreach { case (id, f, si, sz, h) =>
-      assert(id % 17 != 0 && si === f * 4)
+      // r6: sampling is keyframe-aware — kept samples are exactly the
+      // stss-designated sync samples (period id%4+2; every 11th doc omits
+      // the box → every sample is sync), frame_idx is the keyframe ordinal
+      val p = if (id % 11 == 0) 1 else (id % 4 + 2).toInt
+      assert(id % 17 != 0 && si % p === 0 && si === f * p)
       val want = s"${id % 97}-1-$si"
       assert(sz === want.length.toLong)
       assert(h === md5hex(want.getBytes("US-ASCII")))
     }
-    // stride coverage: every doc contributes ceil(n1/4) frames
+    // keyframe coverage: every doc contributes ceil(n1/p) frames
     frames.groupBy(_._1).foreach { case (id, g) =>
       val n1 = (id % 50 + 10).toInt
-      assert(g.length === (n1 + 3) / 4, s"doc $id frame count")
+      val p = if (id % 11 == 0) 1 else (id % 4 + 2).toInt
+      assert(g.length === (n1 + p - 1) / p, s"doc $id frame count")
+    }
+  }
+
+  test("stss sync-sample semantics: planted table, absent box, adversarial quarantine") {
+    // synth closed form: track 1 sync iff id%11==0 (no stss) or idx%p==0;
+    // track 2 (no stss) all sync
+    (0L until 120L).foreach { id =>
+      val ss = MediaOps.extractMp4Samples(id, MediaOps.synthMp4(id))
+      val p = (id % 4 + 2).toInt
+      ss.foreach { s =>
+        val want =
+          if (s.track_id == 2 || id % 11 == 0) true
+          else s.sample_idx % p == 0
+        assert(s.is_sync === want, s"id $id track ${s.track_id} idx ${s.sample_idx}")
+      }
+    }
+
+    // hand-built adversarial stss tables must quarantine the track
+    def stszSized(sizes: Seq[Int]): Array[Byte] =
+      box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
+        sizes.toArray.flatMap(s => be32a(s.toLong)))
+    def stsc1(n: Int): Array[Byte] =
+      box("stsc", be32a(0) ++ be32a(1L) ++ be32a(1L) ++ be32a(n.toLong) ++ be32a(1L))
+    def stco(offs: Long*): Array[Byte] =
+      box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
+        offs.toArray.flatMap(be32a))
+    def stss(nums: Long*): Array[Byte] =
+      box("stss", be32a(0) ++ be32a(nums.length.toLong) ++
+        nums.toArray.flatMap(be32a))
+    val data = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII")
+    val pre = ftyp ++ box("mdat", data)
+    val ps = ftyp.length.toLong + 8L
+    def mk(stssBox: Array[Byte]): Array[Byte] =
+      pre ++ box("moov", box("mvhd", mvhd(1000, 1000)) ++
+        trak(tkhd(1, 8, 8), stszSized(Seq(8, 8, 8)), stsc1(3), stssBox,
+          stco(ps)))
+
+    // healthy: samples 1 and 3 (1-based) are sync
+    val good = MediaOps.extractMp4Samples(1L, mk(stss(1L, 3L)))
+    assert(good.map(s => s.sample_idx -> s.is_sync) ===
+      Seq(0 -> true, 1 -> false, 2 -> true))
+    // empty stss is spec-representable: present with zero entries = no syncs
+    val none = MediaOps.extractMp4Samples(1L, mk(stss()))
+    assert(none.length === 3 && none.forall(!_.is_sync))
+    val bad = Seq(
+      "non-ascending entries" -> mk(stss(2L, 2L)),
+      "descending entries" -> mk(stss(3L, 1L)),
+      "entry 0 (1-based table)" -> mk(stss(0L, 2L)),
+      "entry beyond sample_count" -> mk(stss(1L, 4L)),
+      "truncated table" -> mk(box("stss", be32a(0) ++ be32a(99L))),
+      "alloc bomb count" -> mk(box("stss", be32a(0) ++ be32a(1L << 30))))
+    bad.foreach { case (what, f) =>
+      assert(MediaOps.extractMp4Samples(5L, f).isEmpty, what)
     }
   }
 }

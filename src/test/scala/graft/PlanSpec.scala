@@ -75,7 +75,10 @@ class PlanSpec extends SparkSuite {
       "brute" -> planOf(EmbeddingOps.bruteTopK(spark, sf("sf0.001"))),
       "hard_negatives" -> planOf(EmbeddingOps.hardNegatives(spark, sf("sf0.001"))),
       "hash_embed" -> planOf(graft.operators.TextOps.hashEmbedTopK(spark, sf("sf0.001"))),
-      "pq_rerank" -> planOf(EmbeddingOps.pqTopKRerank(spark, sf("sf0.001"))))
+      "pq_rerank" -> planOf(EmbeddingOps.pqTopKRerank(spark, sf("sf0.001"))),
+      // r6: the quota batch twin — first-n-per-(user,day) through the same
+      // bounded aggregator; a hot bot actor must never become a sort task
+      "rate_quota" -> planOf(EventOps.rateQuota(spark, sf("sf0.001"))))
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("Window"), s"$name still plans a window sort:\n$plan")
       assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),

@@ -189,8 +189,12 @@ class PropertySpec extends SparkSuite {
           ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
         } catch { case _: Exception =>
           try {
-            val t = java.sql.Timestamp.valueOf(s)
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+            // the repo-wide µs definition (floorDiv): the truncating
+            // `getTime / 1000L * 1000000L` form diverges by one second on
+            // pre-1970 timestamps with a fractional part (caught live by a
+            // year-0208 scalacheck seed in r6) — production deliberately
+            // routes through Horizon.micros, so the reference must too
+            graft.streaming.Horizon.micros(java.sql.Timestamp.valueOf(s))
           } catch { case _: Exception => EdxModels.NoTs }
         }
       }
