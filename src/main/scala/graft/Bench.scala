@@ -31,14 +31,12 @@ object Bench {
 
   private val shm = "/dev/shm/graft-bench"
 
-  /** One streaming pipeline run at a given core count → statements/sec
-    * (processing time: sum of microbatch triggerExecution). */
-  def streamingRun(cores: Int, inputPath: String): Double = {
+  private def benchSession(cores: Int, tag: String): SparkSession = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     Files.createDirectories(Paths.get(shm))
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
+      .appName(s"graft-bench-$tag-$cores")
       .config("spark.sql.shuffle.partitions", "32") // pinned across runs
       .config("spark.local.dir", s"$shm/local")
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,6 +50,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** Steady-state throughput of a finished AvailableNow query: drop the
+    * first data batch (whole-stage codegen + RocksDB/state warmup happens
+    * there), rows / triggerExecution over the rest. */
+  private def steadyThr(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    val steady = if (batches.length > 1) batches.drop(1) else batches
+    val rows = steady.map(_.numInputRows).sum
+    val procSec = steady.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
+    rows / procSec
+  }
+
+  /** One streaming pipeline run at a given core count → statements/sec
+    * (processing time: sum of microbatch triggerExecution). */
+  def streamingRun(cores: Int, inputPath: String): Double = {
+    val spark = benchSession(cores, "main")
     try {
       val sinkPath = Files.createTempDirectory(Paths.get(shm), s"sink-$cores").toString
       val cp = Files.createTempDirectory(Paths.get(shm), s"cp-$cores").toString
@@ -79,14 +95,43 @@ object Bench {
         }
         .start()
       q.awaitTermination()
-      // steady-state throughput: drop the first data batch (whole-stage
-      // codegen + RocksDB instance warmup happens there), measure
-      // rows/processing-time over the remaining batches
-      val batches = q.recentProgress.filter(_.numInputRows > 0)
-      val steady = if (batches.length > 1) batches.drop(1) else batches
-      val rows = steady.map(_.numInputRows).sum
-      val procSec = steady.map(_.durationMs.get("triggerExecution").toLong).sum / 1000.0
-      rows / procSec
+      steadyThr(q)
+    } finally spark.stop()
+  }
+
+  /** One DOCUMENT-ingest run with restart-durable near-dup maintenance in
+    * the loop (VERDICT r5 Next #2): stream the replicated documents table
+    * and, per microbatch, run [[graft.streaming.DurableIncrementalDedup]]
+    * .addBatch — shingle + band + verify + label-merge with every state
+    * table flowing through LakeSink. Returns docs/sec (steady batches).
+    *
+    * This is deliberately a separate pipeline from the statement job:
+    * near-dup maintenance belongs to the DOCUMENT corpus — running MinHash
+    * over templated event JSON is pathological (every same-family event is
+    * a mutual near-dup, so band buckets go quadratic), which is itself a
+    * design fact worth recording, not engineering around. Fresh lake per
+    * run: the measurement is the from-scratch 4-batch maintenance cost,
+    * comparable across parallelism levels. */
+  def maintRun(cores: Int, docsPath: String): Double = {
+    val spark = benchSession(cores, "maint")
+    try {
+      val lake = Files.createTempDirectory(Paths.get(shm), s"mlake-$cores").toString
+      val cp = Files.createTempDirectory(Paths.get(shm), s"mcp-$cores").toString
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "4") // 16 files → 4 microbatches
+        .parquet(docsPath)
+      val maint = new graft.streaming.DurableIncrementalDedup(spark, lake)
+      val q = docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          maint.addBatch(id, b); ()
+        }
+        .start()
+      q.awaitTermination()
+      steadyThr(q)
     } finally spark.stop()
   }
 
@@ -155,6 +200,25 @@ object Bench {
     Files.createDirectories(Paths.get(shm))
     val inputPath = Files.createTempDirectory(Paths.get(shm), "input").toString + "/input"
     Synth.inputTable(spark, nRows, 128).write.mode("overwrite").parquet(inputPath)
+    // maintenance-bench input: the documents table replicated ×4 with a
+    // one-token suffix per replica — deterministic PLANTED near-dups
+    // (jaccard ≈ k/(k+1) per replica pair, so clusters stay replica-sized
+    // + natural dups; no quadratic band buckets), shuffled across 16 files
+    // so arrival order is adversarial like the statement input
+    val docsPath = Files.createTempDirectory(Paths.get(shm), "mdocs").toString + "/docs"
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val maintReps = 4
+    val nMaintDocs = baseDocs.count() * maintReps
+    (0 until maintReps).map { r =>
+      import org.apache.spark.sql.functions._
+      if (r == 0) baseDocs
+      else baseDocs.select((col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replicatag$r")).as("text"))
+    }.reduce(_ unionAll _)
+      .repartition(16, org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode("overwrite").parquet(docsPath)
     spark.stop()
 
     // JIT warmup pass (discarded), then INTERLEAVED rounds over the three
@@ -242,6 +306,21 @@ object Bench {
     }
     val (eff28, n28) = effN(8, 2, 4.0)
     val (eff832, n832) = effN(32, 8, 4.0)
+
+    // With-maintenance ingest (VERDICT r5 Next #2): a COST LINE, not a gate
+    // input — 2 interleaved rounds over the three levels, best-per-level
+    // throughput, same-round ratio median under the same >1.05 cap. The
+    // main pipeline's gate rules are untouched by these numbers.
+    val maintRounds = (1 to 2).map { _ =>
+      levels.map(c => c -> maintRun(c, docsPath)).toMap
+    }
+    val maintBest = levels.map(c => c -> maintRounds.map(_(c)).max).toMap
+    def maintEff(num: Int, den: Int): Double = {
+      val rs = maintRounds.map(r => (r(num) / r(den)) / 4.0).filter(_ <= 1.05)
+      if (rs.nonEmpty) median(rs) else -1.0
+    }
+    val maintJson =
+      f"""{"rows":$nMaintDocs,"thr_local2":${maintBest(2)}%.1f,"thr_local8":${maintBest(8)}%.1f,"thr_local32":${maintBest(32)}%.1f,"eff_N_to_4N":${maintEff(8, 2)}%.3f,"eff_8_to_32":${maintEff(32, 8)}%.3f,"unit":"docs/sec","what":"durable near-dup maintenance ingest (DurableIncrementalDedup via LakeSink, 4 microbatches, fresh lake)"}"""
     // per-round raw throughputs ride along for auditability: the published
     // efficiency must be reconstructible from the measurements it came from
     val roundsJson = perRound.map(r =>
@@ -271,7 +350,7 @@ object Bench {
     // rides in "streaming"; `queries_cold`/`cached_via` make the dedup
     // family's per-query lines individually meaningful
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$coldQs,"cached_via":$viaJson,"failed":$failedJson,"streaming":$stream,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$coldQs,"cached_via":$viaJson,"failed":$failedJson,"streaming":$stream,"maint_stream":$maintJson,"sf":"$sfDir"}"""
     // belt and braces for the driver's parser: the line is both the LAST
     // stdout line (raw — run/outputStrategy strips sbt's [info] prefix) and
     // a file next to the build. The committed contract is the comparison

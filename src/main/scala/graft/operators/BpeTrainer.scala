@@ -149,13 +149,28 @@ object BpeTrainer {
     * fixture + fuzz corpora and counts the Spark jobs saved. */
   def trainBatched(seqs: Dataset[Array[Int]], nMerges: Int,
                    minCount: Long = 2L, batchK: Int = 16): (Seq[Merge], Dataset[Array[Int]]) = {
+    val (m, t, _) = trainBatchedWithRounds(seqs, nMerges, minCount, batchK)
+    (m, t)
+  }
+
+  /** [[trainBatched]] + the DRIVER ROUND count — the scaling evidence a
+    * large-vocab build reports (BpeProfile / BASELINE.md): Spark job count
+    * is proportional to rounds, and rounds collapse toward nMerges/batchK
+    * while distinct pair counts remain (the strict-cutoff batches are
+    * full), degrading to 1-merge rounds only in the all-ties tail of a
+    * small corpus. */
+  def trainBatchedWithRounds(seqs: Dataset[Array[Int]], nMerges: Int,
+                             minCount: Long = 2L, batchK: Int = 16)
+      : (Seq[Merge], Dataset[Array[Int]], Int) = {
     val spark = seqs.sparkSession
     import spark.implicits._
     var current = seqs.persist(StorageLevel.MEMORY_AND_DISK)
     var nextId = seedNextId(current)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
     var done = false
     while (merges.length < nMerges && !done) {
+      rounds += 1
       val want = math.min(batchK, nMerges - merges.length)
       val cand = rankedPairCounts(current)
         .filter(org.apache.spark.sql.functions.col("count") >= minCount)
@@ -190,7 +205,7 @@ object BpeTrainer {
         }
       }
     }
-    (merges.toSeq, current)
+    (merges.toSeq, current, rounds)
   }
 
   /** The tokenizer side: apply a learned merge table to any sequence (e.g.
