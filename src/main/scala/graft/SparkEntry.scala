@@ -56,6 +56,13 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     // invariant oracle: purity + injectivity ⇔ n_distinct_fp == n_texts
     "q_fingerprint" -> ((s, d) => TextOps.fingerprintCheck(s, d)),
+    // r6 retrieval family: BM25 query scoring (the dedup-against-eval /
+    // topical-slice primitive) and MOSS-style winnowing fingerprints (the
+    // LOCAL overlap index set-based MinHash/SimHash cannot provide)
+    "q_bm25_topk" -> ((s, d) => graft.operators.SearchOps.bm25TopK(s, d)),
+    "q_winnow" -> ((s, d) => graft.operators.SearchOps.winnowFingerprints(s, d)),
+    // r6 privacy audit: quasi-identifier tuples matched by < k docs
+    "q_k_anon" -> ((s, d) => graft.operators.SearchOps.kAnonAudit(s, d)),
     "q_mm_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     // r4: REAL MP4 box-walk round trip — deterministic containers built and
     // decoded in one narrow pass, closed-form oracle incl. quarantined rows
@@ -494,6 +501,64 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 count(DISTINCT text) AS n_distinct_fp
          FROM documents""",
+    // BM25 recomputed end to end: exact-integer tf/len/df, avgdl as one
+    // division, idf's ln() rounded to 6 BEFORE the product (the only libm
+    // call), same literal constants, same parenthesization, final round(6)
+    "q_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+                      sum(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS tf0,
+                      sum(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS tf1,
+                      sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS tf2,
+                      sum(CASE WHEN w = 'window' THEN 1 ELSE 0 END) AS tf3
+               FROM w GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      sum(len)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE AS avgdl,
+                      sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                      sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                      sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                      sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+               FROM d),
+         sc AS (SELECT doc_id, round(
+                  round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+                    * ((tf0::DOUBLE * 2.2) / (tf0::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE / avgdl)))
+                + round(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+                    * ((tf1::DOUBLE * 2.2) / (tf1::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE / avgdl)))
+                + round(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+                    * ((tf2::DOUBLE * 2.2) / (tf2::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE / avgdl)))
+                + round(ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0), 6)
+                    * ((tf3::DOUBLE * 2.2) / (tf3::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE / avgdl)))
+                , 6) AS bm25
+                FROM d, s)
+         SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // winnowing: the argmin-with-rightmost-tiebreak is one integer min on
+    // key = h32·2^24 + (2^24−1−pos) — md5-prefix hash + integer ops only,
+    // recomputed bit-for-bit; full k-gram + full w-window domains match the
+    // engine's filters by construction
+    "q_winnow" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, k - 1 AS pos,
+                      array_to_string(ws[k:k+2], ' ') AS gram
+               FROM w, unnest(generate_series(1, len(ws) - 2)) t(k)),
+         h AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(gram), 1, 8))::UBIGINT * 16777216
+                        + (16777215 - pos) AS key,
+                      CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+               FROM g),
+         s AS (SELECT doc_id, pos, n_grams,
+                      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+               FROM h)
+         SELECT DISTINCT doc_id,
+                CAST(16777215 - (sel_key % 16777216) AS BIGINT) AS pos,
+                CAST(sel_key // 16777216 AS BIGINT) AS fp
+         FROM s WHERE pos <= n_grams - 4""",
+    "q_k_anon" ->
+      """SELECT source, lang, n_chars // 200 AS len_bucket,
+                CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 4""",
     // DuckDB recomputes the full 63-bit md5 SimHash signature and the exact
     // hamming pairs — an end-to-end independent check of the banded path
     // (banding is complete for hamming ≤ 3 by pigeonhole over 4 bands)
@@ -1219,7 +1284,24 @@ object SparkEntry {
                 md5(payload) AS payload_md5,
                 CASE WHEN track_id = 2 OR doc_id % 11 = 0 THEN TRUE
                      ELSE sample_idx % (doc_id % 4 + 2) = 0
-                END AS is_sync
+                END AS is_sync,
+                CASE WHEN track_id = 1
+                     THEN sample_idx * (doc_id % 5 + 1) * 100
+                     ELSE CASE WHEN sample_idx < (doc_id % 7 + 2) // 2
+                               THEN sample_idx * (doc_id % 5 + 1) * 100
+                               ELSE ((doc_id % 7 + 2) // 2) * (doc_id % 5 + 1) * 100
+                                    + (sample_idx - (doc_id % 7 + 2) // 2)
+                                      * 2 * (doc_id % 5 + 1) * 100 END
+                END AS dts,
+                CASE WHEN track_id = 1
+                     THEN sample_idx * (doc_id % 5 + 1) * 100
+                          + ((sample_idx // 4) % 3) * 10
+                     ELSE CASE WHEN sample_idx < (doc_id % 7 + 2) // 2
+                               THEN sample_idx * (doc_id % 5 + 1) * 100
+                               ELSE ((doc_id % 7 + 2) // 2) * (doc_id % 5 + 1) * 100
+                                    + (sample_idx - (doc_id % 7 + 2) // 2)
+                                      * 2 * (doc_id % 5 + 1) * 100 END
+                END AS cts
          FROM p""",
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $dupPairsCte,

@@ -294,9 +294,12 @@ object MediaOps {
 
   // ---- MP4 sample-byte extraction (stsz + stsc + stco/co64, codec-free) --
 
+  /** `dts`/`cts` (r6): decode and composition timestamps in track
+    * timescale ticks from the stts/ctts tables — -1 when the track carries
+    * no stts (timing unknown; the byte walk is still valid). */
   final case class Mp4Sample(
       doc_id: Long, track_id: Int, sample_idx: Int, offset: Long, size: Long,
-      payload_md5: String, is_sync: Boolean)
+      payload_md5: String, is_sync: Boolean, dts: Long, cts: Long)
 
   private def md5Hex(b: Array[Byte], off: Long, len: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -351,6 +354,8 @@ object MediaOps {
           var chunkOffs: Array[Long] = null
           var syncTable: Array[Long] = null // 1-based sample numbers, ascending
           var hasStss = false
+          var sttsRuns: Array[(Long, Long)] = null // (sample_count, delta ticks)
+          var cttsRuns: Array[(Long, Long)] = null // (sample_count, cts-dts offset)
           var corrupt = false
           walkBoxes(bytes, p2s, p2e) { (t3, p3s, p3e) =>
             if (t3 == "mdia") walkBoxes(bytes, p3s, p3e) { (t4, p4s, p4e) =>
@@ -395,6 +400,37 @@ object MediaOps {
                       if (cnt < 0 || p6s + 8 + cnt * 8 > p6e) corrupt = true
                       else chunkOffs = Array.tabulate(cnt.toInt)(i =>
                         be64(bytes, (p6s + 8 + i * 8L).toInt))
+                    case "stts" if p6s + 8 <= p6e =>
+                      // ver+flags(4) entry_count(4) count×(sample_count(4),
+                      // sample_delta(4)): decode-time deltas in timescale
+                      // ticks; a run with zero samples makes no progress
+                      val cnt = be32(bytes, p6s.toInt + 4)
+                      if (cnt < 0 || cnt > (1L << 22) ||
+                          p6s + 8 + cnt * 8 > p6e) corrupt = true
+                      else {
+                        sttsRuns = Array.tabulate(cnt.toInt) { i =>
+                          val base = (p6s + 8 + i * 8L).toInt
+                          (be32(bytes, base), be32(bytes, base + 4))
+                        }
+                        if (sttsRuns.exists(_._1 <= 0)) corrupt = true
+                      }
+                    case "ctts" if p6s + 8 <= p6e =>
+                      // composition offsets (cts = dts + offset); version 1
+                      // offsets are SIGNED (B-frame reordering shifts both
+                      // ways), version 0 unsigned — both read into Long
+                      val ver = bytes(p6s.toInt) & 0xFF
+                      val cnt = be32(bytes, p6s.toInt + 4)
+                      if (cnt < 0 || cnt > (1L << 22) ||
+                          p6s + 8 + cnt * 8 > p6e) corrupt = true
+                      else {
+                        cttsRuns = Array.tabulate(cnt.toInt) { i =>
+                          val base = (p6s + 8 + i * 8L).toInt
+                          val raw = be32(bytes, base + 4)
+                          (be32(bytes, base),
+                            if (ver == 1) raw.toInt.toLong else raw)
+                        }
+                        if (cttsRuns.exists(_._1 <= 0)) corrupt = true
+                      }
                     case "stss" if p6s + 8 <= p6e =>
                       // ver+flags(4) entry_count(4) count×sample_number(4);
                       // entries are 1-based and must be strictly ascending
@@ -423,12 +459,28 @@ object MediaOps {
           // only once stsz is in hand
           if (hasStss && sizes != null && syncTable.nonEmpty &&
               syncTable.last > sizes.length) corrupt = true
+          // timing-table coverage (checkable once stsz is in hand): stts
+          // must time every sample (surplus trailing runs tolerated — real
+          // muxers pad); ctts rides on stts, so a ctts without one, or one
+          // that covers fewer samples than stsz declares, is a malformed
+          // stbl → quarantine, same as any other table corruption
+          if (sizes != null) {
+            if (sttsRuns != null &&
+                sttsRuns.iterator.map(_._1).sum < sizes.length) corrupt = true
+            if (cttsRuns != null && (sttsRuns == null ||
+                cttsRuns.iterator.map(_._1).sum < sizes.length)) corrupt = true
+          }
           if (!corrupt && sizes != null && runs != null && chunkOffs != null) {
             val rows = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
             var si = 0
             var ci = 0
             var ri = 0
             var syncPtr = 0 // ascending walk in lockstep with si — O(1) amortized
+            // timing pointers — same lockstep discipline as syncPtr: the
+            // emission loop visits si strictly ascending, so each run table
+            // is walked once, O(1) amortized per sample
+            var sttsPtr = 0; var sttsUsed = 0L; var curDts = 0L
+            var cttsPtr = 0; var cttsUsed = 0L
             var ok = true
             while (ok && ci < chunkOffs.length && si < sizes.length) {
               while (ri + 1 < runs.length && runs(ri + 1)._1 <= ci + 1) ri += 1
@@ -447,9 +499,27 @@ object MediaOps {
                            syncTable(syncPtr) < si + 1) syncPtr += 1
                     syncPtr < syncTable.length && syncTable(syncPtr) == si + 1
                   }
+                  var dts = -1L
+                  var cts = -1L
+                  if (sttsRuns != null) {
+                    // run pre-check: exhausted run → next (coverage ≥
+                    // sample_count and per-run count ≥ 1 are already gated)
+                    if (sttsUsed >= sttsRuns(sttsPtr)._1 &&
+                        sttsPtr + 1 < sttsRuns.length) { sttsPtr += 1; sttsUsed = 0L }
+                    dts = curDts
+                    cts = dts
+                    curDts += sttsRuns(sttsPtr)._2
+                    sttsUsed += 1
+                    if (cttsRuns != null) {
+                      if (cttsUsed >= cttsRuns(cttsPtr)._1 &&
+                          cttsPtr + 1 < cttsRuns.length) { cttsPtr += 1; cttsUsed = 0L }
+                      cts = dts + cttsRuns(cttsPtr)._2
+                      cttsUsed += 1
+                    }
+                  }
                   if (keep(track, si, isSync))
                     rows += Mp4Sample(id, track, si, off, sz,
-                      md5Hex(bytes, off, sz), isSync)
+                      md5Hex(bytes, off, sz), isSync, dts, cts)
                   off += sz; si += 1; within += 1
                 }
               }
@@ -554,10 +624,29 @@ object MediaOps {
       val entries = (0 until nSamples by syncPeriod).map(i => (i + 1).toLong)
       i32(0) ++ i32(entries.length) ++ entries.toArray.flatMap(i32)
     }
+    // r6 timing tables, closed-form in id: tick delta d = (id%5+1)*100.
+    // Track 1: one stts run → dts_i = i·d, plus a ctts whose offset is
+    // ((i div 4) mod 3)·10 (runs of 4, ragged tail) → cts_i = dts_i + that.
+    // Track 2: TWO stts runs (first half d, second half 2d — exercises the
+    // run walk) and no ctts → cts = dts.
+    val tickD = (id % 5 + 1) * 100L
+    def sttsBox(runs: Seq[(Int, Long)]): Array[Byte] =
+      mkBox("stts", i32(0) ++ i32(runs.length) ++
+        runs.toArray.flatMap { case (c, d) => i32(c) ++ i32(d) })
+    def cttsFor(nSamples: Int): Array[Byte] = {
+      val runs = (0 until (nSamples + 3) / 4).map { g =>
+        (math.min(4, nSamples - 4 * g), (g % 3) * 10L)
+      }
+      i32(0) ++ i32(runs.length) ++
+        runs.toArray.flatMap { case (c, o) => i32(c) ++ i32(o) }
+    }
     def trak(tk: Array[Byte], ss: Seq[Array[Byte]], offs: Seq[Long],
-             withStss: Boolean): Array[Byte] = {
+             withStss: Boolean, stts: Seq[(Int, Long)],
+             withCtts: Boolean): Array[Byte] = {
       val tables = Array(
-        mkBox("stsz", stszFor(ss)), mkBox("stsc", stscFor(ss.length))) ++
+        mkBox("stsz", stszFor(ss)), mkBox("stsc", stscFor(ss.length)),
+        sttsBox(stts)) ++
+        (if (withCtts) Array(mkBox("ctts", cttsFor(ss.length))) else Array.empty[Array[Byte]]) ++
         (if (withStss) Array(mkBox("stss", stssFor(ss.length))) else Array.empty[Array[Byte]]) :+
         offsBox(offs)
       mkBox("trak", mkBox("tkhd", tk),
@@ -568,9 +657,13 @@ object MediaOps {
     val c1 = chunkSizes(s1)
     val c2 = chunkSizes(s2)
     def moov(off1: Seq[Long], off2: Seq[Long]): Array[Byte] = {
-      val t1 = trak(tkhd(1, w, h), s1, off1, withStss = id % 11 != 0)
+      val t1 = trak(tkhd(1, w, h), s1, off1, withStss = id % 11 != 0,
+        stts = Seq(s1.length -> tickD), withCtts = true)
+      val h2 = s2.length / 2
       val tracks = if (hasT2) t1 ++ trak(tkhd(2, 0, 0), s2, off2,
-        withStss = false) else t1
+        withStss = false,
+        stts = Seq(h2 -> tickD, (s2.length - h2) -> (2 * tickD)),
+        withCtts = false) else t1
       mkBox("moov", mkBox("mvhd", mvhd(1000, (id % 120 + 1) * 500L)), tracks)
     }
     val moovLen = moov(c1.map(_ => 0L), c2.map(_ => 0L)).length
@@ -610,7 +703,7 @@ object MediaOps {
       .flatMap(id => extractMp4Samples(id, synthMp4(id)))
       .toDF()
       .select("doc_id", "track_id", "sample_idx", "size", "payload_md5",
-        "is_sync")
+        "is_sync", "dts", "cts")
   }
 
   /** `q_frame_dedup`: frame-level EXACT dedup across documents — the audit

@@ -643,4 +643,79 @@ class MediaOpsSpec extends SparkSuite {
       assert(MediaOps.extractMp4Samples(5L, f).isEmpty, what)
     }
   }
+
+  test("stts/ctts timing decode: closed-form dts/cts, multi-run walk, adversarial quarantine") {
+    // synth closed form — track 1: dts = i·d, cts = dts + ((i/4)%3)·10;
+    // track 2 (two stts runs): dts = i<h ? i·d : h·d + (i−h)·2d, cts = dts
+    (0L until 120L).foreach { id =>
+      val ss = MediaOps.extractMp4Samples(id, MediaOps.synthMp4(id))
+      val d = (id % 5 + 1) * 100L
+      val h = (if (id % 3 == 0) (id % 7 + 2).toInt else 0) / 2
+      ss.foreach { s =>
+        if (s.track_id == 1) {
+          assert(s.dts === s.sample_idx * d, s"id $id idx ${s.sample_idx} dts")
+          assert(s.cts === s.sample_idx * d + ((s.sample_idx / 4) % 3) * 10,
+            s"id $id idx ${s.sample_idx} cts")
+        } else {
+          val want = if (s.sample_idx < h) s.sample_idx * d
+                     else h * d + (s.sample_idx - h) * 2 * d
+          assert(s.dts === want && s.cts === want,
+            s"id $id t2 idx ${s.sample_idx}")
+        }
+      }
+    }
+
+    def stszSized(sizes: Seq[Int]): Array[Byte] =
+      box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
+        sizes.toArray.flatMap(s => be32a(s.toLong)))
+    def stsc1(n: Int): Array[Byte] =
+      box("stsc", be32a(0) ++ be32a(1L) ++ be32a(1L) ++ be32a(n.toLong) ++ be32a(1L))
+    def stco(offs: Long*): Array[Byte] =
+      box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
+        offs.toArray.flatMap(be32a))
+    def stts(runs: (Long, Long)*): Array[Byte] =
+      box("stts", be32a(0) ++ be32a(runs.length.toLong) ++
+        runs.toArray.flatMap { case (c, dl) => be32a(c) ++ be32a(dl) })
+    def cttsV(ver: Int, runs: (Long, Long)*): Array[Byte] =
+      box("ctts", Array[Byte](ver.toByte, 0, 0, 0) ++ be32a(runs.length.toLong) ++
+        runs.toArray.flatMap { case (c, o) =>
+          be32a(c) ++ be32a(o & 0xFFFFFFFFL) })
+    val data = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII")
+    val pre = ftyp ++ box("mdat", data)
+    val ps = ftyp.length.toLong + 8L
+    def mk(extra: Array[Byte]*): Array[Byte] =
+      pre ++ box("moov", box("mvhd", mvhd(1000, 1000)) ++
+        trak(tkhd(1, 8, 8),
+          (Seq(stszSized(Seq(8, 8, 8)), stsc1(3)) ++ extra :+ stco(ps)): _*))
+
+    // absent stts → timing unknown sentinel, samples still extracted
+    val noTs = MediaOps.extractMp4Samples(1L, mk())
+    assert(noTs.length === 3 && noTs.forall(s => s.dts == -1L && s.cts == -1L))
+    // v1 ctts: SIGNED offsets shift cts both ways
+    val v1 = MediaOps.extractMp4Samples(1L, mk(stts(3L -> 100L),
+      cttsV(1, 1L -> 50L, 1L -> -50L, 1L -> 0L)))
+    assert(v1.map(s => (s.dts, s.cts)) ===
+      Seq((0L, 50L), (100L, 50L), (200L, 200L)))
+    // v0 ctts: the same bit pattern reads UNSIGNED
+    val v0 = MediaOps.extractMp4Samples(1L, mk(stts(3L -> 100L),
+      cttsV(0, 3L -> -50L)))
+    assert(v0.map(_.cts) === Seq(0xFFFFFFFFL - 49, 100L + 0xFFFFFFFFL - 49,
+      200L + 0xFFFFFFFFL - 49))
+    // surplus stts runs beyond sample_count are tolerated (muxer padding)
+    val surplus = MediaOps.extractMp4Samples(1L, mk(stts(3L -> 100L, 7L -> 1L)))
+    assert(surplus.map(_.dts) === Seq(0L, 100L, 200L))
+    // adversarial timing tables quarantine the track
+    val badT = Seq(
+      "stts coverage short" -> mk(stts(2L -> 100L)),
+      "stts zero-count run" -> mk(stts(0L -> 100L, 3L -> 100L)),
+      "stts truncated table" -> mk(box("stts", be32a(0) ++ be32a(99L))),
+      "stts alloc bomb" -> mk(box("stts", be32a(0) ++ be32a(1L << 30))),
+      "ctts without stts" -> mk(cttsV(0, 3L -> 10L)),
+      "ctts coverage short" -> mk(stts(3L -> 100L), cttsV(0, 2L -> 10L)),
+      "ctts zero-count run" -> mk(stts(3L -> 100L),
+        cttsV(0, 0L -> 10L, 3L -> 10L)))
+    badT.foreach { case (what, f) =>
+      assert(MediaOps.extractMp4Samples(6L, f).isEmpty, what)
+    }
+  }
 }
