@@ -308,16 +308,27 @@ object Bench {
     val (eff832, n832) = effN(32, 8, 4.0)
 
     // With-maintenance ingest (VERDICT r5 Next #2): a COST LINE, not a gate
-    // input — 2 interleaved rounds over the three levels, best-per-level
+    // input — interleaved rounds over the three levels, best-per-level
     // throughput, same-round ratio median under the same >1.05 cap. The
-    // main pipeline's gate rules are untouched by these numbers.
-    val maintRounds = (1 to 2).map { _ =>
+    // main pipeline's gate rules are untouched by these numbers. The
+    // bench's own honesty rules DO apply: a discarded warmup first (the
+    // statement-pipeline warmup above never touched the
+    // DurableIncrementalDedup/LakeSink code paths, so round 1 would
+    // otherwise pay their JIT and inflate its 2→8 ratio), and a ratio
+    // median needs ≥2 surviving samples — one extra round if the cap ate
+    // one, the -1 sentinel rather than a single-sample "median" otherwise.
+    maintRun(32, docsPath)
+    val maintRounds = scala.collection.mutable.ArrayBuffer.tabulate(2) { _ =>
       levels.map(c => c -> maintRun(c, docsPath)).toMap
     }
+    def maintRatios(num: Int, den: Int): Seq[Double] =
+      maintRounds.toSeq.map(r => (r(num) / r(den)) / 4.0).filter(_ <= 1.05)
+    if (maintRatios(8, 2).size < 2 || maintRatios(32, 8).size < 2)
+      maintRounds += levels.map(c => c -> maintRun(c, docsPath)).toMap
     val maintBest = levels.map(c => c -> maintRounds.map(_(c)).max).toMap
     def maintEff(num: Int, den: Int): Double = {
-      val rs = maintRounds.map(r => (r(num) / r(den)) / 4.0).filter(_ <= 1.05)
-      if (rs.nonEmpty) median(rs) else -1.0
+      val rs = maintRatios(num, den)
+      if (rs.size >= 2) median(rs) else -1.0
     }
     val maintJson =
       f"""{"rows":$nMaintDocs,"thr_local2":${maintBest(2)}%.1f,"thr_local8":${maintBest(8)}%.1f,"thr_local32":${maintBest(32)}%.1f,"eff_N_to_4N":${maintEff(8, 2)}%.3f,"eff_8_to_32":${maintEff(32, 8)}%.3f,"unit":"docs/sec","what":"durable near-dup maintenance ingest (DurableIncrementalDedup via LakeSink, 4 microbatches, fresh lake)"}"""

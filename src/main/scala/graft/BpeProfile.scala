@@ -46,6 +46,9 @@ object BpeProfile {
     val (merges, trained, rounds) =
       BpeTrainer.trainBatchedWithRounds(seqs, nMerges, minCount = minCount, batchK = batchK)
     val trainSec = (System.nanoTime() - t0) / 1e9
+    // JobEnd delivery is async — drain the bus or the jobs/round evidence
+    // (the very claim this profiler records) undercounts under load
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
     val trainJobs = jobs.get() - jobs0
     trained.unpersist(blocking = false)
     println(f"TRAIN merges=${merges.length} batchK=$batchK minCount=$minCount rounds=$rounds jobs=$trainJobs wall=$trainSec%.1f s jobs/round=${trainJobs.toDouble / rounds}%.2f jobs/merge=${trainJobs.toDouble / merges.length}%.2f")

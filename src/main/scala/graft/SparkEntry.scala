@@ -21,6 +21,18 @@ object SparkEntry {
     Pipeline.run(Synth.inputTable(spark, 5000))
   }
 
+  /** Recursive delete for per-invocation scratch state (deepest-first walk;
+    * missing paths tolerated — a half-written tree still gets reclaimed). */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- LRS query surface (SURVEY.md §2.2/§2.3) on the events proxy ----
     "q_lrs_get_window" -> ((s, d) => EventOps.getWindow(s, d)),
@@ -201,11 +213,16 @@ object SparkEntry {
     // state table flowing through LakeSink manifests (the path a 100-TB
     // deployment actually runs; VERDICT r5 Next #1). Fresh lake per
     // invocation so bench rounds measure full maintenance, never a
-    // completed-marker no-op replay.
-    "q_dup_clusters_durable" ->
-      ((s, d) => graft.streaming.IncrementalDedup.replayClustersDurable(s, d,
-        java.nio.file.Files.createTempDirectory("graft-durdedup")
-          .toString)),
+    // completed-marker no-op replay; the labels are materialized off the
+    // lake (eager localCheckpoint) and the temp lake reclaimed before
+    // returning — repeated verify/bench invocations must not accumulate
+    // corpus-scale shingle/band state under /tmp.
+    "q_dup_clusters_durable" -> ((s, d) => {
+      val lake = java.nio.file.Files.createTempDirectory("graft-durdedup")
+      try graft.streaming.IncrementalDedup
+        .replayClustersDurable(s, d, lake.toString).localCheckpoint(true)
+      finally deleteTree(lake) // also on failure — a bad input dir must not leak the scratch lake
+    }),
     "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
     // capstone: quality filter → near-dup survivor dedup → stratified
     // sample → packed training chunks, one composed pipeline

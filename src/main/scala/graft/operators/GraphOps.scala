@@ -80,6 +80,8 @@ object GraphOps {
     // divergence. Fail loudly instead of diverging quietly (r5 ADVICE).
     val stats = nodes.agg(count("*"), min("doc_id"), max("doc_id")).head()
     val n = stats.getLong(0)
+    if (n == 0L) // min/max are null on zero rows — empty in, empty out
+      return nodes.select(col("doc_id"), col("doc_id").as("pagerank_fp"))
     require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
       s"pageRankQuery requires contiguous doc_id [0, n): saw " +
         s"min=${stats.getLong(1)} max=${stats.getLong(2)} n=$n")

@@ -449,6 +449,16 @@ object MediaOps {
                               case _ => false
                             }) corrupt = true
                       }
+                    case "stsz" | "stsc" | "stco" | "co64" | "stts" |
+                         "ctts" | "stss" =>
+                      // reached only when the size guard above failed: the
+                      // payload can't even hold the table header. An
+                      // unreadable table is table corruption, not an absent
+                      // table — treating a truncated stss as "no stss"
+                      // would flip every sample to is_sync=true, and a
+                      // truncated stts/ctts would emit dts/cts=-1 instead
+                      // of quarantining like every other malformed table
+                      corrupt = true
                     case _ => ()
                   }
                 }

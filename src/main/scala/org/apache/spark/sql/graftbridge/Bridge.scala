@@ -33,6 +33,14 @@ object Bridge {
       case _ => ()
     }
 
+  /** Drain the async listener bus. Job-count evidence sampled from a
+    * `SparkListener` counter immediately after an action can miss JobEnd
+    * events still in flight (delivery is asynchronous) — profilers must
+    * drain before reading. `SparkContext.listenerBus` is `private[spark]`,
+    * hence the re-export from inside the package tree. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Never-throwing variant for cleanup paths (iterative operators,
     * streaming state maintenance) — a failed release is a leak, not an
     * error worth failing the job for. */

@@ -44,6 +44,17 @@ class GraphOpsSpec extends SparkSuite {
     assert(got.keySet === ids.toSet)
   }
 
+  test("pageRankQuery: empty documents table → empty result, not an NPE") {
+    // the contiguity require reads min/max from a 1-row agg — on zero rows
+    // those are null, so the guard must short-circuit before getLong
+    val dir = java.nio.file.Files.createTempDirectory("graft-prq").toString
+    spark.range(0).select(col("id").as("doc_id"), col("id").cast("string").as("text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = GraphOps.pageRankQuery(spark, dir)
+    assert(out.columns.toSeq === Seq("doc_id", "pagerank_fp"))
+    assert(out.count() === 0L)
+  }
+
   test("iterative plan stays flat: 10 iterations don't nest the logical plan") {
     val nodes = (0L until 50L).toDF("doc_id")
     val e = (0L until 50L).map(i => (i, (i + 1) % 50)).toDF("src", "dst")

@@ -318,6 +318,22 @@ class MediaOpsSpec extends SparkSuite {
     box("trak", box("tkhd", tk),
       box("mdia", box("minf", box("stbl", stblBoxes.flatten.toArray))))
 
+  // shared scaffolding for the adversarial stbl-table tests: per-sample-size
+  // stsz, single-run stsc, 32-bit chunk offsets, and an mdat-FIRST layout
+  // (spec-legal order) so absolute offsets are knowable up front — the
+  // payload starts at ftyp.length + 8
+  private def stszSized(sizes: Seq[Int]): Array[Byte] =
+    box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
+      sizes.toArray.flatMap(s => be32a(s.toLong)))
+  private def stsc1(n: Int): Array[Byte] =
+    box("stsc", be32a(0) ++ be32a(1L) ++ be32a(1L) ++ be32a(n.toLong) ++ be32a(1L))
+  private def stco(offs: Long*): Array[Byte] =
+    box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
+      offs.toArray.flatMap(be32a))
+  private val mdatData = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII") // 3 × 8 B
+  private def mdatPre: Array[Byte] = ftyp ++ box("mdat", mdatData)
+  private def mdatPs: Long = ftyp.length.toLong + 8L
+
   test("MP4: moov box walk decodes duration, tracks, samples, dimensions") {
     val file = ftyp ++ box("moov",
       box("mvhd", mvhd(timescale = 1000, duration = 5000)),
@@ -475,27 +491,19 @@ class MediaOpsSpec extends SparkSuite {
   }
 
   test("MP4 sample extraction: uniform stsz, mdat-first layout, adversarial quarantine per track") {
-    def stszSized(sizes: Seq[Int]): Array[Byte] =
-      box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
-        sizes.toArray.flatMap(s => be32a(s.toLong)))
     def stszUniform(size: Int, n: Int): Array[Byte] =
       box("stsz", be32a(0) ++ be32a(size.toLong) ++ be32a(n.toLong))
     def stsc(runs: (Int, Int)*): Array[Byte] =
       box("stsc", be32a(0) ++ be32a(runs.length.toLong) ++
         runs.toArray.flatMap { case (f, s) =>
           be32a(f.toLong) ++ be32a(s.toLong) ++ be32a(1L) })
-    def stco(offs: Long*): Array[Byte] =
-      box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
-        offs.toArray.flatMap(be32a))
     def co64(offs: Long*): Array[Byte] =
       box("co64", be32a(0) ++ be32a(offs.length.toLong) ++
         offs.toArray.flatMap(be64a))
 
-    // mdat BEFORE moov (spec-legal order) so absolute offsets are knowable
-    // up front: payload starts at ftyp.length + 8
-    val data = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII") // 3 x 8 bytes
-    val pre = ftyp ++ box("mdat", data)
-    val ps = ftyp.length.toLong + 8L
+    val data = mdatData
+    val pre = mdatPre
+    val ps = mdatPs
     def mk(traks: Array[Byte]*): Array[Byte] =
       pre ++ box("moov", box("mvhd", mvhd(1000, 1000)) ++ traks.flatten.toArray)
 
@@ -606,20 +614,11 @@ class MediaOpsSpec extends SparkSuite {
     }
 
     // hand-built adversarial stss tables must quarantine the track
-    def stszSized(sizes: Seq[Int]): Array[Byte] =
-      box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
-        sizes.toArray.flatMap(s => be32a(s.toLong)))
-    def stsc1(n: Int): Array[Byte] =
-      box("stsc", be32a(0) ++ be32a(1L) ++ be32a(1L) ++ be32a(n.toLong) ++ be32a(1L))
-    def stco(offs: Long*): Array[Byte] =
-      box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
-        offs.toArray.flatMap(be32a))
     def stss(nums: Long*): Array[Byte] =
       box("stss", be32a(0) ++ be32a(nums.length.toLong) ++
         nums.toArray.flatMap(be32a))
-    val data = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII")
-    val pre = ftyp ++ box("mdat", data)
-    val ps = ftyp.length.toLong + 8L
+    val pre = mdatPre
+    val ps = mdatPs
     def mk(stssBox: Array[Byte]): Array[Byte] =
       pre ++ box("moov", box("mvhd", mvhd(1000, 1000)) ++
         trak(tkhd(1, 8, 8), stszSized(Seq(8, 8, 8)), stsc1(3), stssBox,
@@ -638,6 +637,9 @@ class MediaOpsSpec extends SparkSuite {
       "entry 0 (1-based table)" -> mk(stss(0L, 2L)),
       "entry beyond sample_count" -> mk(stss(1L, 4L)),
       "truncated table" -> mk(box("stss", be32a(0) ++ be32a(99L))),
+      // header itself unreadable (payload < 8 B): must quarantine, NOT be
+      // treated as "no stss" (which would flip every sample to sync)
+      "undersized header" -> mk(box("stss", be32a(0))),
       "alloc bomb count" -> mk(box("stss", be32a(0) ++ be32a(1L << 30))))
     bad.foreach { case (what, f) =>
       assert(MediaOps.extractMp4Samples(5L, f).isEmpty, what)
@@ -665,14 +667,6 @@ class MediaOpsSpec extends SparkSuite {
       }
     }
 
-    def stszSized(sizes: Seq[Int]): Array[Byte] =
-      box("stsz", be32a(0) ++ be32a(0) ++ be32a(sizes.length.toLong) ++
-        sizes.toArray.flatMap(s => be32a(s.toLong)))
-    def stsc1(n: Int): Array[Byte] =
-      box("stsc", be32a(0) ++ be32a(1L) ++ be32a(1L) ++ be32a(n.toLong) ++ be32a(1L))
-    def stco(offs: Long*): Array[Byte] =
-      box("stco", be32a(0) ++ be32a(offs.length.toLong) ++
-        offs.toArray.flatMap(be32a))
     def stts(runs: (Long, Long)*): Array[Byte] =
       box("stts", be32a(0) ++ be32a(runs.length.toLong) ++
         runs.toArray.flatMap { case (c, dl) => be32a(c) ++ be32a(dl) })
@@ -680,9 +674,8 @@ class MediaOpsSpec extends SparkSuite {
       box("ctts", Array[Byte](ver.toByte, 0, 0, 0) ++ be32a(runs.length.toLong) ++
         runs.toArray.flatMap { case (c, o) =>
           be32a(c) ++ be32a(o & 0xFFFFFFFFL) })
-    val data = "abcdefghijklmnopqrstuvwx".getBytes("US-ASCII")
-    val pre = ftyp ++ box("mdat", data)
-    val ps = ftyp.length.toLong + 8L
+    val pre = mdatPre
+    val ps = mdatPs
     def mk(extra: Array[Byte]*): Array[Byte] =
       pre ++ box("moov", box("mvhd", mvhd(1000, 1000)) ++
         trak(tkhd(1, 8, 8),
@@ -709,6 +702,9 @@ class MediaOpsSpec extends SparkSuite {
       "stts coverage short" -> mk(stts(2L -> 100L)),
       "stts zero-count run" -> mk(stts(0L -> 100L, 3L -> 100L)),
       "stts truncated table" -> mk(box("stts", be32a(0) ++ be32a(99L))),
+      // unreadable headers quarantine — "ignored" would emit dts/cts=-1
+      "stts undersized header" -> mk(box("stts", be32a(0))),
+      "ctts undersized header" -> mk(stts(3L -> 100L), box("ctts", be32a(0))),
       "stts alloc bomb" -> mk(box("stts", be32a(0) ++ be32a(1L << 30))),
       "ctts without stts" -> mk(cttsV(0, 3L -> 10L)),
       "ctts coverage short" -> mk(stts(3L -> 100L), cttsV(0, 2L -> 10L)),
