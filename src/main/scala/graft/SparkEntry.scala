@@ -23,15 +23,8 @@ object SparkEntry {
 
   /** Recursive delete for per-invocation scratch state (deepest-first walk;
     * missing paths tolerated — a half-written tree still gets reclaimed). */
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    graft.operators.LayoutOps.deleteTree(root)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- LRS query surface (SURVEY.md §2.2/§2.3) on the events proxy ----
@@ -75,6 +68,12 @@ object SparkEntry {
     "q_winnow" -> ((s, d) => graft.operators.SearchOps.winnowFingerprints(s, d)),
     // r6 privacy audit: quasi-identifier tuples matched by < k docs
     "q_k_anon" -> ((s, d) => graft.operators.SearchOps.kAnonAudit(s, d)),
+    // r6 layout family: Morton-key kernel proof + end-to-end zone-map file
+    // pruning (Z-order write → pruned read → exact integer aggregates; the
+    // spec proves files were actually skipped, the oracle proves nothing
+    // was lost)
+    "q_zorder_key" -> ((s, d) => graft.operators.LayoutOps.zorderKeyQuery(s, d)),
+    "q_zorder_prune" -> ((s, d) => graft.operators.LayoutOps.zorderPruneQuery(s, d)),
     "q_mm_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     // r4: REAL MP4 box-walk round trip — deterministic containers built and
     // decoded in one narrow pass, closed-form oracle incl. quarantined rows
@@ -576,6 +575,51 @@ object SparkEntry {
       """SELECT source, lang, n_chars // 200 AS len_bucket,
                 CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 4""",
+    // DuckDB recomputes the Morton keys with the same unrolled shift-or-mask
+    // ladder and truncating integer scaling (operands non-negative, so
+    // DuckDB's floor `//` ≡ Spark's trunc `div`) — bit-for-bit kernel proof
+    "q_zorder_key" ->
+      """WITH b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                           min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+                    FROM events),
+         s AS (SELECT event_id,
+                      CASE WHEN uhi = ulo THEN 0
+                           ELSE ((user_id - ulo) * 65535) // (uhi - ulo) END AS za,
+                      CASE WHEN thi = tlo THEN 0
+                           ELSE ((epoch_us(ts) - tlo) * 65535) // (thi - tlo) END AS zb
+               FROM events, b WHERE event_id % 101 = 0),
+         t1 AS (SELECT event_id, za, zb,
+                       ((za | (za << 8)) & 16711935) AS xa,
+                       ((zb | (zb << 8)) & 16711935) AS xb FROM s),
+         t2 AS (SELECT event_id, za, zb,
+                       ((xa | (xa << 4)) & 252645135) AS xa,
+                       ((xb | (xb << 4)) & 252645135) AS xb FROM t1),
+         t3 AS (SELECT event_id, za, zb,
+                       ((xa | (xa << 2)) & 858993459) AS xa,
+                       ((xb | (xb << 2)) & 858993459) AS xb FROM t2),
+         t4 AS (SELECT event_id, za, zb,
+                       ((xa | (xa << 1)) & 1431655765) AS xa,
+                       ((xb | (xb << 1)) & 1431655765) AS xb FROM t3)
+         SELECT event_id, za, zb, (xa | (xb << 1)) AS zkey FROM t4""",
+    // the oracle filters the RAW events table with the same box (edges from
+    // the same truncating arithmetic over global min/max) — hash equality
+    // proves the zone-map pruned read lost no rows; integer aggregates only
+    // (no double sums → no association-order drift)
+    "q_zorder_prune" ->
+      """WITH b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                           min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+                    FROM events),
+         box AS (SELECT ulo + (uhi - ulo) // 4 AS u_lo,
+                        ulo + ((uhi - ulo) * 2) // 5 AS u_hi,
+                        tlo + (thi - tlo) // 3 AS t_lo,
+                        tlo + ((thi - tlo) * 3) // 5 AS t_hi FROM b)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_eid,
+                min(event_id) AS min_eid, max(event_id) AS max_eid
+         FROM events, box
+         WHERE user_id BETWEEN u_lo AND u_hi
+           AND epoch_us(ts) BETWEEN t_lo AND t_hi
+         GROUP BY event_type""",
     // DuckDB recomputes the full 63-bit md5 SimHash signature and the exact
     // hamming pairs — an end-to-end independent check of the banded path
     // (banding is complete for hamming ≤ 3 by pigeonhole over 4 bands)

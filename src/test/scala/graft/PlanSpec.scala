@@ -110,6 +110,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("zorder key is one pruned codegen scan-projection — no shuffle, no fallback") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = graft.operators.LayoutOps.zorderKeyQuery(spark, sf("sf0.001"))
+      assert(df.count() > 0) // throws if the shift-or-mask ladder falls back
+      val plan = planOf(df)
+      assert(!plan.contains("Exchange"), s"zkey projection shuffles:\n$plan")
+      // column pruning must reach the scan: the kernel touches only
+      // (event_id, user_id, ts) — a scan hauling value/props/event_type
+      // reads 2-3× the bytes for nothing at 100 TB
+      val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!read.contains("props") && !read.contains("value"),
+        s"zkey scan reads unused columns:\n$read")
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("pii redaction is one narrow codegen projection — no shuffle, no fallback") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
