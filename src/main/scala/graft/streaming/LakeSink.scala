@@ -119,9 +119,21 @@ class LakeSink(val path: String) extends Serializable {
   def addBatch(batchId: Long, df: DataFrame): Boolean =
     addBatchTracked(batchId, df, None, None)
 
+  /** As [[addBatch]], also recording per-commit (min, max) ZONE STATS for
+    * the given integral columns in the manifest entry — the Iceberg
+    * column-stats analogue generalizing the event-time range: readers with
+    * a null-rejecting range predicate skip whole committed segments via
+    * [[readPruned]] without opening a single file. Computed in the SAME
+    * one-pass per-partition aggregate the lineage metrics already pay. */
+  def addBatchStats(batchId: Long, df: DataFrame,
+                    statCols: Seq[String], tsCol: String = "ts"): Boolean =
+    addBatchTracked(batchId, df, None,
+      Some(tsCol).filter(df.columns.contains), statCols = statCols)
+
   private def addBatchTracked(batchId: Long, df: DataFrame,
                               idCol: Option[String], tsCol: Option[String],
-                              covering: Seq[(Long, Long)] = Seq.empty): Boolean = {
+                              covering: Seq[(Long, Long)] = Seq.empty,
+                              statCols: Seq[String] = Seq.empty): Boolean = {
     if (accountsFor(batchId)) return false // replay → no-op
     val dir = s"$path/batch=$batchId"
     val withLineage = df
@@ -134,9 +146,20 @@ class LakeSink(val path: String) extends Serializable {
       // cached batch (north rule: "every microbatch emits per-partition
       // lineage and metrics")
       val ts = tsCol.filter(withLineage.columns.contains)
+      val zcols = statCols.filter(withLineage.columns.contains)
+      zcols.foreach { c =>
+        val dt = withLineage.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+          s"zone-stat column $c must be integral, got $dt — derive a long " +
+            "column upstream (e.g. unix_micros) so stats are unit-unambiguous")
+      }
       val aggCols = Seq(count(lit(1)).as("n")) ++ ts.toSeq.flatMap { c =>
         val m = unix_micros(col(c).cast("timestamp"))
         Seq(min(m).as("min_ts"), max(m).as("max_ts"))
+      } ++ zcols.flatMap { c =>
+        Seq(min(col(c).cast("long")).as(s"min_zs_$c"),
+          max(col(c).cast("long")).as(s"max_zs_$c"))
       }
       val perPart = withLineage.groupBy("_part_id").agg(aggCols.head, aggCols.tail: _*)
         .collect()
@@ -146,6 +169,14 @@ class LakeSink(val path: String) extends Serializable {
         val maxs = perPart.flatMap(r => Option(r.getAs[java.lang.Long]("max_ts")).map(_.toLong))
         if (mins.isEmpty) None else Some((mins.min, maxs.max))
       }
+      // all-null columns record no stat (entry stays a read candidate);
+      // stats over the non-null values are sound for the null-rejecting
+      // range predicates readPruned serves
+      val zstats = zcols.flatMap { c =>
+        val mins = perPart.flatMap(r => Option(r.getAs[java.lang.Long](s"min_zs_$c")).map(_.toLong))
+        val maxs = perPart.flatMap(r => Option(r.getAs[java.lang.Long](s"max_zs_$c")).map(_.toLong))
+        if (mins.isEmpty) None else Some(c -> ((mins.min, maxs.max)))
+      }.toMap
       idCol.filter(withLineage.columns.contains).foreach { c =>
         // stat.bloomFilter NPEs on empty input (null aggregate buffer) —
         // an all-dup batch commits 0 rows and gets an explicit empty bloom
@@ -159,7 +190,7 @@ class LakeSink(val path: String) extends Serializable {
       }
       writeMetrics(batchId, perPart.map(r =>
         s"""{"part": ${r.get(0)}, "rows": ${r.getAs[Long]("n")}}"""))
-      commit(batchId, rows, range, covering)
+      commit(batchId, rows, range, covering, zstats)
       true
     } finally { withLineage.unpersist(); () }
   }
@@ -304,9 +335,19 @@ class LakeSink(val path: String) extends Serializable {
     // foreachBatch replay of a folded batch stays a no-op on both paths.
     val folded = LakeSink.mergeRanges(
       foldable.flatMap(e => if (e.batch >= 0) Seq((e.batch, e.batch)) else e.folded))
+    // zone stats fold like the event-time range: a column keeps a stat only
+    // if EVERY non-empty folded entry carried one (else the union would
+    // silently under-cover the un-statted rows and pruning would drop data)
+    val nonEmpty = foldable.filter(_.rows != 0)
+    val stats = nonEmpty.flatMap(_.stats.keys).distinct
+      .filter(c => nonEmpty.forall(_.stats.contains(c)))
+      .map { c =>
+        val rs = nonEmpty.map(_.stats(c))
+        c -> ((rs.map(_._1).min, rs.map(_._2).max))
+      }.toMap
     // new manifest generation: graduated segments verbatim + the new fold
     val lines = retained.map(LakeSink.entryJson) :+
-      LakeSink.entryJson(Committed(gen, rows, range, folded))
+      LakeSink.entryJson(Committed(gen, rows, range, folded, stats))
     val tmp = Paths.get(path, "_manifest.tmp")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     // archive the generation being replaced as a time-travel snapshot
@@ -422,16 +463,13 @@ class LakeSink(val path: String) extends Serializable {
   /** Atomic manifest append: copy-on-write + rename. Single-writer (one
     * streaming query owns a sink), so no lock is needed. */
   private def commit(batchId: Long, rows: Long, range: Option[(Long, Long)],
-                     covering: Seq[(Long, Long)] = Seq.empty): Unit = {
+                     covering: Seq[(Long, Long)] = Seq.empty,
+                     stats: Map[String, (Long, Long)] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(path))
     val prev =
       if (Files.exists(manifest)) Files.readString(manifest) else ""
-    val rangeJson = range.map { case (lo, hi) =>
-      s""", "min_ts": $lo, "max_ts": $hi""" }.getOrElse("")
-    val foldedJson =
-      if (covering.isEmpty) ""
-      else s""", "folded": [${covering.map { case (a, b) => s"[$a,$b]" }.mkString(",")}]"""
-    val line = s"""{"batch": $batchId, "rows": $rows$rangeJson$foldedJson}\n"""
+    val line =
+      LakeSink.entryJson(Committed(batchId, rows, range, covering, stats)) + "\n"
     val tmp = Paths.get(path, s"_manifest.tmp")
     Files.write(tmp, (prev + line).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
@@ -444,6 +482,24 @@ class LakeSink(val path: String) extends Serializable {
     * because a long-running sink sees columns added mid-stream: without it
     * the first file's footer wins and evolved columns silently vanish. */
   def read(spark: SparkSession): DataFrame = readEntries(spark, committed())
+
+  /** Committed entries that may hold rows inside `box` (inclusive ranges
+    * per zone-stat column). Conservative: zero-row segments are never
+    * candidates; entries without stats for a boxed column always are. */
+  def pruneEntries(box: Map[String, (Long, Long)]): Seq[Committed] =
+    committed().filter(e => e.rows != 0 && e.mayContain(box))
+
+  /** Read only the segments whose zone stats may intersect `box` — the
+    * whole-segment analogue of [[LayoutOps.readPruned]]'s file skipping.
+    * Callers still apply the exact (null-rejecting) row predicate; this
+    * only subtracts certainly-empty segments from the scan plan. */
+  def readPruned(spark: SparkSession, box: Map[String, (Long, Long)]): DataFrame = {
+    val keep = pruneEntries(box)
+    // all pruned but table non-empty → keep the table schema (callers
+    // filter the result; a schema-less emptyDataFrame would break them)
+    if (keep.isEmpty && committed().exists(_.rows != 0)) read(spark).limit(0)
+    else readEntries(spark, keep)
+  }
 
   /** One committed segment only — for GENERATION-SNAPSHOT readers (tables
     * where each commit is a full table and only the newest is current):
@@ -506,12 +562,19 @@ object LakeSink {
     * ranges of streaming batch ids a compacted segment absorbed (empty for
     * ordinary commits). */
   final case class Committed(batch: Long, rows: Long, range: Option[(Long, Long)],
-                             folded: Seq[(Long, Long)] = Seq.empty) {
+                             folded: Seq[(Long, Long)] = Seq.empty,
+                             stats: Map[String, (Long, Long)] = Map.empty) {
     /** Streaming-id RANGES this entry accounts for (entry id itself if it
       * IS a streaming batch, plus folded ranges). */
     def streamIdRanges: Seq[(Long, Long)] =
       (if (batch >= 0) Seq((batch, batch)) else Seq.empty) ++ folded
 
+    /** Can this segment contain a row inside `box`? Absent stats for a
+      * boxed column → candidate (old-format entries, un-statted sinks) —
+      * pruning must only ever SUBTRACT certainly-empty segments. */
+    def mayContain(box: Map[String, (Long, Long)]): Boolean =
+      box.forall { case (c, (lo, hi)) =>
+        stats.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo } }
   }
 
   /** One manifest line for an entry (the inverse of [[Committed.parse]]). */
@@ -521,7 +584,12 @@ object LakeSink {
     val foldedJson =
       if (e.folded.isEmpty) ""
       else s""", "folded": [${e.folded.map { case (a, b) => s"[$a,$b]" }.mkString(",")}]"""
-    s"""{"batch": ${e.batch}, "rows": ${e.rows}$rangeJson$foldedJson}"""
+    val statsJson =
+      if (e.stats.isEmpty) ""
+      else e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        val esc = c.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$esc": [$lo,$hi]""" }.mkString(""", "stats": {""", ",", "}")
+    s"""{"batch": ${e.batch}, "rows": ${e.rows}$rangeJson$foldedJson$statsJson}"""
   }
 
   /** Merge inclusive ranges into a minimal sorted cover. */
@@ -574,8 +642,17 @@ object LakeSink {
             else (el.asLong, el.asLong) // tolerate flat-id format
           }
         }
+      val stats =
+        if (!n.has("stats")) Map.empty[String, (Long, Long)]
+        else {
+          val o = n.get("stats")
+          val b = Map.newBuilder[String, (Long, Long)]
+          o.fieldNames().forEachRemaining { c =>
+            val a = o.get(c); b += c -> ((a.get(0).asLong, a.get(1).asLong)) }
+          b.result()
+        }
       Committed(n.get("batch").asLong,
-        if (n.has("rows")) n.get("rows").asLong else -1L, range, folded)
+        if (n.has("rows")) n.get("rows").asLong else -1L, range, folded, stats)
     }
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.LakeSink
+
+class LakeStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshLake(): (String, LakeSink) = {
+    val dir = Files.createTempDirectory("graft-lakestats").toString
+    (dir, new LakeSink(dir))
+  }
+
+  private def batch(ids: Range, uLo: Long, uHi: Long) = {
+    val span = math.max(1L, uHi - uLo)
+    ids.map(i => (i.toLong, uLo + (i.toLong * 7919L) % span,
+      s"2024-01-0${1 + i % 5}T0${i % 10}:00:00")).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  test("zone stats recorded per commit; pruned read skips disjoint segments, loses nothing") {
+    val (dir, sink) = freshLake()
+    try {
+      assert(sink.addBatchStats(0L, batch(0 until 100, 0L, 1000L), Seq("user_id")))
+      assert(sink.addBatchStats(1L, batch(100 until 200, 5000L, 6000L), Seq("user_id")))
+      assert(sink.addBatchStats(2L, batch(200 until 300, 9000L, 9500L), Seq("user_id")))
+      val es = sink.committed()
+      assert(es.forall(_.stats.contains("user_id")))
+      // a box inside segment 1's range only
+      val box = Map("user_id" -> ((5200L, 5800L)))
+      val kept = sink.pruneEntries(box)
+      assert(kept.map(_.batch) === Seq(1L))
+      // correctness: pruned+exact == full+exact
+      val exact = (d: org.apache.spark.sql.DataFrame) =>
+        d.filter(col("user_id").between(5200L, 5800L))
+          .agg(count(lit(1)), coalesce(sum("event_id"), lit(0L)))
+          .as[(Long, Long)].head()
+      assert(exact(sink.readPruned(spark, box)) === exact(sink.read(spark)))
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
+  test("all-pruned box keeps the table schema; empty and old-format entries behave") {
+    val (dir, sink) = freshLake()
+    try {
+      sink.addBatchStats(0L, batch(0 until 50, 0L, 100L), Seq("user_id"))
+      // zero-row commit: never a candidate
+      sink.addBatchStats(1L, batch(0 until 0, 0L, 1L), Seq("user_id"))
+      // old-format entry (no stats, rows recorded): ALWAYS a candidate
+      Files.write(Paths.get(dir, "_manifest.jsonl"),
+        "{\"batch\": 7, \"rows\": -1}\n".getBytes, StandardOpenOption.APPEND)
+      Files.createDirectories(Paths.get(dir, "batch=7"))
+      batch(50 until 60, 77777L, 77800L).withColumn("_batch_id", lit(7L))
+        .withColumn("_part_id", lit(0))
+        .write.mode("overwrite").parquet(s"$dir/batch=7")
+      val boxMiss = Map("user_id" -> ((900000L, 900001L)))
+      // old-format entry survives pruning (no stats → candidate)
+      assert(sink.pruneEntries(boxMiss).map(_.batch) === Seq(7L))
+      val df = sink.readPruned(spark, boxMiss)
+        .filter(col("user_id").between(900000L, 900001L))
+      assert(df.count() === 0L)
+      // a box that hits batch 0 AND keeps the un-statted candidate
+      val boxHit = Map("user_id" -> ((0L, 50L)))
+      assert(sink.pruneEntries(boxHit).map(_.batch).toSet === Set(0L, 7L))
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
+  test("non-integral stat column fails loudly; absent column is skipped") {
+    val (dir, sink) = freshLake()
+    try {
+      intercept[IllegalArgumentException] {
+        sink.addBatchStats(0L, batch(0 until 5, 0L, 10L), Seq("ts")) }
+      // a column the frame doesn't have: ignored, commit succeeds un-statted
+      assert(sink.addBatchStats(1L, batch(0 until 5, 0L, 10L), Seq("nope")))
+      assert(sink.committed().find(_.batch == 1L).get.stats.isEmpty)
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
+  test("compaction folds stats as the union; a missing stat drops the column") {
+    val (dir, sink) = freshLake()
+    try {
+      sink.addBatchStats(0L, batch(0 until 40, 0L, 100L), Seq("user_id"))
+      sink.addBatchStats(1L, batch(40 until 80, 200L, 300L), Seq("user_id"))
+      sink.compactInPlace(spark)
+      val fold = sink.committed()
+      assert(fold.size === 1 && fold.head.batch < 0)
+      val s = fold.head.stats("user_id")
+      assert(s._1 >= 0L && s._1 < 100L && s._2 >= 200L && s._2 < 300L)
+      // pruning still correct through the fold
+      assert(sink.pruneEntries(Map("user_id" -> ((150L, 160L)))).size === 1)
+      assert(sink.readPruned(spark, Map("user_id" -> ((0L, 99L))))
+        .filter(col("user_id") <= 99L).count() ===
+        sink.read(spark).filter(col("user_id") <= 99L).count())
+
+      // second lake: one statted + one UN-statted commit → fold must DROP
+      // the column (a kept union would under-cover the un-statted rows)
+      val (dir2, sink2) = freshLake()
+      try {
+        sink2.addBatchStats(0L, batch(0 until 40, 0L, 100L), Seq("user_id"))
+        sink2.addBatch(1L, batch(40 until 80, 200L, 300L))
+        sink2.compactInPlace(spark)
+        assert(sink2.committed().head.stats.isEmpty)
+        // and the fold is therefore always a candidate
+        assert(sink2.pruneEntries(Map("user_id" -> ((900000L, 900001L)))).size === 1)
+      } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir2))
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
+  test("manifest json round-trips stats (incl. a quoted column name)") {
+    val e = LakeSink.Committed(3L, 10L, Some((5L, 9L)), Seq((0L, 2L)),
+      Map("user_id" -> ((1L, 99L)), "we\"ird" -> ((-5L, 5L))))
+    val line = LakeSink.entryJson(e)
+    assert(LakeSink.Committed.parse(line) === e)
+  }
+}
