@@ -108,6 +108,42 @@ class LakeStatsSpec extends SparkSuite {
     } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
   }
 
+  test("streaming ingest records stats per microbatch; pruned read after the run") {
+    // the 100-TB shape: foreachBatch commits carry zone stats for free (same
+    // one-pass aggregate), and a later analytical read skips cold segments
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val (dir, sink) = freshLake()
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("event_id", "user_id").writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-lscp").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.addBatchStats(id, b, Seq("user_id"), tsCol = "none"); ()
+        }
+        .start()
+      def feed(rows: Seq[(Long, Long)]): Unit = {
+        mem.addData(rows: _*); q.processAllAvailable()
+      }
+      feed((0L until 50L).map(i => (i, i % 100L)))
+      feed((50L until 100L).map(i => (i, 5000L + i % 100L)))
+      feed((100L until 150L).map(i => (i, 90000L + i % 100L)))
+      q.stop()
+      assert(sink.committed().count(_.stats.contains("user_id")) === 3)
+      val box = Map("user_id" -> ((5000L, 5099L)))
+      assert(sink.pruneEntries(box).size === 1)
+      val got = sink.readPruned(spark, box)
+        .filter(col("user_id").between(5000L, 5099L))
+        .select("event_id").as[Long].collect().sorted
+      assert(got === (50L until 100L).toArray)
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
   test("manifest json round-trips stats (incl. a quoted column name)") {
     val e = LakeSink.Committed(3L, 10L, Some((5L, 9L)), Seq((0L, 2L)),
       Map("user_id" -> ((1L, 99L)), "we\"ird" -> ((-5L, 5L))))
