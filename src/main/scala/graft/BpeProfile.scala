@@ -41,6 +41,9 @@ object BpeProfile {
     // strict >=2 cutoff exhausts it early; production corpora at 100 TB
     // saturate any cutoff
     val minCount = args.lift(3).map(_.toLong).getOrElse(1L)
+    // symmetric drain: in-flight JobEnds from the read/setup jobs above
+    // would otherwise land AFTER the baseline and be attributed to training
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
     val jobs0 = jobs.get()
     val t0 = System.nanoTime()
     val (merges, trained, rounds) =

@@ -21,10 +21,6 @@ object SparkEntry {
     Pipeline.run(Synth.inputTable(spark, 5000))
   }
 
-  /** Recursive delete for per-invocation scratch state (deepest-first walk;
-    * missing paths tolerated — a half-written tree still gets reclaimed). */
-  private def deleteTree(root: java.nio.file.Path): Unit =
-    graft.operators.LayoutOps.deleteTree(root)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- LRS query surface (SURVEY.md §2.2/§2.3) on the events proxy ----
@@ -220,7 +216,7 @@ object SparkEntry {
       val lake = java.nio.file.Files.createTempDirectory("graft-durdedup")
       try graft.streaming.IncrementalDedup
         .replayClustersDurable(s, d, lake.toString).localCheckpoint(true)
-      finally deleteTree(lake) // also on failure — a bad input dir must not leak the scratch lake
+      finally graft.operators.LayoutOps.deleteTree(lake) // also on failure — a bad input dir must not leak the scratch lake
     }),
     "q_dup_survivors" -> ((s, d) => CorpusOps.dupSurvivors(s, d)),
     // capstone: quality filter → near-dup survivor dedup → stratified

@@ -60,13 +60,22 @@ object LayoutOps {
   }
 
   /** Global min/max of the indexed columns — one tiny aggregate row
-    * (bounded collect: 1 row, 2×|cols| longs). */
+    * (bounded collect: 1 row, 3×|cols|+1 longs). Rejects PARTIALLY-null
+    * indexed columns too (min/max skip nulls, so anyNull alone would pass
+    * them and the per-file stats collect would NPE later): a null has no
+    * place on the Z-curve — filter or impute upstream. */
   def colBounds(df: DataFrame, cols: Seq[String]): Map[String, ColRange] = {
-    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val aggs = count(lit(1)) +: cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long"), count(col(c))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!row.anyNull, s"zorderWrite: null in indexed columns $cols")
+    val total = row.getLong(0)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(row.getLong(3 * i + 3) == total,
+        s"zorderWrite: indexed column $c has ${total - row.getLong(3 * i + 3)} " +
+          s"null(s) of $total rows — nulls have no Z-curve position") }
+    require(!row.anyNull, s"zorderWrite: empty input for indexed columns $cols")
     cols.zipWithIndex.map { case (c, i) =>
-      c -> ColRange(row.getLong(2 * i), row.getLong(2 * i + 1)) }.toMap
+      c -> ColRange(row.getLong(3 * i + 1), row.getLong(3 * i + 2)) }.toMap
   }
 
   /** Z-key column for a row given global bounds (2 indexed columns). */

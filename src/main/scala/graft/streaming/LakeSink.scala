@@ -136,6 +136,16 @@ class LakeSink(val path: String) extends Serializable {
                               statCols: Seq[String] = Seq.empty): Boolean = {
     if (accountsFor(batchId)) return false // replay → no-op
     val dir = s"$path/batch=$batchId"
+    // schema-only validation FIRST — failing after the batch write would
+    // waste the full write I/O per streaming retry and strand batch dirs
+    val zcols = statCols.filter(df.columns.contains)
+    zcols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+        s"zone-stat column $c must be integral, got $dt — derive a long " +
+          "column upstream (e.g. unix_micros) so stats are unit-unambiguous")
+    }
     val withLineage = df
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_part_id", spark_partition_id())
@@ -146,14 +156,6 @@ class LakeSink(val path: String) extends Serializable {
       // cached batch (north rule: "every microbatch emits per-partition
       // lineage and metrics")
       val ts = tsCol.filter(withLineage.columns.contains)
-      val zcols = statCols.filter(withLineage.columns.contains)
-      zcols.foreach { c =>
-        val dt = withLineage.schema(c).dataType
-        require(dt == org.apache.spark.sql.types.LongType ||
-          dt == org.apache.spark.sql.types.IntegerType,
-          s"zone-stat column $c must be integral, got $dt — derive a long " +
-            "column upstream (e.g. unix_micros) so stats are unit-unambiguous")
-      }
       val aggCols = Seq(count(lit(1)).as("n")) ++ ts.toSeq.flatMap { c =>
         val m = unix_micros(col(c).cast("timestamp"))
         Seq(min(m).as("min_ts"), max(m).as("max_ts"))
@@ -494,10 +496,13 @@ class LakeSink(val path: String) extends Serializable {
     * Callers still apply the exact (null-rejecting) row predicate; this
     * only subtracts certainly-empty segments from the scan plan. */
   def readPruned(spark: SparkSession, box: Map[String, (Long, Long)]): DataFrame = {
-    val keep = pruneEntries(box)
-    // all pruned but table non-empty → keep the table schema (callers
-    // filter the result; a schema-less emptyDataFrame would break them)
-    if (keep.isEmpty && committed().exists(_.rows != 0)) read(spark).limit(0)
+    val entries = committed() // parse the manifest ONCE per pruned read
+    val keep = entries.filter(e => e.rows != 0 && e.mayContain(box))
+    // all pruned but commits exist → keep the table schema (callers filter
+    // the result; a schema-less emptyDataFrame would break them). `entries
+    // .nonEmpty`, not rows != 0: zero-row commits still wrote a
+    // schema-bearing empty parquet segment
+    if (keep.isEmpty && entries.nonEmpty) readEntries(spark, entries).limit(0)
     else readEntries(spark, keep)
   }
 

@@ -67,11 +67,27 @@ class LakeStatsSpec extends SparkSuite {
     } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
   }
 
+  test("zero-row-only lake: pruned read keeps the schema (review r6 finding #1)") {
+    val (dir, sink) = freshLake()
+    try {
+      // the all-dup microbatch shape: a commit with 0 rows (explicitly
+      // supported — it gets an empty bloom); the lake has NO data-bearing
+      // segment, yet a pruned read must still resolve caller predicates
+      assert(sink.addBatchStats(0L, batch(0 until 0, 0L, 1L), Seq("user_id")))
+      val df = sink.readPruned(spark, Map("user_id" -> ((5L, 9L))))
+      assert(df.columns.contains("user_id"), s"schema lost: ${df.columns.toSeq}")
+      assert(df.filter(col("user_id").between(5L, 9L)).count() === 0L)
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
   test("non-integral stat column fails loudly; absent column is skipped") {
     val (dir, sink) = freshLake()
     try {
       intercept[IllegalArgumentException] {
         sink.addBatchStats(0L, batch(0 until 5, 0L, 10L), Seq("ts")) }
+      // the require fires BEFORE the batch write — no stranded segment dir,
+      // no wasted write I/O on every streaming retry (review r6 finding #3)
+      assert(!Files.exists(Paths.get(dir, "batch=0")))
       // a column the frame doesn't have: ignored, commit succeeds un-statted
       assert(sink.addBatchStats(1L, batch(0 until 5, 0L, 10L), Seq("nope")))
       assert(sink.committed().find(_.batch == 1L).get.stats.isEmpty)
