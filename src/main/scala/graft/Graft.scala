@@ -82,4 +82,20 @@ case class Graft(spark: SparkSession,
   /** `GET /xAPI/statements` over the lake. */
   def statements(storePath: String, q: Lrs.Query = Lrs.Query()): DataFrame =
     Lrs.statements(Store.read(spark, storePath), q)
+
+  /** Z-order-cluster `df` on two integral columns and build the file zone
+    * map — afterwards [[readPruned]] range queries on either column skip
+    * non-intersecting files entirely. See [[operators.LayoutOps]]. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  numFiles: Int = 128): operators.LayoutOps.ZoneMap =
+    operators.LayoutOps.zorderWrite(df, cols, path, numFiles)
+
+  /** Zone-map-pruned read of a [[zorderWrite]] layout: only files whose
+    * (min, max) ranges may intersect `box` are scanned. Callers still
+    * apply the exact row predicate. */
+  def readPruned(path: String,
+                 box: Map[String, (Long, Long)]): DataFrame =
+    operators.LayoutOps.readPruned(spark, path,
+      box.map { case (c, (lo, hi)) =>
+        c -> operators.LayoutOps.ColRange(lo, hi) })._1
 }

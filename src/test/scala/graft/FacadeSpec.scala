@@ -46,4 +46,21 @@ class FacadeSpec extends SparkSuite {
     val out = g.validateXapi(Seq(good, bad).toDF("raw"))
     assert(out.count() === 1)
   }
+
+  test("zorderWrite | readPruned facade round-trip") {
+    val g = Graft(spark)
+    val dir = Files.createTempDirectory("graft-fzo").toString
+    try {
+      val df = (0L until 2000L).map(i => (i, i % 97L, (i * 31L) % 1009L))
+        .toDF("id", "a", "b")
+      val zm = g.zorderWrite(df, Seq("a", "b"), dir, numFiles = 8)
+      assert(zm.filesTotal <= 8 && zm.files.map(_._2).sum === 2000L)
+      val got = g.readPruned(dir, Map("a" -> ((10L, 20L)), "b" -> ((0L, 500L))))
+        .filter(col("a").between(10L, 20L) && col("b").between(0L, 500L))
+        .count()
+      val want = df.filter(col("a").between(10L, 20L) && col("b").between(0L, 500L))
+        .count()
+      assert(got === want && want > 0L)
+    } finally graft.operators.LayoutOps.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
