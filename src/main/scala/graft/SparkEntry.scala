@@ -62,6 +62,9 @@ object SparkEntry {
     // LOCAL overlap index set-based MinHash/SimHash cannot provide)
     "q_bm25_topk" -> ((s, d) => graft.operators.SearchOps.bm25TopK(s, d)),
     "q_winnow" -> ((s, d) => graft.operators.SearchOps.winnowFingerprints(s, d)),
+    // r6 late: the MOSS report shape — pairs sharing >=2 fingerprints with
+    // the matched span localized on each side (hot-fp capped self-join)
+    "q_winnow_pairs" -> ((s, d) => graft.operators.SearchOps.winnowPairs(s, d)),
     // r6 privacy audit: quasi-identifier tuples matched by < k docs
     "q_k_anon" -> ((s, d) => graft.operators.SearchOps.kAnonAudit(s, d)),
     // r6 layout family: Morton-key kernel proof + end-to-end zone-map file
@@ -567,6 +570,34 @@ object SparkEntry {
                 CAST(16777215 - (sel_key % 16777216) AS BIGINT) AS pos,
                 CAST(sel_key // 16777216 AS BIGINT) AS fp
          FROM s WHERE pos <= n_grams - 4""",
+    // the q_winnow chain as a CTE, then the capped fp self-join + span
+    // aggregate — DuckDB independently re-derives every reported overlap
+    "q_winnow_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, k - 1 AS pos,
+                      array_to_string(ws[k:k+2], ' ') AS gram
+               FROM w, unnest(generate_series(1, len(ws) - 2)) t(k)),
+         h AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(gram), 1, 8))::UBIGINT * 16777216
+                        + (16777215 - pos) AS key,
+                      CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+               FROM g),
+         s AS (SELECT doc_id, pos, n_grams,
+                      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+               FROM h),
+         fps AS (SELECT DISTINCT doc_id,
+                CAST(16777215 - (sel_key % 16777216) AS BIGINT) AS pos,
+                CAST(sel_key // 16777216 AS BIGINT) AS fp
+         FROM s WHERE pos <= n_grams - 4),
+         hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 64),
+         kept AS (SELECT f.* FROM fps f JOIN hot USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+                min(a.pos) AS a_lo, max(a.pos) AS a_hi,
+                min(b.pos) AS b_lo, max(b.pos) AS b_hi
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""",
     "q_k_anon" ->
       """SELECT source, lang, n_chars // 200 AS len_bucket,
                 CAST(count(*) AS BIGINT) AS n

@@ -127,6 +127,46 @@ object SearchOps {
       .distinct()
   }
 
+  /** `q_winnow_pairs`: document pairs sharing ≥ `minShared` winnowing
+    * fingerprints, with the matched span localized on each side — the
+    * MOSS report shape: not "these docs are similar" (MinHash's answer)
+    * but "doc A's region [a_lo, a_hi] overlaps doc B's [b_lo, b_hi]".
+    *
+    * Plan shape, built for 10^12 docs:
+    *  - the fingerprint table is materialized ONCE (eager localCheckpoint)
+    *    before the self-join — both join sides would otherwise re-evaluate
+    *    the whole gram/window subtree (the r6 `q_simhash_pairs` lesson,
+    *    measured 1.5× there);
+    *  - boilerplate fingerprints shared by more than `maxFpDocs` documents
+    *    are dropped BEFORE the self-join (same role as the hot-shingle
+    *    cap): each fp bucket then yields ≤ maxFpDocs² pairs, so candidate
+    *    volume scales with overlap structure, never corpus²;
+    *  - the self-join is a plain equi-join on fp; the pair aggregate
+    *    shuffles one row per (pair, fp, pos) candidate and emits one row
+    *    per pair. No window functions anywhere on the pair path. */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  k: Int = 3, w: Int = 4,
+                  minShared: Int = 2, maxFpDocs: Int = 64): DataFrame = {
+    val fps = winnowFingerprintsDf(TextOps.documents(spark, dir), k, w)
+      .localCheckpoint(true)
+    val hot = fps.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") <= maxFpDocs)
+      .select("fp")
+    val kept = fps.join(hot, "fp")
+    val a = kept.select(col("fp"), col("doc_id").as("id_a"), col("pos").as("pa"))
+    val b = kept.select(col("fp"), col("doc_id").as("id_b"), col("pos").as("pb"))
+    val out = a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct("fp").as("n_shared"),
+        min("pa").as("a_lo"), max("pa").as("a_hi"),
+        min("pb").as("b_lo"), max("pb").as("b_hi"))
+      .filter(col("n_shared") >= minShared)
+    // the checkpointed fingerprint blocks stay referenced by `out`'s plan —
+    // released when the frame is GC'd, same lifecycle as simhashPairs
+    out
+  }
+
   /** `q_k_anon`: k-anonymity audit over quasi-identifier tuples — the
     * privacy gate a training-data release runs: any (source, lang,
     * length-bucket) combination matched by fewer than k documents is a

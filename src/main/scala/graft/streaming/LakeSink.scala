@@ -284,8 +284,20 @@ class LakeSink(val path: String) extends Serializable {
     * `read()` before and after compaction returns identical rows —
     * asserted in StreamingSpec. Safe to run between microbatches of a live
     * query (single-writer model: the caller owns the sink). */
+  /** `zorderCols` (exactly 2, integral, null-free — [[graft.operators
+    * .LayoutOps.zorderWrite]]'s contract) turns the fold into an OPTIMIZE
+    * ZORDER: compaction is the one moment the lake rewrites data anyway, so
+    * re-clustering it is free shuffle-wise (the fold's write becomes one
+    * range shuffle on the Morton key instead of a plain write). The fold
+    * dir then carries a FILE-level `_zstats.json` zone map — [[readPruned]]
+    * prunes inside compacted folds at file granularity, recovering the
+    * segment-level pruning resolution that folding many small commits into
+    * one manifest entry would otherwise destroy. Fold-entry stats for the
+    * Z-columns come from the zone map's exact global bounds. */
   def compactInPlace(spark: SparkSession, idCol: Option[String] = None,
-                     maxFoldRows: Long = Long.MaxValue): Unit = {
+                     maxFoldRows: Long = Long.MaxValue,
+                     zorderCols: Seq[String] = Seq.empty,
+                     zorderFiles: Int = 32): Unit = {
     val entries = committed()
     // TIERED fold (size-tiered LSM shape): only segments under the
     // threshold are rewritten; a segment that has grown past `maxFoldRows`
@@ -306,7 +318,10 @@ class LakeSink(val path: String) extends Serializable {
     // the original dirs get deleted — unrecoverable
     val data = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     val dir = s"$path/batch=$gen"
-    data.write.mode("overwrite").parquet(dir)
+    val zoneMap =
+      if (zorderCols.nonEmpty && !data.isEmpty)
+        Some(graft.operators.LayoutOps.zorderWrite(data, zorderCols, dir, zorderFiles))
+      else { data.write.mode("overwrite").parquet(dir); None }
     // entry rows are authoritative for current-format manifests; an
     // old-format entry (rows = -1) forces a recount so the compacted entry
     // never reports 0 over a data-bearing segment (probeCandidates would
@@ -341,12 +356,16 @@ class LakeSink(val path: String) extends Serializable {
     // if EVERY non-empty folded entry carried one (else the union would
     // silently under-cover the un-statted rows and pruning would drop data)
     val nonEmpty = foldable.filter(_.rows != 0)
-    val stats = nonEmpty.flatMap(_.stats.keys).distinct
+    val unionStats = nonEmpty.flatMap(_.stats.keys).distinct
       .filter(c => nonEmpty.forall(_.stats.contains(c)))
       .map { c =>
         val rs = nonEmpty.map(_.stats(c))
         c -> ((rs.map(_._1).min, rs.map(_._2).max))
       }.toMap
+    // Z-column entry stats from the zone map's EXACT bounds (tighter than —
+    // and available without — the every-entry-statted union rule)
+    val stats = unionStats ++ zoneMap.map(_.bounds.map { case (c, r) =>
+      c -> ((r.min, r.max)) }).getOrElse(Map.empty)
     // new manifest generation: graduated segments verbatim + the new fold
     val lines = retained.map(LakeSink.entryJson) :+
       LakeSink.entryJson(Committed(gen, rows, range, folded, stats))
@@ -498,12 +517,24 @@ class LakeSink(val path: String) extends Serializable {
   def readPruned(spark: SparkSession, box: Map[String, (Long, Long)]): DataFrame = {
     val entries = committed() // parse the manifest ONCE per pruned read
     val keep = entries.filter(e => e.rows != 0 && e.mayContain(box))
+    // inside surviving segments, prune at FILE granularity where a zone map
+    // exists (Z-ordered compaction folds write one) — the fold's many small
+    // source commits keep their pruning resolution through the rewrite
+    val zbox = box.map { case (c, (lo, hi)) =>
+      c -> graft.operators.LayoutOps.ColRange(lo, hi) }
+    val paths = keep.map(_.batch).sorted.flatMap { b =>
+      val dir = s"$path/batch=$b"
+      if (Files.exists(Paths.get(dir, "_zstats.json")))
+        graft.operators.LayoutOps.readZoneMap(dir).surviving(zbox)
+      else Seq(dir)
+    }
     // all pruned but commits exist → keep the table schema (callers filter
     // the result; a schema-less emptyDataFrame would break them). `entries
     // .nonEmpty`, not rows != 0: zero-row commits still wrote a
     // schema-bearing empty parquet segment
-    if (keep.isEmpty && entries.nonEmpty) readEntries(spark, entries).limit(0)
-    else readEntries(spark, keep)
+    if (paths.isEmpty && entries.nonEmpty) readEntries(spark, entries).limit(0)
+    else if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** One committed segment only — for GENERATION-SNAPSHOT readers (tables

@@ -160,6 +160,61 @@ class LakeStatsSpec extends SparkSuite {
     } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
   }
 
+  test("OPTIMIZE ZORDER fold: file-level zone map inside the compacted segment") {
+    val (dir, sink) = freshLake()
+    try {
+      // 4 commits, each spanning the FULL user range (so segment-level
+      // stats alone cannot prune a narrow box at all)
+      (0 until 4).foreach { i =>
+        sink.addBatchStats(i.toLong,
+          batch(i * 100 until (i + 1) * 100, 0L, 100000L), Seq("user_id")) }
+      assert(sink.pruneEntries(Map("user_id" -> ((40000L, 41000L)))).size === 4)
+      sink.compactInPlace(spark, zorderCols = Seq("user_id", "event_id"),
+        zorderFiles = 8)
+      val fold = sink.committed()
+      assert(fold.size === 1 && fold.head.batch < 0)
+      // fold-entry stats for the Z-columns are the zone map's exact bounds
+      assert(fold.head.stats.contains("user_id") &&
+        fold.head.stats.contains("event_id"))
+      val zm = graft.operators.LayoutOps.readZoneMap(s"$dir/batch=${fold.head.batch}")
+      assert(zm.files.map(_._2).sum === 400L)
+      // a narrow box keeps strictly fewer FILES than the fold holds —
+      // the resolution folding destroyed at segment level is back
+      val box = Map("user_id" -> graft.operators.LayoutOps.ColRange(40000L, 41000L))
+      assert(zm.surviving(box).size < zm.filesTotal)
+      // and the pruned read loses nothing vs the full read
+      val exact = (d: org.apache.spark.sql.DataFrame) =>
+        d.filter(col("user_id").between(40000L, 41000L))
+          .agg(count(lit(1)), coalesce(sum("event_id"), lit(0L)))
+          .as[(Long, Long)].head()
+      assert(exact(sink.readPruned(spark, Map("user_id" -> ((40000L, 41000L))))) ===
+        exact(sink.read(spark)))
+      // wide box: everything still readable through the zone-mapped fold
+      assert(sink.readPruned(spark, Map("user_id" -> ((0L, 100000L)))).count() === 400L)
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
+  test("zordered fold coexists with a graduated (plain) segment in one pruned read") {
+    val (dir, sink) = freshLake()
+    try {
+      sink.addBatchStats(0L, batch(0 until 50, 0L, 1000L), Seq("user_id"))
+      sink.addBatchStats(1L, batch(50 until 100, 0L, 1000L), Seq("user_id"))
+      // big segment graduates (never folded); the two small ones z-fold
+      sink.addBatchStats(2L, batch(100 until 400, 50000L, 51000L), Seq("user_id"))
+      sink.compactInPlace(spark, maxFoldRows = 200L,
+        zorderCols = Seq("user_id", "event_id"), zorderFiles = 4)
+      val es = sink.committed()
+      assert(es.size === 2) // graduated + fold
+      val all = sink.readPruned(spark, Map("user_id" -> ((0L, 100000L))))
+      assert(all.count() === 400L)
+      // box hitting only the graduated segment: the fold's files all prune
+      val g = sink.readPruned(spark, Map("user_id" -> ((50000L, 51000L))))
+        .filter(col("user_id").between(50000L, 51000L))
+      assert(g.count() ===
+        sink.read(spark).filter(col("user_id").between(50000L, 51000L)).count())
+    } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+  }
+
   test("manifest json round-trips stats (incl. a quoted column name)") {
     val e = LakeSink.Committed(3L, 10L, Some((5L, 9L)), Seq((0L, 2L)),
       Map("user_id" -> ((1L, 99L)), "we\"ird" -> ((-5L, 5L))))
