@@ -178,7 +178,8 @@ object Bench {
       "q_dup_survivors" -> "q_cluster_split",
       "q_minhash_lsh" -> "q_cluster_split",
       "q_semantic_dedup" -> "q_cluster_split",
-      "q_token_budget" -> "q_curriculum")
+      "q_token_budget" -> "q_curriculum",
+      "q_triangles" -> "q_cluster_split")
     val coldResults = ridingVia.keys.toSeq.sorted.map { name =>
       graft.operators.CorpusOps.invalidateDupLabels()
       val t0 = System.nanoTime()

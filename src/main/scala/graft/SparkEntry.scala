@@ -42,6 +42,12 @@ object SparkEntry {
     // union+last-ignoreNulls trick — no join operator, verified vs DuckDB's
     // native ASOF JOIN
     "q_asof_join" -> ((s, d) => EventOps.asofAttribution(s, d)),
+    // r6: point-in-interval range join via grid bucketing (equi-join on
+    // time cells — the naive theta join would be a cartesian; the global
+    // PlanSpec no-CartesianProduct gate proves this plan isn't)
+    "q_range_join" -> ((s, d) => EventOps.rangeJoinQuery(s, d)),
+    // r6: gaps-and-islands → SCD-2 validity intervals per actor
+    "q_scd2_islands" -> ((s, d) => EventOps.scd2Islands(s, d)),
     // ---- training-data text ops -----------------------------------------
     "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -117,6 +123,10 @@ object SparkEntry {
     // r4: int8 embedding quantization fidelity audit (fused native pass:
     // scale, max reconstruction error, original↔decode cosine)
     "q_quant_embed" -> ((s, d) => EmbeddingOps.quantAudit(s, d)),
+    // r6: fixed-point PCA — one O(d²)-state Gram pass + driver power
+    // iteration + codegen'd projection; integer arithmetic end to end, so
+    // the unrolled-CTE oracle matches bit-for-bit
+    "q_embed_pca" -> ((s, d) => EmbeddingOps.pcaProjectQuery(s, d)),
     // r4: ROLLUP grouping sets — (source,lang) cells, subtotals, total
     "q_rollup_counts" -> ((s, d) => CorpusOps.rollupCounts(s, d)),
     // r4: PIVOT contingency matrix (source × language counts)
@@ -140,6 +150,10 @@ object SparkEntry {
     // (iterative join+agg, int64 micro-units — order-independent, oracle
     // is a recursive-CTE power iteration)
     "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRankQuery(s, d)),
+    // r6: triangle audit on the near-dup pair graph (degree-oriented
+    // node-iterator — skew-proof wedge enumeration; rides the cached pair
+    // graph, no new corpus scan)
+    "q_triangles" -> ((s, d) => graft.operators.GraphOps.triangleCounts(s, d)),
     // r5: PII detect+redact with planted positives (RE2∩Java patterns,
     // redacted text md5-gated)
     "q_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
@@ -422,6 +436,33 @@ object SparkEntry {
                 round(CAST(epoch(c.ts) - epoch(v.ts) AS DOUBLE), 6) AS lag_sec
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND v.ts <= c.ts""",
+    // same window discipline as the engine: (us, event_id) order, change
+    // flag, running-sum island id, then one grouped interval per island
+    "q_scd2_islands" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                    FROM events),
+         c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+               FROM c)
+         SELECT user_id, CAST(seq AS BIGINT) AS seq, event_type,
+                min(us) AS valid_from_us, max(us) AS valid_to_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM i GROUP BY 1, 2, 3""",
+    // the oracle uses the PLAIN theta join — the grid bucketing is the
+    // engine's plan trick, invisible in the result; µs integers both sides
+    "q_range_join" ->
+      """WITH iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS lo,
+                epoch_us(ts) + (event_id % 7 + 1) * 1800000000 AS hi
+              FROM events WHERE event_id % 37 = 0)
+         SELECT e.event_id, i.interval_id,
+                CAST(epoch_us(e.ts) - i.lo AS BIGINT) AS off_us
+         FROM events e
+         JOIN iv i ON epoch_us(e.ts) >= i.lo AND epoch_us(e.ts) <= i.hi""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text""",
@@ -809,6 +850,11 @@ object SparkEntry {
                           END AS alloc_raw FROM r4)
          SELECT source, avail, round(alloc_raw,6) AS alloc,
                 round(alloc_raw/avail,6) AS frac FROM r5""",
+    // fixed-point PCA: quantize → Gram (HUGEINT) → 12 unrolled power
+    // iterations with ∞-norm integer rescaling (// truncates toward zero,
+    // same as BigInt division) → integer projection. Same arithmetic as
+    // the engine at every step — bit-exact.
+    "q_embed_pca" -> pcaOracle,
     // int8 quantization audit: floor(x+0.5) rounding and left-to-right
     // cosine accumulation mirror the engine's fused pass bit-for-bit
     "q_quant_embed" ->
@@ -901,6 +947,18 @@ object SparkEntry {
     // the recursive CTE and the Spark join+agg loop agree bit-for-bit;
     // cycle edge (id+1 mod n) keeps min in-degree ≥ 1 so no vertex leaves
     // the recursion, the two non-bijective maps skew in-degree
+    // triangles re-derived from the exact pair graph: p1=(a,b), p2=(b,c),
+    // p3=(a,c) with a<b<c (pairs are canonical) finds each triangle once;
+    // every vertex of every triangle contributes one membership row
+    "q_triangles" ->
+      s"""WITH $dupPairsCte,
+         tri AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+                 FROM pairs p1
+                 JOIN pairs p2 ON p2.id_a = p1.id_b
+                 JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM m GROUP BY 1""",
     "q_pagerank" ->
       """WITH RECURSIVE
          n AS (SELECT count(*) AS n FROM documents),
@@ -1639,6 +1697,37 @@ object SparkEntry {
     "SELECT * FROM (VALUES " + PipelineGolden.rows.map { case (v, s, n, ids) =>
       s"('$v', '$s', CAST($n AS BIGINT), CAST($ids AS BIGINT))"
     }.mkString(", ") + ") AS t(verb_id, source, n, n_ids)"
+
+  /** `q_embed_pca` oracle: the 12 power iterations unrolled as chained
+    * CTEs (this DuckDB build lacks window functions inside recursive CTEs,
+    * and unrolling is exact anyway — fixed iteration count is part of the
+    * query's contract). HUGEINT everywhere the engine uses BigInt. */
+  private def pcaOracle: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // stage references its predecessor twice (the scalar max subquery), so
+    // the un-materialized chain re-evaluates 2^12 subtrees and never
+    // finishes; materialized, the whole ladder runs in under a second
+    val head =
+      """q AS MATERIALIZED (SELECT vec_id, i-1 AS i,
+            CAST(floor(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT) AS x
+            FROM embeddings, generate_series(1,64) t(i)),
+         g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.x*b.x) AS HUGEINT) AS g
+               FROM q a JOIN q b ON a.vec_id=b.vec_id GROUP BY 1,2),
+         v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v
+               FROM range(64) r(i))"""
+    val steps = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT g.i AS i, sum(g.g*v${k - 1}.v) AS w
+             FROM g JOIN v${k - 1} ON g.j=v${k - 1}.i GROUP BY 1),
+         v$k AS MATERIALIZED (SELECT i,
+                 (w*1000000)//(SELECT max(abs(w)) FROM w$k) AS v
+                 FROM w$k)"""
+    }
+    (Seq("WITH " + head) ++ steps).mkString(",\n ") +
+      """
+         SELECT q.vec_id, CAST(sum(q.x*v12.v) AS BIGINT) AS pc1_fp
+         FROM q JOIN v12 ON q.i=v12.i GROUP BY 1"""
+  }
 
   /** Shared CTE prefix: the exact-jaccard near-dup pair graph (same
     * construction as [[jaccardOracle]], pairs only). */

@@ -106,6 +106,38 @@ object EmbeddingOps {
         round(element_at(col("a"), 2), 6).as("max_err"),
         round(element_at(col("a"), 3), 6).as("cos"))
 
+  /** `q_embed_pca`: first-principal-component projection of every
+    * embedding, computed end-to-end in fixed-point integer arithmetic so
+    * the oracle reproduces it bit-for-bit. Three stages:
+    *
+    *  1. GRAM: one pass over the table accumulates the d(d+1)/2
+    *     upper-triangle sums Σ q_i·q_j of the quantized vectors
+    *     (q = floor(x·1000)) — a typed Aggregator with constant 16 KB
+    *     state, map-side combined; the shuffle carries O(d²) longs per
+    *     partition and NEVER a row. This is the distributed-covariance
+    *     shape every embedding-curation pass (whitening, SemDeDup-style
+    *     centering, drift detection) reduces to at 100 TB.
+    *  2. EIGEN: integer power iteration on the driver (12 rounds, BigInt,
+    *     ∞-norm rescaling — d² work, data-size-independent).
+    *  3. PROJECT: one codegen'd native pass per row (quantize + dot).
+    *
+    * The d²-collect is bounded and justified (2080 longs), the same class
+    * as the ANN codebooks. The oracle unrolls the identical 12 iterations
+    * as chained CTEs in HUGEINT. PCA-about-origin (no centering) — the
+    * audit wants the dominant energy direction; centering would only add
+    * a second d-vector aggregate. */
+  def pcaProjectQuery(spark: SparkSession, dir: String,
+                      iters: Int = 12, scale: Long = 1000L): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val dim = 64 // embeddings-table contract (asserted by GramAgg.reduce)
+    val upper = emb.agg(graft.functions.PcaOps
+      .gram(dim, scale, col("embedding")).as("g"))
+      .head().getSeq[Long](0)
+    val v = graft.functions.PcaOps.powerIterate(upper, dim, iters)
+    emb.select(col("vec_id"),
+      graft.functions.PcaOps.quantDotFp(col("embedding"), v, scale).as("pc1_fp"))
+  }
+
   /** SQ8 index build: int8 codes in a BINARY column (one byte/dim — the
     * FAISS SQ8 layout, a true 4× shrink vs float32) plus the per-vector
     * decode scale. One narrow pass, no shuffle; at 100 TB this is the

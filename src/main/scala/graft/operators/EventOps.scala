@@ -223,6 +223,67 @@ object EventOps {
           .as("lag_sec"))
   }
 
+  /** `q_range_join`: point-in-interval range join via grid bucketing — the
+    * join shape Spark has no native operator for. Written naively
+    * (`a JOIN b ON a.ts BETWEEN b.lo AND b.hi`, no equi-key) Catalyst can
+    * only plan a broadcast-nested-loop or cartesian product: every point
+    * row visits every interval, O(|P|·|I|) at any scale. The grid trick
+    * restores an equi-join: intervals explode to the fixed-width time
+    * cells they cover (bounded fan-out — cell width ≥ max interval length
+    * ⇒ ≤ 2 cells each), points map to their one containing cell, the join
+    * runs on the cell key, and the exact predicate filters inside each
+    * cell. A (point, interval) match meets in exactly one cell — the
+    * point's — so no post-join dedup is needed. Work is O(|P| + |I| +
+    * matches-per-cell), shuffles hash-partition on the cell key, and cell
+    * width is the skew dial. The global PlanSpec no-CartesianProduct gate
+    * proves the plan.
+    *
+    * The interval table is derived deterministically from the events
+    * themselves (every 37th event opens a 30–210 min window — overlap
+    * exists by construction), so the DuckDB oracle re-derives both sides
+    * and joins with the plain theta predicate. µs integer arithmetic both
+    * sides — bit-exact, timezone-shift invariant. */
+  def rangeJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 14400000000L // 4 h ≥ the 3.5 h max interval → ≤ 2 cells
+    val ev = events(spark, dir).select(col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val iv = ev.filter(col("event_id") % 37 === 0)
+      .select(col("event_id").as("interval_id"), col("ts_us").as("lo"),
+        (col("ts_us") + (col("event_id") % 7 + 1) * lit(1800000000L)).as("hi"))
+    val cells = iv.withColumn("cell",
+      explode(sequence(expr(s"lo div $bucketUs"), expr(s"hi div $bucketUs"))))
+    val pts = ev.withColumn("cell", expr(s"ts_us div $bucketUs"))
+    pts.join(cells, Seq("cell"))
+      .filter(col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .select(col("event_id"), col("interval_id"),
+        (col("ts_us") - col("lo")).as("off_us"))
+  }
+
+  /** `q_scd2_islands`: gaps-and-islands — collapse each actor's
+    * consecutive runs of equal `event_type` into validity intervals
+    * (SCD-2 dimension rows: the state an entity was in, valid_from →
+    * valid_to). The fundamental change-data shape a warehouse build runs;
+    * distinct from [[sessionize]] (time-gap islands) — here the island
+    * boundary is a VALUE change. Window is per-actor (bounded partitions,
+    * the sessionize shape); µs integer timestamps keep the oracle compare
+    * bit-exact. `seq` is the per-actor island ordinal — it keeps two
+    * same-type islands of one actor distinct in the output contract. */
+  def scd2Islands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("seq",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "seq", "event_type")
+      .agg(min("us").as("valid_from_us"), max("us").as("valid_to_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** A3 (batch twin): sessionization per actor with a gap timeout — the
     * exact semantics `session_window`/flatMapGroupsWithState apply
     * incrementally in the streaming job. Gap boundary = lag-diff > gap;

@@ -95,4 +95,54 @@ object GraphOps {
       .orderBy(col("pagerank_fp").desc, col("doc_id"))
       .limit(50)
   }
+
+  /** `q_triangles`: per-document triangle participation in the near-dup
+    * pair graph — the clustering-coefficient audit a dedup pipeline runs
+    * BEFORE connected components: a component can be a chain of borderline
+    * pairs (transitive drift — A≈B≈C with A̸≈C) or a genuinely mutual
+    * clique; triangle density distinguishes them, and collapsing a chain
+    * to one survivor loses different content than collapsing a clique.
+    *
+    * Algorithm: degree-oriented node-iterator (Schank & Wagner 2005 /
+    * Suri & Vassilvitskii's MR formulation). Each undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher; wedges
+    * are enumerated only at each triangle's UNIQUE minimum-rank apex, so a
+    * hot hub of degree d (the exact skew the dup graph has — boilerplate
+    * clusters) never enumerates its d² neighbor pairs unless it also
+    * ranks lowest; total wedge volume is O(m^1.5) regardless of skew.
+    * Three shuffles total (degree agg, wedge self-join, closure join) —
+    * all equi-joins on node/pair keys, pair-graph-sized, never
+    * corpus-sized. Rides the session's cached pair graph (the
+    * q_cluster_split family), adding no new corpus scan. */
+  def triangleCounts(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame =
+    triangleCountsFromPairs(
+      CorpusOps.nearDupPairs(spark, dir, threshold).select("id_a", "id_b"))
+
+  /** Core algorithm over an arbitrary CANONICAL edge list (id_a < id_b,
+    * no duplicates) — unit-tested on planted cliques/chains in GraphSpec. */
+  def triangleCountsFromPairs(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("v").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("v").as("id_b"), col("deg").as("db")), "id_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+      when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
+    // wedges at the apex, normalized to plain id order so the closing edge
+    // can be matched against the CANONICAL pair set directly
+    val e1 = oriented.select(col("src"), col("dst").as("x"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = e1.join(e2, "src").filter(col("x") < col("y"))
+    val tri = wedges.join(
+      pairs.select(col("id_a").as("x"), col("id_b").as("y")), Seq("x", "y"))
+    // every triangle found exactly once (at its min-rank apex); each of its
+    // three vertices participates
+    tri.select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
 }

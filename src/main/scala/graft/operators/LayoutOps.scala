@@ -40,7 +40,8 @@ object LayoutOps {
   final case class ZoneMap(cols: Seq[String], bounds: Map[String, ColRange],
                            files: Seq[(String, Long, Map[String, ColRange])]) {
     def filesTotal: Int = files.size
-    /** Files whose every indexed range overlaps the query box. */
+    /** Files (names relative to the dataset dir) whose every indexed range
+      * overlaps the query box — callers resolve against THEIR dir. */
     def surviving(box: Map[String, ColRange]): Seq[String] =
       files.collect { case (f, _, rs)
         if box.forall { case (c, q) =>
@@ -110,10 +111,16 @@ object LayoutOps {
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // persist file names RELATIVE to the dataset dir (input_file_name gives
+    // a write-time absolute URI): a relocated/copied lake must resolve its
+    // zone-mapped files against its NEW location, never the old one —
+    // every other read path derives from `path` at read time, so this one
+    // does too. Parquet writes a flat dir, so the basename is the name.
     val files = stats.map { r =>
       val ranges = cols.zipWithIndex.map { case (c, i) =>
         c -> ColRange(r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)) }.toMap
-      (r.getString(0), r.getLong(1), ranges)
+      (r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
+        r.getLong(1), ranges)
     }.toSeq.sortBy(_._1)
     val zm = ZoneMap(cols, bounds, files)
     writeZoneMap(path, zm)
@@ -150,7 +157,9 @@ object LayoutOps {
     val files = root.get("files").elements().asScala.map { o =>
       val rs = cols.map { c =>
         val a = o.get("ranges").get(c); c -> ColRange(a.get(0).asLong(), a.get(1).asLong()) }.toMap
-      (o.get("file").asText(), o.get("count").asLong(), rs)
+      // normalize to the basename even if an older map stored a full URI
+      val f = o.get("file").asText()
+      (f.substring(f.lastIndexOf('/') + 1), o.get("count").asLong(), rs)
     }.toSeq
     ZoneMap(cols, bounds, files)
   }
@@ -213,7 +222,7 @@ object LayoutOps {
   def readPruned(spark: SparkSession, path: String,
                  box: Map[String, ColRange]): (DataFrame, Int, Int) = {
     val zm = readZoneMap(path)
-    val keep = zm.surviving(box)
+    val keep = zm.surviving(box).map(f => s"$path/$f")
     val df =
       if (keep.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(keep: _*)

@@ -283,8 +283,9 @@ class LakeSink(val path: String) extends Serializable {
     * lineage, which keeps pointing at the ORIGINATING microbatch), so
     * `read()` before and after compaction returns identical rows —
     * asserted in StreamingSpec. Safe to run between microbatches of a live
-    * query (single-writer model: the caller owns the sink). */
-  /** `zorderCols` (exactly 2, integral, null-free — [[graft.operators
+    * query (single-writer model: the caller owns the sink).
+    *
+    * `zorderCols` (exactly 2, integral, null-free — [[graft.operators
     * .LayoutOps.zorderWrite]]'s contract) turns the fold into an OPTIMIZE
     * ZORDER: compaction is the one moment the lake rewrites data anyway, so
     * re-clustering it is free shuffle-wise (the fold's write becomes one
@@ -318,8 +319,12 @@ class LakeSink(val path: String) extends Serializable {
     // the original dirs get deleted — unrecoverable
     val data = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     val dir = s"$path/batch=$gen"
+    // emptiness from the manifest, not a Spark job: only an old-format
+    // entry (rows = -1, count unknown) forces the isEmpty scan
+    val hasRows = foldable.exists(_.rows > 0) ||
+      (foldable.exists(_.rows < 0) && !data.isEmpty)
     val zoneMap =
-      if (zorderCols.nonEmpty && !data.isEmpty)
+      if (zorderCols.nonEmpty && hasRows)
         Some(graft.operators.LayoutOps.zorderWrite(data, zorderCols, dir, zorderFiles))
       else { data.write.mode("overwrite").parquet(dir); None }
     // entry rows are authoritative for current-format manifests; an
@@ -525,7 +530,10 @@ class LakeSink(val path: String) extends Serializable {
     val paths = keep.map(_.batch).sorted.flatMap { b =>
       val dir = s"$path/batch=$b"
       if (Files.exists(Paths.get(dir, "_zstats.json")))
+        // zone maps store segment-relative names — resolve against THIS
+        // lake's dir so a relocated/copied lake reads its own files
         graft.operators.LayoutOps.readZoneMap(dir).surviving(zbox)
+          .map(f => s"$dir/$f")
       else Seq(dir)
     }
     // all pruned but commits exist → keep the table schema (callers filter

@@ -262,6 +262,44 @@ class EmbeddingSpec extends SparkSuite {
     assert(math.abs(m(2L).head - 1.0 / 127) < 1e-15)
   }
 
+  test("fixed-point PCA: gram + power iteration match a brute in-JVM reference") {
+    import graft.functions.PcaOps
+    // brute reference on the collected table (sf0.001 is 500 × 64)
+    val raw = EmbeddingOps.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Seq[Double])].collect()
+    val d = 64
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1000).toLong).toArray }
+    val gRef = Array.ofDim[Long](d, d)
+    q.foreach { case (_, x) =>
+      var i = 0
+      while (i < d) { var j = 0
+        while (j < d) { gRef(i)(j) += x(i) * x(j); j += 1 }; i += 1 } }
+    // distributed gram == brute gram (upper triangle, row-major)
+    val upper = EmbeddingOps.embeddings(spark, dir)
+      .agg(PcaOps.gram(d, 1000L, col("embedding"))).head().getSeq[Long](0)
+    val upperRef = for (i <- 0 until d; j <- i until d) yield gRef(i)(j)
+    assert(upper === upperRef)
+    // power iteration: reference in BigInt, identical update rule
+    var vRef = Array.fill(d)(BigInt(1000000L))
+    (1 to 12).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(gRef(i)(j)) * vRef(j)).sum)
+      val m = w.map(_.abs).max
+      if (m > 0) vRef = w.map(x => x * 1000000L / m)
+    }
+    val v = PcaOps.powerIterate(upper, d, 12)
+    assert(v.toSeq === vRef.map(_.toLong).toSeq)
+    // the end-to-end query projects with the same vector
+    val got = EmbeddingOps.pcaProjectQuery(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val want = q.map { case (id, x) =>
+      id -> x.zip(v).map { case (a, b) => a * b }.sum }.toMap
+    assert(got === want)
+    // the component actually discriminates (not a degenerate direction)
+    assert(got.values.toSet.size > 100)
+  }
+
   test("hard negatives: k per query, never the query's own label, rank-ordered") {
     val labels = EmbeddingOps.embeddings(spark, dir)
       .select("vec_id", "label").as[(Long, Long)].collect().toMap

@@ -93,6 +93,68 @@ test("skew audit matches a local recompute and plans no global sort") {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("range join: grid plan matches a brute-force theta recompute exactly") {
+    val got = EventOps.rangeJoinQuery(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force on the collected event set (sf0.001 is small)
+    val ev = EventOps.events(spark, sf("sf0.001"))
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long)].collect()
+    val iv = ev.filter(_._1 % 37 == 0)
+      .map { case (id, ts) => (id, ts, ts + (id % 7 + 1) * 1800000000L) }
+    val want = (for {
+      (eid, ts) <- ev; (iid, lo, hi) <- iv
+      if ts >= lo && ts <= hi
+    } yield (eid, iid, ts - lo)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "range join must discriminate at sf0.001")
+    // a match meets in exactly one grid cell: no (event, interval) dup rows
+    val raw = EventOps.rangeJoinQuery(spark, sf("sf0.001"))
+      .groupBy("event_id", "interval_id").count()
+      .filter(col("count") > 1).count()
+    assert(raw === 0L)
+    // intervals genuinely cross 4h cell boundaries in this data (the
+    // explode path is exercised, not just the single-cell case)
+    val crossing = iv.count { case (_, lo, hi) =>
+      lo / 14400000000L != hi / 14400000000L }
+    assert(crossing > 0, "fixture must contain cell-crossing intervals")
+  }
+
+  test("scd2 islands: brute-force run-length recompute; intervals tile each actor") {
+    val got = EventOps.scd2Islands(spark, sf("sf0.001"))
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    val ev = EventOps.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, String, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._3)) // (us, event_id)
+      // run-length encode consecutive equal event_types
+      val runs = sorted.foldLeft(List.empty[List[(Long, String, Long, Long)]]) {
+        case (acc, r) => acc match {
+          case h :: t if h.head._2 == r._2 => (r :: h) :: t
+          case _ => List(r) :: acc
+        }
+      }.reverse
+      runs.zipWithIndex.map { case (run, idx) =>
+        val us = run.map(_._4)
+        (uid, idx + 1L, run.head._2, us.min, us.max, run.size.toLong)
+      }
+    }.toSet
+    assert(got === want)
+    // islands tile: per actor, counts sum to the actor's event count and
+    // consecutive islands never share an event_type
+    val byUser = got.groupBy(_._1)
+    val evByUser = ev.groupBy(_._1)
+    byUser.foreach { case (uid, is) =>
+      assert(is.toSeq.map(_._6).sum === evByUser(uid).size.toLong)
+      val ordered = is.toSeq.sortBy(_._2).map(_._3)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a !== b); case _ => ()
+      }
+    }
+  }
+
   test("cohort retention: offsets non-negative, week-0 dominates every cohort") {
     val rows = EventOps.cohortRetention(spark, sf("sf0.001"))
       .as[(String, Long, Long)].collect()

@@ -55,6 +55,42 @@ class GraphOpsSpec extends SparkSuite {
     assert(out.count() === 0L)
   }
 
+  /** In-JVM reference: brute-force triple enumeration. */
+  private def refTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val has = (a: Long, b: Long) => edges((math.min(a, b), math.max(a, b)))
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if has(a, b) && has(b, c) && has(a, c)
+    } yield (a, b, c)
+    tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+  }
+
+  test("triangleCounts: planted cliques + chains + skewed hub, exact counts") {
+    // K5 (ids 0-4: C(4,2)=6 triangles per vertex... actually each vertex of
+    // K5 is in C(4,2)=6), a 6-node chain (no triangles), a hub (node 100)
+    // fanning to 20 leaves with ONE closed pair (exactly 1 triangle), and
+    // K3 (ids 50-52)
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = (10L to 15L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val hub = (200L until 220L).map(l => (100L, l)) :+ (200L, 201L)
+    val k3 = Seq((50L, 51L), (51L, 52L), (50L, 52L))
+    val edges = (k5 ++ chain ++ hub ++ k3).toSet
+    val got = GraphOps
+      .triangleCountsFromPairs(edges.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val want = refTriangles(edges)
+    assert(got === want)
+    // shape sanity: K5 vertices in 6 each, hub in exactly 1, chain absent
+    assert((0L to 4L).forall(got(_) === 6L))
+    assert(got(100L) === 1L && got(200L) === 1L && got(201L) === 1L)
+    assert((10L to 15L).forall(!got.contains(_)))
+    assert(got(50L) === 1L && got(51L) === 1L && got(52L) === 1L)
+  }
+
   test("iterative plan stays flat: 10 iterations don't nest the logical plan") {
     val nodes = (0L until 50L).toDF("doc_id")
     val e = (0L until 50L).map(i => (i, (i + 1) % 50)).toDF("src", "dst")

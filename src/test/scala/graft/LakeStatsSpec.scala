@@ -194,6 +194,33 @@ class LakeStatsSpec extends SparkSuite {
     } finally graft.operators.LayoutOps.deleteTree(Paths.get(dir))
   }
 
+  test("relocated lake: zone-mapped fold resolves files against the NEW dir") {
+    val (dir, sink) = freshLake()
+    val moved = Files.createTempDirectory("graft-lakemoved").toString
+    try {
+      (0 until 3).foreach { i =>
+        sink.addBatchStats(i.toLong,
+          batch(i * 100 until (i + 1) * 100, 0L, 100000L), Seq("user_id")) }
+      sink.compactInPlace(spark, zorderCols = Seq("user_id", "event_id"),
+        zorderFiles = 4)
+      // MOVE the whole lake (zone maps must store segment-relative names,
+      // not write-time absolute URIs, for this to read the moved files)
+      graft.operators.LayoutOps.deleteTree(Paths.get(moved))
+      Files.move(Paths.get(dir), Paths.get(moved))
+      val sink2 = new LakeSink(moved)
+      val box = Map("user_id" -> ((40000L, 41000L)))
+      val got = sink2.readPruned(spark, box)
+        .filter(col("user_id").between(40000L, 41000L)).count()
+      val want = sink2.read(spark)
+        .filter(col("user_id").between(40000L, 41000L)).count()
+      assert(got === want)
+      assert(sink2.readPruned(spark, Map("user_id" -> ((0L, 100000L)))).count() === 300L)
+    } finally {
+      graft.operators.LayoutOps.deleteTree(Paths.get(dir))
+      graft.operators.LayoutOps.deleteTree(Paths.get(moved))
+    }
+  }
+
   test("zordered fold coexists with a graduated (plain) segment in one pruned read") {
     val (dir, sink) = freshLake()
     try {
