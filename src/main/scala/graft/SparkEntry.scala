@@ -945,8 +945,6 @@ object SparkEntry {
          FROM qd""",
     // fixed-point int64 power iteration — integer sums are associative, so
     // the recursive CTE and the Spark join+agg loop agree bit-for-bit;
-    // cycle edge (id+1 mod n) keeps min in-degree ≥ 1 so no vertex leaves
-    // the recursion, the two non-bijective maps skew in-degree
     // triangles re-derived from the exact pair graph: p1=(a,b), p2=(b,c),
     // p3=(a,c) with a<b<c (pairs are canonical) finds each triangle once;
     // every vertex of every triangle contributes one membership row
@@ -959,6 +957,8 @@ object SparkEntry {
          m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
                UNION ALL SELECT c FROM tri)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM m GROUP BY 1""",
+    // cycle edge (id+1 mod n) keeps min in-degree ≥ 1 so no vertex leaves
+    // the recursion, the two non-bijective maps skew in-degree
     "q_pagerank" ->
       """WITH RECURSIVE
          n AS (SELECT count(*) AS n FROM documents),
@@ -1716,12 +1716,16 @@ object SparkEntry {
                FROM q a JOIN q b ON a.vec_id=b.vec_id GROUP BY 1,2),
          v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v
                FROM range(64) r(i))"""
+    // NULLIF + COALESCE mirrors the engine's m == 0 branch (all-zero w ⇒
+    // keep the previous v): the divisor goes NULL instead of raising
+    // division-by-zero, and the row falls back to v_{k-1}
     val steps = (1 to 12).map { k =>
       s"""w$k AS MATERIALIZED (SELECT g.i AS i, sum(g.g*v${k - 1}.v) AS w
              FROM g JOIN v${k - 1} ON g.j=v${k - 1}.i GROUP BY 1),
-         v$k AS MATERIALIZED (SELECT i,
-                 (w*1000000)//(SELECT max(abs(w)) FROM w$k) AS v
-                 FROM w$k)"""
+         v$k AS MATERIALIZED (SELECT w$k.i,
+                 COALESCE((w*1000000)//NULLIF(
+                   (SELECT max(abs(w)) FROM w$k), 0), p.v) AS v
+                 FROM w$k JOIN v${k - 1} p ON p.i = w$k.i)"""
     }
     (Seq("WITH " + head) ++ steps).mkString(",\n ") +
       """
