@@ -230,7 +230,11 @@ object SparkEntry {
     // returning — repeated verify/bench invocations must not accumulate
     // corpus-scale shingle/band state under /tmp.
     "q_dup_clusters_durable" -> ((s, d) => {
-      val lake = java.nio.file.Files.createTempDirectory("graft-durdedup")
+      // scratch lake on tmpfs when available (LayoutOps.scratchDir): the
+      // commit I/O being measured is the manifest/segment protocol, not the
+      // sandbox disk's fsync artifact — same policy as the bench's
+      // streaming checkpoints
+      val lake = graft.operators.LayoutOps.scratchDir("graft-durdedup")
       try graft.streaming.IncrementalDedup
         .replayClustersDurable(s, d, lake.toString).localCheckpoint(true)
       finally graft.operators.LayoutOps.deleteTree(lake) // also on failure — a bad input dir must not leak the scratch lake
@@ -270,7 +274,7 @@ object SparkEntry {
     // once and the probe machinery reads the appended files correctly
     "q_ann_ivf_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfinc-" +
+      val idx = s"${graft.operators.LayoutOps.scratchBase()}/graft-ivfinc-" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val emb = EmbeddingOps.embeddings(s, d)
       // deterministic path, ALWAYS rebuilt (the q_ann_ivfpq rationale);
@@ -294,7 +298,7 @@ object SparkEntry {
     // same partition-pruned compressed plumbing (EmbeddingSpec)
     "q_ann_ivfpq" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
+      val idx = s"${graft.operators.LayoutOps.scratchBase()}/graft-ivfpq-" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       // deterministic path, ALWAYS rebuilt: reusing a leftover index made
       // the timed query's work depend on host /tmp state (irreproducible
@@ -311,7 +315,7 @@ object SparkEntry {
     // rerank window is 64 (measured exact ≥ top-5 at every test sf with
     // wide margin, EmbeddingSpec)
     "q_ann_sq8" -> ((s, d) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-sq8-" +
+      val idx = s"${graft.operators.LayoutOps.scratchBase()}/graft-sq8-" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       EmbeddingOps.buildSq8Index(s, d, idx)
       EmbeddingOps.sq8TopK(s, d, idx, nQueries = 10, k = 5, rerank = 64)

@@ -374,8 +374,10 @@ object BpeTrainer {
   def roundTripAudit(spark: SparkSession, dir: String,
                      nMerges: Int = 16): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text")
+    // fan out before the per-doc encode passes: train + encode + unmerge are
+    // per-row CPU work that would otherwise run on the one-task scan
+    val docs = Par.fanOut(TextOps.documents(spark, dir).select("doc_id", "text"),
+      org.apache.spark.sql.functions.col("doc_id"))
     val seqs = docs.select("text").as[String].map(graft.functions.TokenCodec.encodeString)
     val (merges, trained) = trainBatched(seqs, nMerges)
     // the trainer's working corpus is persisted/checkpointed for the merge

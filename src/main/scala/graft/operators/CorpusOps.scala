@@ -207,7 +207,7 @@ object CorpusOps {
     * the raw id never leaves the scan. Pure per-row projection. */
   def pseudonymize(spark: SparkSession, dir: String,
                    pepper: String = "pepper1"): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    EventOps.events(spark, dir)
       .filter(col("event_id") < 2000)
       .select(col("event_id"),
         substring(md5(concat(lit(pepper + ":"), col("user_id").cast("string"))),
@@ -897,9 +897,23 @@ object CorpusOps {
     connectedComponentsWithRounds(pairs, maxIter)._1
 
   /** [[connectedComponents]] plus the number of rounds it took — the spec
-    * hook for the O(log n) convergence property. */
-  def connectedComponentsWithRounds(pairs: DataFrame,
-                                    maxIter: Int = 25): (DataFrame, Int) = {
+    * hook for the O(log n) convergence property.
+    *
+    * Size-gated hybrid: when the deduped edge set is at most
+    * `localEdgeLimit` rows (default 2²⁰ ≈ 16 MB of longs — a broadcast-
+    * threshold-sized bound, NOT data-sized), the contraction runs as one
+    * driver union-find over the collected edges instead of the iterative
+    * star-contraction job chain: each distributed round costs two shuffles
+    * plus a count, so a 5-round loop on a small graph is ~12 scheduled
+    * jobs to compute what the driver finishes in microseconds. The
+    * incremental-dedup label merges are batch-sized by construction, so
+    * they always take this path; corpus-scale pair graphs past the bound
+    * take the distributed loop unchanged. `localEdgeLimit = 0` forces the
+    * distributed path (the spec's O(log n) property drives it directly).
+    * Returns rounds = 0 for the driver path. */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 25,
+                                    localEdgeLimit: Long = 1L << 20): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     // Every round references the previous round's frame several times (both
     // union branches, both join sides), so WITHOUT lineage truncation the
     // logical plan grows ~16× per round and planning itself OOMs the driver
@@ -913,6 +927,36 @@ object CorpusOps {
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var oldCount = edges.count()
+    // long ids only: non-integral id domains (e.g. string doc keys in the
+    // token-table path) keep the type-generic distributed loop
+    val integralIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (oldCount <= localEdgeLimit && integralIds) {
+      // driver union-find (union-by-min + path compression): roots are
+      // component minima because a union always points the larger root at
+      // the smaller — the exact min-rep semantics of the distributed loop
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.streaming.IncrementalDedup.release(edges)
+      val parent = new java.util.HashMap[Long, Long](collected.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val labels = collected.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct
+        .map(v => (v, find(v))).toSeq
+      import spark.implicits._
+      return (labels.toDF("doc_id", "rep"), 0)
+    }
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {

@@ -689,9 +689,21 @@ object MediaOps {
     * box-walk it back, emit the closed-form-checkable fields. The bytes
     * are built and decoded inside ONE mapPartitions pass — binary payloads
     * never shuffle. */
+  /** Fanned-out doc-id source for the synth+decode queries: container
+    * synthesis + box-walk decode + payload hashing is per-row CPU measured
+    * in ms, and the id list plans as a one-task scan of a single small
+    * parquet file — fanning 8-byte ids across the session's cores costs a
+    * ~40 KB shuffle and parallelizes the whole stage ([[Par.fanOut]]). */
+  private def docIdsFanned(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Dataset[Long] = {
+    import spark.implicits._
+    Par.fanOut(TextOps.documents(spark, dir).select("doc_id"),
+      org.apache.spark.sql.functions.col("doc_id")).as[Long]
+  }
+
   def mp4MetaQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextOps.documents(spark, dir).select("doc_id").as[Long]
+    docIdsFanned(spark, dir)
       .mapPartitions(_.map(id => sniffMp4(id, synthMp4(id))))
       .toDF()
       .select("doc_id", "duration_ms", "timescale", "n_tracks", "n_samples",
@@ -709,7 +721,7 @@ object MediaOps {
     * driver gate. */
   def mp4SamplesQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextOps.documents(spark, dir).select("doc_id").as[Long]
+    docIdsFanned(spark, dir)
       .flatMap(id => extractMp4Samples(id, synthMp4(id)))
       .toDF()
       .select("doc_id", "track_id", "sample_idx", "size", "payload_md5",
@@ -726,7 +738,7 @@ object MediaOps {
   def frameDedupQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, min}
-    TextOps.documents(spark, dir).select("doc_id").as[Long]
+    docIdsFanned(spark, dir)
       .flatMap(id => extractMp4Samples(id, synthMp4(id),
         keep = (track, _, _) => track == 1))
       .toDF()
@@ -747,7 +759,7 @@ object MediaOps {
   def frameSampleQuery(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
     import spark.implicits._
-    TextOps.documents(spark, dir).select("doc_id").as[Long]
+    docIdsFanned(spark, dir)
       .flatMap { id =>
         extractMp4Samples(id, synthMp4(id),
           keep = (track, _, sync) => track == 1 && sync)

@@ -114,9 +114,19 @@ object TextOps {
     * count. Output: (id_a, id_b, i, na, nb). */
   private def shingleIntersections(spark: SparkSession, dir: String, k: Int,
                                    maxShingleFreq: Option[Int]): DataFrame = {
-    val docs = documents(spark, dir).select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
-    val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    // fan the raw docs out BEFORE the shingle projection (a one-task scan
+    // would otherwise compute every shingle on one core)
+    val docs = Par.fanOut(documents(spark, dir).select("doc_id", "text"),
+        col("doc_id"))
+      .select(col("doc_id"), shingleArr(col("text"), k).as("sh"))
+    // materialize the exploded shingle table ONCE: the self-join reads it on
+    // both sides and the per-doc sizes roll up from it, where the lazy plan
+    // re-evaluated the scan→shingle subtree four times (the r6 simhash
+    // lesson — aggregate+join re-evaluation); shingles are distinct per doc,
+    // so the count roll-up equals size(sh)
     val exAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
+    val cnt = exAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ex = maxShingleFreq match {
       case None => exAll
       case Some(cap) =>
@@ -150,7 +160,8 @@ object TextOps {
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
                       k: Int = 3): DataFrame =
     minhashLshPairsOn(
-      documents(spark, dir).select(col("doc_id"), shingleArr(col("text"), k).as("sh")),
+      Par.fanOut(documents(spark, dir).select("doc_id", "text"), col("doc_id"))
+        .select(col("doc_id"), shingleArr(col("text"), k).as("sh")),
       threshold)
 
   /** LSH band-bucket rows `(doc_id, band, bkey)` for any `(doc_id,
@@ -171,8 +182,13 @@ object TextOps {
     * by the text path above and the token-table path
     * ([[CorpusOps.tokenNearDupPairs]]). */
   def minhashLshPairsOn(docsWithShingles: DataFrame, threshold: Double): DataFrame = {
-    val docs = docsWithShingles
-    val banded = bandBuckets(docsWithShingles)
+    // materialize (doc_id, sh) ONCE and the banded table ONCE: the band
+    // self-join otherwise re-evaluates scan→shingle→minhash on BOTH sides
+    // and the two verify joins re-shingle twice more (the r6 simhash
+    // lesson). At corpus scale these are the persisted signature/shingle
+    // intermediates a real pipeline stores anyway.
+    val docs = docsWithShingles.localCheckpoint(true)
+    val banded = bandBuckets(docs).localCheckpoint(true)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -198,7 +214,8 @@ object TextOps {
     graft.functions.Signatures.simhashMd5Sig(shingleArr(text, k))
 
   def simhashDocs(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
+    Par.fanOut(documents(spark, dir).select("doc_id", "text"), col("doc_id"))
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
 
   /** SimHash banded candidates (pre-verification): 4 bands × 16 bits, so
     * any pair with hamming ≤ 3 shares at least one full band (pigeonhole).

@@ -96,15 +96,19 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     * batchId like [[LakeSink]] does — or use [[DurableIncrementalDedup]],
     * which gates internally). */
   def addBatch(batch: DataFrame): BatchStats = {
-    val newShingles = shinglesOf(batch, k).localCheckpoint(true)
+    val newShingles = labeled(batch, "dedup: shingle batch") {
+      shinglesOf(batch, k).localCheckpoint(true) }
     val nNew = newShingles.count()
-    val newBands = TextOps.bandBuckets(newShingles).localCheckpoint(true)
+    val newBands = labeled(batch, "dedup: band batch") {
+      TextOps.bandBuckets(newShingles).localCheckpoint(true) }
 
-    val cands = candidatePairs(newBands, bandsState).localCheckpoint(true)
+    val cands = labeled(batch, "dedup: candidate pairs") {
+      candidatePairs(newBands, bandsState).localCheckpoint(true) }
     val nCands = cands.count()
 
     val allSh = shinglesState.fold(newShingles)(_.union(newShingles))
-    val verified = verifiedPairs(cands, allSh, threshold).localCheckpoint(true)
+    val verified = labeled(batch, "dedup: verify pairs") {
+      verifiedPairs(cands, allSh, threshold).localCheckpoint(true) }
     val nVerified = verified.count()
 
     var nNodes = 0L
@@ -116,12 +120,13 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     // only, not scratch from every batch ever processed
     val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](cands, verified)
     if (nVerified > 0) {
-      labelMerge(verified, labelsState) match {
+      labeled(batch, "dedup: label merge")(labelMerge(verified, labelsState)) match {
         case Some(m) =>
           nNodes = m.nNodes; nTouched = touchedReps(m.comp, labelsState)
           rounds = m.ccRounds
           val prev = labelsState
-          labelsState = Some(m.nextLabels.localCheckpoint(true))
+          labelsState = Some(labeled(batch, "dedup: label merge") {
+            m.nextLabels.localCheckpoint(true) })
           scratch ++= m.scratch
           // the replaced generation's checkpoint blocks are dead — drop them
           prev.foreach(release)
@@ -158,6 +163,13 @@ object IncrementalDedup {
       nNewDocs: Long, nCandidatePairs: Long, nVerifiedPairs: Long,
       nGraphNodes: Long, nTouchedReps: Long, ccRounds: Int)
 
+  /** Label the jobs of one phase (guide §1.5) — thread-local, reset after. */
+  private[streaming] def labeled[T](df: DataFrame, desc: String)(body: => T): T = {
+    val sc = df.sparkSession.sparkContext
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(null)
+  }
+
   /** Dead checkpointed generation → free its executor-storage blocks NOW.
     * `df.unpersist()` alone does not release localCheckpoint RDD blocks
     * (they wait for ContextCleaner GC); the bridge unpersists the
@@ -166,7 +178,12 @@ object IncrementalDedup {
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpointQuietly(df)
 
   private[streaming] def shinglesOf(batch: DataFrame, k: Int): DataFrame =
-    batch.select(col("doc_id"), TextOps.shingleArr(col("text"), k).as("sh"))
+    // fan the batch out before shingling: a batch carved from a one-file
+    // scan (the replay drivers) or a few-file trigger plans as 1-4 tasks,
+    // serializing the per-row shingle+minhash work; no-op when the batch
+    // already has session-parallelism partitions (Par.fanOut)
+    graft.operators.Par.fanOut(batch, col("doc_id"))
+      .select(col("doc_id"), TextOps.shingleArr(col("text"), k).as("sh"))
 
   /** Candidates: new↔new (band self-join, i<j) plus new↔existing (band
     * index equi-join) — never a scan of old documents. The new↔old side
@@ -375,34 +392,42 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
     if (shingleSink.accountsFor(batchId)) // completion marker → replay no-op
       return BatchStats(0L, 0L, 0L, 0L, 0L, 0)
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val newShingles = shinglesOf(batch, k).localCheckpoint(true)
-    val newBands = TextOps.bandBuckets(newShingles).localCheckpoint(true)
+    val newShingles = labeled(batch, "durdedup: shingle batch") {
+      shinglesOf(batch, k).localCheckpoint(true) }
+    val newBands = labeled(batch, "durdedup: band batch") {
+      TextOps.bandBuckets(newShingles).localCheckpoint(true) }
     scratch += newShingles
     scratch += newBands
     var stats = BatchStats(newShingles.count(), 0L, 0L, 0L, 0L, 0)
     if (!labelSink.accountsFor(batchId)) {
-      val cands = candidatePairs(newBands, readState(bandSink)).localCheckpoint(true)
+      val cands = labeled(batch, "durdedup: candidate pairs") {
+        candidatePairs(newBands, readState(bandSink)).localCheckpoint(true) }
       scratch += cands
       val allSh = readState(shingleSink).fold(newShingles)(_.union(newShingles))
-      val verified = verifiedPairs(cands, allSh, threshold).localCheckpoint(true)
+      val verified = labeled(batch, "durdedup: verify pairs") {
+        verifiedPairs(cands, allSh, threshold).localCheckpoint(true) }
       scratch += verified
       val nVerified = verified.count()
       stats = stats.copy(nCandidatePairs = cands.count(), nVerifiedPairs = nVerified)
       if (nVerified > 0) {
         val labelsState = latestLabelGen()
-        labelMerge(verified, labelsState).foreach { m =>
+        labeled(batch, "durdedup: label merge")(labelMerge(verified, labelsState))
+          .foreach { m =>
           stats = stats.copy(nGraphNodes = m.nNodes,
             nTouchedReps = touchedReps(m.comp, labelsState), ccRounds = m.ccRounds)
           // full current table = this generation's rows; the manifest
           // commit is atomic, so a crash mid-write never becomes "current"
-          labelSink.addBatch(batchId, m.nextLabels)
+          labeled(batch, "durdedup: commit labels") {
+            labelSink.addBatch(batchId, m.nextLabels) }
           scratch ++= m.scratch
         }
       }
     }
     // deltas last: the shingle commit marks the batch complete
-    bandSink.addBatch(batchId, newBands)
-    shingleSink.addBatch(batchId, newShingles)
+    labeled(batch, "durdedup: commit bands") {
+      bandSink.addBatch(batchId, newBands) }
+    labeled(batch, "durdedup: commit shingles") {
+      shingleSink.addBatch(batchId, newShingles) }
     scratch.foreach(release)
     stats
   }

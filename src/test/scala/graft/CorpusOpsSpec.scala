@@ -393,13 +393,28 @@ class CorpusOpsSpec extends SparkSuite {
     // star contraction must finish in ~2·log2(n)
     val n = 1000
     val path = (0 until n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val (labels, rounds) = CorpusOps.connectedComponentsWithRounds(path, maxIter = 25)
+    // localEdgeLimit = 0 forces the DISTRIBUTED star-contraction loop — the
+    // O(log n) property below is about that loop, not the size-gated
+    // driver union-find fast path (tested separately for parity)
+    val (labels, rounds) = CorpusOps.connectedComponentsWithRounds(
+      path, maxIter = 25, localEdgeLimit = 0)
     val comp = labels.as[(Long, Long)].collect()
     assert(comp.length === n + 1)
     assert(comp.forall(_._2 === 0L), "whole path must collapse to rep 0")
     val bound = 2 * (math.log(n + 1) / math.log(2)).ceil.toInt + 2
     info(s"converged in $rounds rounds (bound $bound)")
     assert(rounds <= bound, s"$rounds rounds exceeds O(log n) bound $bound")
+  }
+
+  test("driver fast path and distributed star contraction agree on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 500).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter(e => e._1 != e._2)
+    val viaDriver = CorpusOps.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val (viaSpark, _) = CorpusOps.connectedComponentsWithRounds(
+      edges.toDF("id_a", "id_b"), maxIter = 25, localEdgeLimit = 0)
+    assert(viaDriver === viaSpark.as[(Long, Long)].collect().toMap)
   }
 
   test("star contraction labels equal union-find ground truth on a random graph") {
