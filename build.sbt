@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // static conf (must precede session creation): the default 100-entry
+  // generated-class cache thrashes under a 100+-query session — repeated
+  // plan shapes (the dedup/shingle/top-k families) recompile identical
+  // Janino classes instead of reusing them. Scale-independent sizing.
+  "-Dspark.sql.codegen.cache.maxEntries=4000",
 )

@@ -250,31 +250,71 @@ object IncrementalDedup {
         .select(coalesce(col("rep_a"), col("id_a")).as("id_a"),
           coalesce(col("rep_b"), col("id_b")).as("id_b"))
     }.filter(col("id_a") =!= col("id_b")).distinct().localCheckpoint(true)
-    val nNodes = collapsed.select(explode(array(col("id_a"), col("id_b"))))
-      .distinct().count()
-    if (nNodes == 0) { release(collapsed); None }
-    else {
+    // the contraction graph is batch-sized BY CONSTRUCTION (endpoints are
+    // batch docs ∪ touched reps — the property StreamingSpec asserts), so
+    // its node count and components come from ONE bounded collect + driver
+    // union-find instead of a distinct-count job plus the CC job chain
+    // (~8 scheduled jobs per microbatch on sub-second data). Graphs past
+    // the same bound the CC hybrid uses fall back to the distributed loop.
+    // 2^18 edges ≈ 4 MB collected, ≤ ~0.5M-node LocalRelation — small
+    // enough to ride plans as a broadcast; past it, the distributed loop
+    val localLimit = 1L << 18
+    val nEdges = collapsed.count()
+    val longIds = collapsed.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges == 0) { release(collapsed); None }
+    else if (nEdges <= localLimit && longIds) {
+      val spark = collapsed.sparkSession
+      import spark.implicits._
+      val edges = collapsed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toArray.distinct
+      // LocalRelation — joins against it broadcast; nothing to release
+      val comp = nodes.map(v => (v, find(v))).toSeq.toDF("node", "new_rep")
+      val nextLabels = patchLabels(comp, labelsState)
+      Some(LabelMerge(nextLabels, comp, Seq(collapsed), nodes.length.toLong, 0))
+    } else {
+      val nNodes = collapsed.select(explode(array(col("id_a"), col("id_b"))))
+        .distinct().count()
       val (comp0, rounds) = CorpusOps.connectedComponentsWithRounds(collapsed)
       val comp = comp0.toDF("node", "new_rep").localCheckpoint(true)
-      // patch the label table: rows of touched clusters re-point at the
-      // merged rep; contraction nodes without a label row get fresh rows
-      val nextLabels = labelsState match {
-        case Some(lbl) =>
-          val updated = lbl
-            .join(comp.withColumnRenamed("node", "rep"), Seq("rep"), "left")
-            .select(col("doc_id"),
-              coalesce(col("new_rep"), col("rep")).as("rep"))
-          val fresh = comp
-            .join(lbl.select("doc_id"), col("node") === col("doc_id"),
-              "left_anti")
-            .select(col("node").as("doc_id"), col("new_rep").as("rep"))
-          updated.union(fresh)
-        case None =>
-          comp.select(col("node").as("doc_id"), col("new_rep").as("rep"))
-      }
-      Some(LabelMerge(nextLabels, comp, Seq(collapsed, comp), nNodes, rounds))
+      Some(LabelMerge(patchLabels(comp, labelsState), comp,
+        Seq(collapsed, comp), nNodes, rounds))
     }
   }
+
+  /** Patch the label table: rows of touched clusters re-point at the merged
+    * rep; contraction nodes without a label row get fresh rows. */
+  private def patchLabels(comp: DataFrame,
+                          labelsState: Option[DataFrame]): DataFrame =
+    labelsState match {
+      case Some(lbl) =>
+        val updated = lbl
+          .join(comp.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+          .select(col("doc_id"),
+            coalesce(col("new_rep"), col("rep")).as("rep"))
+        val fresh = comp
+          .join(lbl.select("doc_id"), col("node") === col("doc_id"),
+            "left_anti")
+          .select(col("node").as("doc_id"), col("new_rep").as("rep"))
+        updated.union(fresh)
+      case None =>
+        comp.select(col("node").as("doc_id"), col("new_rep").as("rep"))
+    }
 
   private[streaming] def touchedReps(comp: DataFrame,
                                      labelsState: Option[DataFrame]): Long =
@@ -360,7 +400,8 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
   private def strip(df: DataFrame): DataFrame = df.drop("_batch_id", "_part_id")
 
   private def readState(sink: LakeSink): Option[DataFrame] =
-    if (sink.committed().exists(_.rows > 0)) Some(strip(sink.read(spark))) else None
+    if (sink.committed().exists(_.rows > 0)) Some(strip(sink.readUniform(spark)))
+    else None
 
   /** Newest committed label generation, read from its ONE segment dir —
     * never the whole history filtered back down (each label-changing batch

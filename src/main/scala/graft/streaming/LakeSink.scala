@@ -509,6 +509,19 @@ class LakeSink(val path: String) extends Serializable {
     * the first file's footer wins and evolved columns silently vanish. */
   def read(spark: SparkSession): DataFrame = readEntries(spark, committed())
 
+  /** [[read]] for sinks whose segments share ONE schema by construction
+    * (the dedup state tables: fixed-shape band/shingle/label rows). Skips
+    * parquet schema merging, which makes the DRIVER read every file's
+    * footer on each state read — O(segments) driver I/O per microbatch of
+    * the durable-dedup loop for information the first footer carries. The
+    * general [[read]] keeps mergeSchema: the DATA path's schema-evolution
+    * contract (StreamingSpec) depends on it. */
+  def readUniform(spark: SparkSession): DataFrame = {
+    val batches = committed().map(_.batch)
+    if (batches.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(batches.sorted.map(b => s"$path/batch=$b"): _*)
+  }
+
   /** Committed entries that may hold rows inside `box` (inclusive ranges
     * per zone-stat column). Conservative: zero-row segments are never
     * candidates; entries without stats for a boxed column always are. */
