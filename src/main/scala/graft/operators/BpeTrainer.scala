@@ -49,15 +49,22 @@ object BpeTrainer {
     * collide with an existing token. Shared by both trainers (a drifting
     * copy of the seeding rule would silently change one table). */
   private def seedNextId(current: Dataset[Array[Int]]): Int = {
-    import current.sparkSession.implicits._
-    val maxRow = current.flatMap(s => s.headOption.map(_ => s.max)).toDF("v")
-      .agg(org.apache.spark.sql.functions.max("v")).collect()(0)
+    import org.apache.spark.sql.functions._
+    // native array_max (null on empty arrays, skipped by max) — the typed
+    // flatMap form deserialized every token array into JVM objects
+    val maxRow = current.toDF("value")
+      .agg(max(array_max(col("value")))).collect()(0)
     if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0) + 1
   }
 
   /** Corpus-wide adjacent-pair counts (packed 64-bit keys), sorted by the
     * deterministic tiebreak (count desc, key asc) — the per-round shuffle
-    * both trainers share. */
+    * both trainers share. Deliberately the TYPED flatMap, not a native
+    * transform+explode: the declarative form fuses Generate with the
+    * partial aggregate into one giant codegen method Spark cannot split
+    * (the BASELINE.md codegen note) — HotSpot refuses it and the
+    * "optimized" plan measured ~35% SLOWER per round (r7 A/B, 7.5-8.3 s vs
+    * 10.2-11.5 s cold at the oracle config). */
   private def rankedPairCounts(current: Dataset[Array[Int]]): DataFrame = {
     import current.sparkSession.implicits._
     current

@@ -102,13 +102,17 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     val newBands = labeled(batch, "dedup: band batch") {
       TextOps.bandBuckets(newShingles).localCheckpoint(true) }
 
-    val cands = labeled(batch, "dedup: candidate pairs") {
-      candidatePairs(newBands, bandsState).localCheckpoint(true) }
-    val nCands = cands.count()
-
+    // candidates + verification materialize as ONE checkpoint of the
+    // candidate-sized scored frame (jaccard-threshold flag kept, not yet
+    // filtered) — the separate candidate checkpoint bought only the nCands
+    // stat, which the scored frame still carries; one fewer materialized
+    // frame ≈ 3-4 fewer scheduled jobs per microbatch
     val allSh = shinglesState.fold(newShingles)(_.union(newShingles))
-    val verified = labeled(batch, "dedup: verify pairs") {
-      verifiedPairs(cands, allSh, threshold).localCheckpoint(true) }
+    val scored = labeled(batch, "dedup: candidate+verify") {
+      scoredPairs(candidatePairs(newBands, bandsState), allSh, threshold)
+        .localCheckpoint(true) }
+    val nCands = scored.count()
+    val verified = scored.filter(col("ok")).select("id_a", "id_b")
     val nVerified = verified.count()
 
     var nNodes = 0L
@@ -118,7 +122,7 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     // graph, component labels) are dead once the batch commits — released
     // before returning so a long-lived session's storage is deltas + labels
     // only, not scratch from every batch ever processed
-    val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](cands, verified)
+    val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](scored)
     if (nVerified > 0) {
       labeled(batch, "dedup: label merge")(labelMerge(verified, labelsState)) match {
         case Some(m) =>
@@ -211,19 +215,28 @@ object IncrementalDedup {
     newNew.union(newOld).distinct()
   }
 
-  /** Exact-Jaccard verification — candidate ids only, via id equi-join.
+  /** Exact-Jaccard scoring of every candidate — candidate ids only, via id
+    * equi-join; emits `(id_a, id_b, ok)` with the threshold verdict as a
+    * flag instead of a filter, so ONE candidate-sized materialization
+    * serves both the nCandidatePairs stat and the verified set.
     * round(,6) BEFORE the threshold compare — identical to the batch path,
     * so a boundary pair never flips between the two. */
-  private[streaming] def verifiedPairs(cands: DataFrame, allSh: DataFrame,
-                                       threshold: Double): DataFrame =
+  private[streaming] def scoredPairs(cands: DataFrame, allSh: DataFrame,
+                                     threshold: Double): DataFrame =
     cands
       .join(allSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(allSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b")
+        (round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6) >= threshold).as("ok"))
+
+  /** Exact-Jaccard verification — [[scoredPairs]] filtered to the passing
+    * pairs (spec/compat shim; the batch drivers checkpoint the scored frame
+    * and filter it instead of materializing both). */
+  private[streaming] def verifiedPairs(cands: DataFrame, allSh: DataFrame,
+                                       threshold: Double): DataFrame =
+    scoredPairs(cands, allSh, threshold)
+      .filter(col("ok")).select("id_a", "id_b")
 
   /** Result of the rep-collapsed contraction: `nextLabels` is a PLAN
     * (caller materializes — checkpoint or lake write), `comp` and `scratch`
@@ -441,15 +454,16 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
     scratch += newBands
     var stats = BatchStats(newShingles.count(), 0L, 0L, 0L, 0L, 0)
     if (!labelSink.accountsFor(batchId)) {
-      val cands = labeled(batch, "durdedup: candidate pairs") {
-        candidatePairs(newBands, readState(bandSink)).localCheckpoint(true) }
-      scratch += cands
+      // one candidate-sized materialization for candidates AND verification
+      // (the scoredPairs rationale in the in-memory twin)
       val allSh = readState(shingleSink).fold(newShingles)(_.union(newShingles))
-      val verified = labeled(batch, "durdedup: verify pairs") {
-        verifiedPairs(cands, allSh, threshold).localCheckpoint(true) }
-      scratch += verified
+      val scored = labeled(batch, "durdedup: candidate+verify") {
+        scoredPairs(candidatePairs(newBands, readState(bandSink)), allSh,
+          threshold).localCheckpoint(true) }
+      scratch += scored
+      val verified = scored.filter(col("ok")).select("id_a", "id_b")
       val nVerified = verified.count()
-      stats = stats.copy(nCandidatePairs = cands.count(), nVerifiedPairs = nVerified)
+      stats = stats.copy(nCandidatePairs = scored.count(), nVerifiedPairs = nVerified)
       if (nVerified > 0) {
         val labelsState = latestLabelGen()
         labeled(batch, "durdedup: label merge")(labelMerge(verified, labelsState))
