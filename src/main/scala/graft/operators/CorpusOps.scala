@@ -255,8 +255,13 @@ object CorpusOps {
     * semi-join without shuffling. Here the "benchmark" is the deterministic
     * doc_id % 50 == 0 slice so the oracle can recompute it. */
   def contamination(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    val sh = documents(spark, dir)
+    // fanned + materialized once: bench side and training side both read
+    // the exploded shingle table (the lazy form re-ran the one-task
+    // scan→shingle subtree for each)
+    val sh = Par.fanOut(documents(spark, dir).select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), k)).as("s"))
+      .localCheckpoint(true)
     val bench = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
     sh.filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench), Seq("s"))
@@ -280,8 +285,11 @@ object CorpusOps {
     * boundary cannot drift between engines — the [[qualityScore]]
     * sign-of-z lesson applied here. */
   def contaminationOverlap(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    val sh = documents(spark, dir)
+    // same fanned materialize-once as [[contamination]]
+    val sh = Par.fanOut(documents(spark, dir).select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), k)).as("s"))
+      .localCheckpoint(true)
     val bench = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
       .withColumn("hit", lit(1))
     sh.filter(col("doc_id") % 50 =!= 0).distinct()

@@ -209,8 +209,15 @@ object LayoutOps {
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     val scratch = scratchDir("graft-zorder")
     try {
+      // scale-adaptive file count: target ~64 MB clustered files (guide §6)
+      // with a floor of 8 so the pruning demonstration keeps real
+      // resolution at test scale — a constant 32 wrote 64 KB files here
+      // and would write multi-GB files at 100 TB
+      val bytes = Files.size(Paths.get(s"$dir/events.parquet"))
+      val numFiles = math.max(8L,
+        math.min(4096L, (bytes + (64L << 20) - 1) / (64L << 20))).toInt
       val zm = zorderWrite(ev, Seq("user_id", "ts_us"),
-        scratch.toString, numFiles = 32)
+        scratch.toString, numFiles = numFiles)
       val (u, t) = (zm.bounds("user_id"), zm.bounds("ts_us"))
       val box = Map(
         "user_id" -> ColRange(u.min + (u.max - u.min) / 4,

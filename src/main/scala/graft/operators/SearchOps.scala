@@ -97,7 +97,11 @@ object SearchOps {
     * (~2/(w+1) of gram count). */
   def winnowFingerprints(spark: SparkSession, dir: String,
                          k: Int = 3, w: Int = 4): DataFrame =
-    winnowFingerprintsDf(TextOps.documents(spark, dir), k, w)
+    // fan out before the gram Generate: the split+posexplode runs in the
+    // scan stage, which plans as one task on a single-file table
+    winnowFingerprintsDf(Par.fanOut(
+      TextOps.documents(spark, dir).select("doc_id", "text"), col("doc_id")),
+      k, w)
 
   /** [[winnowFingerprints]] over an explicit `(doc_id, text)` frame. */
   def winnowFingerprintsDf(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
@@ -147,7 +151,9 @@ object SearchOps {
   def winnowPairs(spark: SparkSession, dir: String,
                   k: Int = 3, w: Int = 4,
                   minShared: Int = 2, maxFpDocs: Int = 64): DataFrame = {
-    val fps = winnowFingerprintsDf(TextOps.documents(spark, dir), k, w)
+    val fps = winnowFingerprintsDf(Par.fanOut(
+        TextOps.documents(spark, dir).select("doc_id", "text"), col("doc_id")),
+        k, w)
       .localCheckpoint(true)
     val hot = fps.groupBy("fp")
       .agg(countDistinct("doc_id").as("nd"))

@@ -440,9 +440,14 @@ object TextOps {
     * source level. Per-source set sizes are a source-count-sized frame →
     * broadcast. */
   def sourceSim(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val ex = documents(spark, dir)
+    // fan out + materialize ONCE: the distinct (source, shingle) table is
+    // read by both self-join sides and the size aggregate — the lazy form
+    // re-ran scan→shingle→explode→distinct three times, all fused onto a
+    // one-task scan
+    val ex = Par.fanOut(documents(spark, dir)
+        .select("doc_id", "source", "text"), col("doc_id"))
       .select(col("source"), explode(shingleArr(col("text"), k)).as("s"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val cnt = ex.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.source") < col("y.source"))
@@ -460,7 +465,8 @@ object TextOps {
     * buffer per (task, source), never the shingle stream). */
   def kmvPerSource(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.functions.KmvSketch
-    documents(spark, dir)
+    Par.fanOut(documents(spark, dir).select("doc_id", "source", "text"),
+        col("doc_id"))
       .select(col("source"), explode(shingleArr(col("text"), 3)).as("s"))
       .select(col("source"), xxhash64(col("s")).as("h"))
       .groupBy("source").agg(KmvSketch.kmv(k, col("h")).as("keys"))
