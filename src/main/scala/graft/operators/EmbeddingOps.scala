@@ -393,14 +393,50 @@ object EmbeddingOps {
     * later query probes nProbe cells as a PARTITION-PRUNED scan (asserted
     * in EmbeddingSpec) — reading nProbe/nCells of the index bytes instead
     * of filtering a full scan. */
-  /** Write the coarse codebook as a tiny parquet table (shared by the flat
+  /** Codebooks are INDEX METADATA, not data: k×dim doubles (a few KB).
+    * They are stored as one atomic JSON file — writing/reading them as
+    * parquet tables cost a Spark job per write and per load (the index
+    * queries paid 4-6 such jobs each), exactly the pattern the lake
+    * manifests and zone maps already avoid. Doubles are stored as IEEE-754
+    * bit patterns (longs), so the round trip is bit-exact by construction
+    * — frozen-centroid append semantics depend on byte identity. */
+  private val metaMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeDoubleMatrix(node: com.fasterxml.jackson.databind.node.ArrayNode,
+                                m: Array[Array[Double]]): Unit =
+    m.foreach { row =>
+      val r = node.addArray()
+      row.foreach(v => r.add(java.lang.Double.doubleToLongBits(v)))
+    }
+
+  private def readDoubleMatrix(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map(row =>
+      row.elements().asScala.map(c =>
+        java.lang.Double.longBitsToDouble(c.asLong())).toArray).toArray
+  }
+
+  private def writeMetaFile(path: String,
+                            root: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(path)
+    // a pre-existing DIRECTORY here is an old-format (parquet) codebook
+    // left by an earlier build — replace it
+    if (Files.isDirectory(p)) LayoutOps.deleteTree(p)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, root.toString)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write the coarse codebook as atomic JSON metadata (shared by the flat
     * IVF and IVF-PQ index builders). */
   private def writeCodebook(spark: SparkSession, path: String,
                             cents: Array[Array[Double]]): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    val root = metaMapper.createObjectNode()
+    writeDoubleMatrix(root.putArray("cells"), cents)
+    writeMetaFile(path, root)
   }
 
   /** Per-query probe rows `(qid, qv, cell)` for the nProbe nearest cells,
@@ -455,12 +491,10 @@ object EmbeddingOps {
       .parquet(s"$indexPath/vectors")
   }
 
-  def loadCodebook(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
-    import spark.implicits._
-    spark.read.parquet(s"$indexPath/codebook")
-      .orderBy("cell").select("centroid").as[Seq[Double]]
-      .collect().map(_.toArray)
-  }
+  def loadCodebook(spark: SparkSession, indexPath: String): Array[Array[Double]] =
+    readDoubleMatrix(metaMapper.readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$indexPath/codebook"))).get("cells"))
 
   /** Probe a pre-built index: nearest nProbe cells per query (codebook is
     * driver-resident — it is k×dim floats), then ONE partition-pruned scan
@@ -495,9 +529,15 @@ object EmbeddingOps {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    Array.tabulate(m) { s =>
-      kmeansLocal(sample.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
+    // the M subspace fits are independent driver-local problems — run them
+    // on the common pool (deterministic: each writes only its own slot;
+    // the fit itself is sequential per subspace, so results are identical
+    // to the serial loop)
+    val out = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      out(s) = kmeansLocal(sample.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
     }
+    out
   }
 
   /** LOSSLESS configuration — every distinct sub-vector becomes its own
@@ -671,10 +711,11 @@ object EmbeddingOps {
     }
     val books = pqBooksFromSample(resSample, m, kCodes, iters = 4)
     writeCodebook(spark, s"$indexPath/codebook", cents)
-    books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
-    }.toSeq.toDF("subspace", "codeword", "values")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pqbooks")
+    // PQ books are metadata too (m × k × dsub doubles): one JSON file
+    val pqRoot = metaMapper.createObjectNode()
+    val subs = pqRoot.putArray("subspaces")
+    books.foreach(book => writeDoubleMatrix(subs.addArray(), book))
+    writeMetaFile(s"$indexPath/pqbooks", pqRoot)
     all
       .withColumn("cluster",
         graft.functions.ArgMinCentroid.argminCentroid(col("embedding"), cents))
@@ -692,12 +733,12 @@ object EmbeddingOps {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$indexPath/vectors")
   }
 
-  def loadPqBooks(spark: SparkSession, indexPath: String): Array[Array[Array[Double]]] =
-    spark.read.parquet(s"$indexPath/pqbooks")
-      .orderBy("subspace", "codeword").collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.map(_.getAs[collection.Seq[Double]]("values").toArray).toArray)
-      .toArray
+  def loadPqBooks(spark: SparkSession, indexPath: String): Array[Array[Array[Double]]] = {
+    import scala.jdk.CollectionConverters._
+    metaMapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$indexPath/pqbooks")))
+      .get("subspaces").elements().asScala.map(readDoubleMatrix).toArray
+  }
 
   /** Probe a pre-built IVF-PQ index: nProbe nearest cells per query →
     * partition-pruned compressed scan, approximate cosine against the
