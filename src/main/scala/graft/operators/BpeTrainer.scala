@@ -381,10 +381,12 @@ object BpeTrainer {
   def roundTripAudit(spark: SparkSession, dir: String,
                      nMerges: Int = 16): DataFrame = {
     import spark.implicits._
-    // fan out before the per-doc encode passes: train + encode + unmerge are
-    // per-row CPU work that would otherwise run on the one-task scan
-    val docs = Par.fanOut(TextOps.documents(spark, dir).select("doc_id", "text"),
-      org.apache.spark.sql.functions.col("doc_id"))
+    // deliberately NOT fanned out: the trainer's 9 strict-cutoff rounds
+    // each do sub-second work — spreading them over 32 tasks costs more in
+    // per-round scheduling than the parallelism returns (measured in-suite:
+    // fanned ~4.9-5.7 s vs unfanned ~3.9 s), and the final encode pass is
+    // ~0.25 s even single-task (BpeProfile)
+    val docs = TextOps.documents(spark, dir).select("doc_id", "text")
     val seqs = docs.select("text").as[String].map(graft.functions.TokenCodec.encodeString)
     val (merges, trained) = trainBatched(seqs, nMerges)
     // the trainer's working corpus is persisted/checkpointed for the merge
