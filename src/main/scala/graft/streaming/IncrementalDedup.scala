@@ -230,14 +230,6 @@ object IncrementalDedup {
         (round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6) >= threshold).as("ok"))
 
-  /** Exact-Jaccard verification — [[scoredPairs]] filtered to the passing
-    * pairs (spec/compat shim; the batch drivers checkpoint the scored frame
-    * and filter it instead of materializing both). */
-  private[streaming] def verifiedPairs(cands: DataFrame, allSh: DataFrame,
-                                       threshold: Double): DataFrame =
-    scoredPairs(cands, allSh, threshold)
-      .filter(col("ok")).select("id_a", "id_b")
-
   /** Result of the rep-collapsed contraction: `nextLabels` is a PLAN
     * (caller materializes — checkpoint or lake write), `comp` and `scratch`
     * are checkpointed batch-scoped frames the caller must [[release]] after
