@@ -96,9 +96,12 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     * batchId like [[LakeSink]] does — or use [[DurableIncrementalDedup]],
     * which gates internally). */
   def addBatch(batch: DataFrame): BatchStats = {
-    val newShingles = labeled(batch, "dedup: shingle batch") {
-      shinglesOf(batch, k).localCheckpoint(true) }
-    val nNew = newShingles.count()
+    // LAZY checkpoint + count = one materialization job, not two (eager
+    // checkpoint then count) — safe wherever nothing in the lineage is
+    // released before the count runs
+    val (newShingles, nNew) = labeled(batch, "dedup: shingle batch") {
+      val df = shinglesOf(batch, k).localCheckpoint()
+      (df, df.count()) }
     val newBands = labeled(batch, "dedup: band batch") {
       TextOps.bandBuckets(newShingles).localCheckpoint(true) }
 
@@ -108,10 +111,10 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     // stat, which the scored frame still carries; one fewer materialized
     // frame ≈ 3-4 fewer scheduled jobs per microbatch
     val allSh = shinglesState.fold(newShingles)(_.union(newShingles))
-    val scored = labeled(batch, "dedup: candidate+verify") {
-      scoredPairs(candidatePairs(newBands, bandsState), allSh, threshold)
-        .localCheckpoint(true) }
-    val nCands = scored.count()
+    val (scored, nCands) = labeled(batch, "dedup: candidate+verify") {
+      val df = scoredPairs(candidatePairs(newBands, bandsState), allSh,
+        threshold).localCheckpoint()
+      (df, df.count()) }
     val verified = scored.filter(col("ok")).select("id_a", "id_b")
     val nVerified = verified.count()
 
@@ -254,7 +257,8 @@ object IncrementalDedup {
           Seq("id_b"), "left")
         .select(coalesce(col("rep_a"), col("id_a")).as("id_a"),
           coalesce(col("rep_b"), col("id_b")).as("id_b"))
-    }.filter(col("id_a") =!= col("id_b")).distinct().localCheckpoint(true)
+    }.filter(col("id_a") =!= col("id_b")).distinct()
+      .localCheckpoint() // lazy: the count below materializes it — 1 job
     // the contraction graph is batch-sized BY CONSTRUCTION (endpoints are
     // batch docs ∪ touched reps — the property StreamingSpec asserts), so
     // its node count and components come from ONE bounded collect + driver
@@ -438,24 +442,26 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
     if (shingleSink.accountsFor(batchId)) // completion marker → replay no-op
       return BatchStats(0L, 0L, 0L, 0L, 0L, 0)
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val newShingles = labeled(batch, "durdedup: shingle batch") {
-      shinglesOf(batch, k).localCheckpoint(true) }
+    val (newShingles, nNew) = labeled(batch, "durdedup: shingle batch") {
+      val df = shinglesOf(batch, k).localCheckpoint() // lazy + count: 1 job
+      (df, df.count()) }
     val newBands = labeled(batch, "durdedup: band batch") {
       TextOps.bandBuckets(newShingles).localCheckpoint(true) }
     scratch += newShingles
     scratch += newBands
-    var stats = BatchStats(newShingles.count(), 0L, 0L, 0L, 0L, 0)
+    var stats = BatchStats(nNew, 0L, 0L, 0L, 0L, 0)
     if (!labelSink.accountsFor(batchId)) {
       // one candidate-sized materialization for candidates AND verification
       // (the scoredPairs rationale in the in-memory twin)
       val allSh = readState(shingleSink).fold(newShingles)(_.union(newShingles))
-      val scored = labeled(batch, "durdedup: candidate+verify") {
-        scoredPairs(candidatePairs(newBands, readState(bandSink)), allSh,
-          threshold).localCheckpoint(true) }
+      val (scored, nCands) = labeled(batch, "durdedup: candidate+verify") {
+        val df = scoredPairs(candidatePairs(newBands, readState(bandSink)),
+          allSh, threshold).localCheckpoint() // lazy + count: 1 job
+        (df, df.count()) }
       scratch += scored
       val verified = scored.filter(col("ok")).select("id_a", "id_b")
       val nVerified = verified.count()
-      stats = stats.copy(nCandidatePairs = scored.count(), nVerifiedPairs = nVerified)
+      stats = stats.copy(nCandidatePairs = nCands, nVerifiedPairs = nVerified)
       if (nVerified > 0) {
         val labelsState = latestLabelGen()
         labeled(batch, "durdedup: label merge")(labelMerge(verified, labelsState))
