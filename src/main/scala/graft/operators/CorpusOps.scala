@@ -255,13 +255,12 @@ object CorpusOps {
     * semi-join without shuffling. Here the "benchmark" is the deterministic
     * doc_id % 50 == 0 slice so the oracle can recompute it. */
   def contamination(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    // fanned + materialized once: bench side and training side both read
-    // the exploded shingle table (the lazy form re-ran the one-task
-    // scan→shingle subtree for each)
-    val sh = Par.fanOut(documents(spark, dir).select("doc_id", "text"),
-        col("doc_id"))
+    // deliberately LAZY (no materialize-once, no fan-out): the bench side's
+    // doc_id%50 filter pushes to the scan, so its "re-evaluation" shingles
+    // only 2% of the corpus — a shared checkpoint pays a full pass + an
+    // exchange to save a 2% pass (measured +0.2-0.4 s; r7)
+    val sh = documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), k)).as("s"))
-      .localCheckpoint(true)
     val bench = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
     sh.filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench), Seq("s"))
@@ -285,11 +284,9 @@ object CorpusOps {
     * boundary cannot drift between engines — the [[qualityScore]]
     * sign-of-z lesson applied here. */
   def contaminationOverlap(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    // same fanned materialize-once as [[contamination]]
-    val sh = Par.fanOut(documents(spark, dir).select("doc_id", "text"),
-        col("doc_id"))
+    // same deliberate lazy form as [[contamination]] (r7 measurement note)
+    val sh = documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingleArr(col("text"), k)).as("s"))
-      .localCheckpoint(true)
     val bench = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
       .withColumn("hit", lit(1))
     sh.filter(col("doc_id") % 50 =!= 0).distinct()
