@@ -170,11 +170,14 @@ object IncrementalDedup {
       nNewDocs: Long, nCandidatePairs: Long, nVerifiedPairs: Long,
       nGraphNodes: Long, nTouchedReps: Long, ccRounds: Int)
 
-  /** Label the jobs of one phase (guide §1.5) — thread-local, reset after. */
+  /** Label the jobs of one phase (guide §1.5) — thread-local; restores the
+    * caller's description (structured streaming sets its own per
+    * microbatch) rather than clearing it. */
   private[streaming] def labeled[T](df: DataFrame, desc: String)(body: => T): T = {
     val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(desc)
-    try body finally sc.setJobDescription(null)
+    try body finally sc.setJobDescription(prev)
   }
 
   /** Dead checkpointed generation → free its executor-storage blocks NOW.
