@@ -102,6 +102,10 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     val (newShingles, nNew) = labeled(batch, "dedup: shingle batch") {
       val df = shinglesOf(batch, k).localCheckpoint()
       (df, df.count()) }
+    // EAGER on purpose: the candidate self-join reads this table on three
+    // legs — a lazy checkpoint would recompute the signature pass per leg
+    // inside the candidate+verify job (measured a wash at best), while the
+    // eager job computes it exactly once
     val newBands = labeled(batch, "dedup: band batch") {
       TextOps.bandBuckets(newShingles).localCheckpoint(true) }
 
@@ -109,14 +113,16 @@ class IncrementalDedup(threshold: Double = 0.5, k: Int = 3) {
     // candidate-sized scored frame (jaccard-threshold flag kept, not yet
     // filtered) — the separate candidate checkpoint bought only the nCands
     // stat, which the scored frame still carries; one fewer materialized
-    // frame ≈ 3-4 fewer scheduled jobs per microbatch
+    // frame ≈ 3-4 fewer scheduled jobs per microbatch. Both stats come from
+    // the SAME materializing aggregate (count + conditional count), erasing
+    // the separate verified.count() job.
     val allSh = shinglesState.fold(newShingles)(_.union(newShingles))
-    val (scored, nCands) = labeled(batch, "dedup: candidate+verify") {
+    val (scored, nCands, nVerified) = labeled(batch, "dedup: candidate+verify") {
       val df = scoredPairs(candidatePairs(newBands, bandsState), allSh,
         threshold).localCheckpoint()
-      (df, df.count()) }
+      val s = df.agg(count(lit(1)), count(when(col("ok"), true))).head()
+      (df, s.getLong(0), s.getLong(1)) }
     val verified = scored.filter(col("ok")).select("id_a", "id_b")
-    val nVerified = verified.count()
 
     var nNodes = 0L
     var nTouched = 0L
@@ -448,6 +454,7 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
     val (newShingles, nNew) = labeled(batch, "durdedup: shingle batch") {
       val df = shinglesOf(batch, k).localCheckpoint() // lazy + count: 1 job
       (df, df.count()) }
+    // EAGER (the in-memory twin's rationale): three join legs read it
     val newBands = labeled(batch, "durdedup: band batch") {
       TextOps.bandBuckets(newShingles).localCheckpoint(true) }
     scratch += newShingles
@@ -455,15 +462,16 @@ class DurableIncrementalDedup(spark: SparkSession, lakePath: String,
     var stats = BatchStats(nNew, 0L, 0L, 0L, 0L, 0)
     if (!labelSink.accountsFor(batchId)) {
       // one candidate-sized materialization for candidates AND verification
-      // (the scoredPairs rationale in the in-memory twin)
+      // (the scoredPairs rationale in the in-memory twin); both stats from
+      // the one materializing aggregate
       val allSh = readState(shingleSink).fold(newShingles)(_.union(newShingles))
-      val (scored, nCands) = labeled(batch, "durdedup: candidate+verify") {
+      val (scored, nCands, nVerified) = labeled(batch, "durdedup: candidate+verify") {
         val df = scoredPairs(candidatePairs(newBands, readState(bandSink)),
-          allSh, threshold).localCheckpoint() // lazy + count: 1 job
-        (df, df.count()) }
+          allSh, threshold).localCheckpoint() // lazy + agg: 1 job
+        val s = df.agg(count(lit(1)), count(when(col("ok"), true))).head()
+        (df, s.getLong(0), s.getLong(1)) }
       scratch += scored
       val verified = scored.filter(col("ok")).select("id_a", "id_b")
-      val nVerified = verified.count()
       stats = stats.copy(nCandidatePairs = nCands, nVerifiedPairs = nVerified)
       if (nVerified > 0) {
         val labelsState = latestLabelGen()
